@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc local profiling main (not part of the driver contract):
+  * times individual SparkEntry queries sequentially. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.contains("PROBE_EXPLAIN")
+    for (n <- names) {
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (explain) println(df.queryExecution.executedPlan.toString.take(8000))
+        val cnt = df.count()
+        println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$cnt")
+      } catch {
+        case e: Throwable =>
+          println(f"[probe] $n%-28s FAILED ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

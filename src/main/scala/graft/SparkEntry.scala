@@ -1,13 +1,762 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.{Rollups, Stats}
+import graft.dedup.Dedup
+import graft.incr.Watermarks
+import graft.ingest.Enrich
+import graft.multimodal.Multimodal
+import graft.quality.Drift
+import graft.sim.Similarity
+import graft.sink.IdempotentAppend
+import graft.text.{TextAnalysis, TextDedup}
+import graft.validate.{Rules, Validator}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the beyond-reference training-data operators), each
+  * with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism rules shared by the Spark and oracle sides:
+  *   - money/measure sums go through DECIMAL(18,2) (exact, order-free)
+  *     and are cast back to DOUBLE;
+  *   - averages are written as SUM/COUNT (never engine AVG);
+  *   - similarity scores are rounded to 6 dp *before* ranking;
+  *   - month buckets are 'yyyy-MM-01' strings (reference
+  *     database.py:832 TO_CHAR pattern);
+  *   - "now" for validation is a frozen parameter (SURVEY.md §7.3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
+    * nanosecond long under spark.sql.legacy.parquet.nanosAsLong (set
+    * by every graft session) — convert to a microsecond timestamp with
+    * exact integer division (a double-division would lose precision at
+    * 1e18 ns). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Exact order-independent sum of a 2-dec measure, as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Frozen "now" for the validation queries: 2024-01-15T00:00:00Z,
+    * mid-range of the events table so the not-in-future rule really
+    * splits the data. */
+  private val NowMs = 1705276800000L
+  private val RunId = "550e8400-e29b-41d4-a716-446655440000"
+
+  private val LineitemKey = Seq("l_orderkey", "l_linenumber")
+  private val LineitemOrder = Seq("l_shipdate", "l_partkey", "l_suppkey", "l_extendedprice")
+
+  /** Event-type → category map (the PSR→fuel dictionary analog, P6). */
+  private val EventCategory = Map(
+    "click" -> "Engagement", "view" -> "Engagement",
+    "purchase" -> "Conversion", "signup" -> "Conversion",
+    "error" -> "Fault",
+  )
+
+  private def eventsWithMs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).withColumn("timestamp_ms", unix_millis(col("ts")))
+
+  private def eventValidationRules: Seq[Rules.Rule] =
+    Seq(Rules.required("event_id")) ++
+      Rules.requiredWith("value", Rules.isNonNegative, "must be non-negative number") ++
+      Rules.requiredWith("event_type", Rules.isNonEmptyString, "must be non-empty string") ++
+      Rules.requiredWith("timestamp_ms", Rules.isPositiveTimestamp(_, NowMs),
+        "invalid timestamp (must be positive and not in future)") ++
+      Seq(Rules.required("user_id"),
+        Rules.optionalWith("user_id", c => c <= 9, "must be valid code"))
+
+  private def annotatedEvents(s: SparkSession, dir: String): DataFrame =
+    Validator.annotate(eventsWithMs(s, dir), eventValidationRules)
+
+  // ---------------------------------------------------------------------
+
+  /** Flagship query on sf=0.001: crosswalk-enrichment join + monthly
+    * rollup (J4 + A1 analog). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("j4_crosswalk_enrich")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- Aggregations (A1–A11) -----------------------------------------
+
+    // A5/TPC-H Q1 flavor: multi-metric pricing summary.
+    "a5_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"),
+        )
+    }),
+
+    // A1: monthly rollup with the MW→MWh conversion inside the sum
+    // (l_linenumber plays resolution_minutes).
+    "a1_monthly_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(
+          Rollups.monthStr(col("l_shipdate")).as("month"),
+          col("l_returnflag"))
+        .agg((sum(col("l_quantity") * col("l_linenumber")) / 60.0)
+          .as("total_generation_mwh"))
+    }),
+
+    // A2: monthly plant rollup (user_id ≈ plant) via Rollups.monthly.
+    "a2_monthly_plant_rollup" -> ((s, dir) => {
+      Rollups
+        .monthly(
+          events(s, dir),
+          col("ts"),
+          Seq("user_id" -> col("user_id"), "event_type" -> col("event_type")),
+          col("value").cast("decimal(18,2)"))
+        .withColumn("total_generation_mwh", col("total_generation_mwh").cast("double"))
+    }),
+
+    // A4: row-count coverage matrix across three fact tables.
+    "a4_coverage_matrix" -> ((s, dir) => {
+      Rollups.coverageMatrix(Seq(
+        ("orders", tbl(s, dir, "orders"), col("o_orderdate")),
+        ("lineitem", tbl(s, dir, "lineitem"), col("l_shipdate")),
+        ("events", events(s, dir), col("ts")),
+      ))
+    }),
+
+    // A5: parameterized-granularity monthly export (month × priority).
+    "a5_multi_metric_monthly" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(
+          Rollups.monthStr(col("o_orderdate")).as("month"),
+          col("o_orderpriority"))
+        .agg(
+          dsum(col("o_totalprice")).as("total_generation_mwh"),
+          count(lit(1)).as("hours_of_data"),
+          (dsum(col("o_totalprice")) / count(lit(1))).as("avg_generation_mw"),
+          max(col("o_totalprice")).as("peak_generation_mw"),
+        )
+    }),
+
+    // A6: distinct years probe (drives the per-year export loop).
+    "a6_distinct_years" -> ((s, dir) =>
+      Stats.distinctYears(tbl(s, dir, "orders"), col("o_orderdate"))),
+
+    // A7: per-run date range (user_id ≈ extraction_run_id).
+    "a7_date_range" -> ((s, dir) =>
+      Stats.dateRange(events(s, dir), col("ts"), col("user_id") === 7)),
+
+    // A8: latest-date-per-source watermark probe.
+    "a8_latest_dates" -> ((s, dir) => {
+      Stats.latestDates(Seq(
+        ("orders", tbl(s, dir, "orders"), col("o_orderdate")),
+        ("lineitem", tbl(s, dir, "lineitem"), col("l_shipdate")),
+        ("events", events(s, dir), col("ts")),
+      ))
+    }),
+
+    // A9: record counts across all tables.
+    "a9_record_counts" -> ((s, dir) => {
+      Stats.recordCounts(Seq(
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+      ).map(n => n -> tbl(s, dir, n)))
+    }),
+
+    // A10: conditional-aggregation extraction summary.
+    "a10_extraction_summary" -> ((s, dir) => {
+      Stats.conditionalSummary(
+        tbl(s, dir, "orders"),
+        col("o_orderpriority"),
+        col("o_orderstatus") === "F",
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderdate"),
+        col("o_orderdate"),
+      ).withColumn("total_records", col("total_records").cast("double"))
+    }),
+
+    // A11: duplicate-count verification on the natural key.
+    "a11_duplicate_count" -> ((s, dir) =>
+      Dedup.duplicateCount(tbl(s, dir, "lineitem"), LineitemKey.map(col))),
+
+    // --- Dedup / upsert (D1–D4, W1, S7/J3) -----------------------------
+
+    // D1/W1: first-occurrence-wins dedup with a stable tiebreak.
+    "d1_dedup_first_wins" -> ((s, dir) =>
+      Dedup.firstWinsByName(tbl(s, dir, "lineitem"), LineitemKey, LineitemOrder)),
+
+    // W1 (counting half): per-key duplicate histogram.
+    "w1_duplicate_groups" -> ((s, dir) =>
+      Dedup
+        .duplicateGroups(tbl(s, dir, "lineitem"), LineitemKey.map(col))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // D2/J3/S7: idempotent-upsert anti-join — new rows only.
+    "d2_upsert_new_rows" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val incoming = Dedup.firstWinsByName(
+        li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")),
+        LineitemKey, LineitemOrder)
+      val existing = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      IdempotentAppend.newRows(incoming, existing, LineitemKey)
+    }),
+
+    // S7: the "rows actually inserted" accounting of the staged upsert.
+    "s7_upsert_counts" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rawIncoming = li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      val incoming = Dedup.firstWinsByName(rawIncoming, LineitemKey, LineitemOrder)
+      val existing = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      val inserted = IdempotentAppend.newRows(incoming, existing, LineitemKey)
+      rawIncoming.agg(count(lit(1)).as("incoming_records"))
+        .crossJoin(incoming.agg(count(lit(1)).as("batch_records")))
+        .crossJoin(inserted.agg(count(lit(1)).as("inserted_records")))
+    }),
+
+    // D4: metadata merge — latest version wins per key.
+    "d4_metadata_merge" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      IdempotentAppend.mergeLatest(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 3 === 0),
+        Seq("o_orderkey"),
+        Seq(col("o_orderdate").desc, col("o_totalprice").desc,
+          col("o_orderstatus").asc, col("o_orderpriority").asc, col("o_custkey").asc),
+      )
+    }),
+
+    // --- Joins (J1, J4) ------------------------------------------------
+
+    // J1: crosswalk drift anti-join (nation plays plant_crosswalk).
+    "j1_drift_missing" -> ((s, dir) =>
+      Drift.missingFromCrosswalk(
+        tbl(s, dir, "customer"),
+        col("c_nationkey"),
+        tbl(s, dir, "nation"),
+        col("n_nationkey"),
+        col("n_regionkey") <= 2,
+      )),
+
+    // J4: crosswalk enrichment join + monthly rollup (broadcast dims).
+    "j4_crosswalk_enrich" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(Rollups.monthStr(col("o_orderdate")).as("month"), col("r_name"))
+        .agg(
+          dsum(col("o_totalprice")).as("total_revenue"),
+          count(lit(1)).as("order_count"))
+    }),
+
+    // --- Validation (P9–P18) -------------------------------------------
+
+    // P17/P18 + A12: single-row validation summary (conservation law).
+    "p18_validate_summary" -> ((s, dir) => Validator.summary(annotatedEvents(s, dir))),
+
+    // P18: error-type histogram over the invalid branch.
+    "p18_error_stats" -> ((s, dir) =>
+      Validator.errorStats(annotatedEvents(s, dir)).orderBy("error_type")),
+
+    // P18: the valid branch itself.
+    "p17_valid_records" -> ((s, dir) =>
+      Validator
+        .validRecords(annotatedEvents(s, dir))
+        .select("event_id", "timestamp_ms", "user_id", "event_type", "value")),
+
+    // --- Enrichment / transforms (P1–P8, S1) ---------------------------
+
+    // P1: whitelist projection.
+    "p1_projection" -> ((s, dir) =>
+      Enrich.project(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))),
+
+    // P2+P5: envelope enrichment with frozen run metadata + ms coercion.
+    "p2_enrich_envelope" -> ((s, dir) => {
+      Enrich
+        .ensureRunMetadata(eventsWithMs(s, dir), RunId, NowMs)
+        .select("event_id", "extraction_run_id", "created_at_ms", "timestamp_ms")
+    }),
+
+    // P5: timestamp coercion of string-typed timestamps (UTC).
+    "p5_ts_coercion" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .select(col("event_id"),
+          Enrich.coerceTimestampMs(col("ts_str")).as("timestamp_ms"))
+    }),
+
+    // P6: dictionary lookup via broadcast literal map.
+    "p6_dict_lookup" -> ((s, dir) => {
+      val m = typedLit(EventCategory)
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          coalesce(m(col("event_type")), lit("Unknown")).as("category"))
+    }),
+
+    // P7: leaked-suffix strip (longest-first, one per family).
+    "p7_suffix_strip" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          Enrich.stripPlantSuffixes(
+            concat(col("event_type"), lit("_Actual Aggregated"))).as("plant_name"))
+    }),
+
+    // S1-ish: JSON field extraction (the JSONB metadata analog).
+    "s1_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_value"))),
+
+    // --- MV / ordering (M3) --------------------------------------------
+
+    // M3: recent-first top-k (the reference's only sort+limit).
+    "m3_topk_recent" -> ((s, dir) =>
+      events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))),
+
+    // --- Incremental (I1, I3) ------------------------------------------
+
+    // I1: high-watermark resume point, clamped to a minimum start.
+    "i1_watermark_resume" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("latest"))
+        .select(Watermarks.resumeFromCol(col("latest"), "1996-01-01").as("resume_date"))),
+
+    // I3: month-window chunking frame.
+    "i3_month_windows" -> ((s, dir) =>
+      Watermarks.monthWindowFrame(tbl(s, dir, "orders"), col("o_orderdate"))),
+
+    // --- Text analysis (beyond-reference) ------------------------------
+
+    "t1_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.charCount(t).as("n_chars"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(t).as("n_bpeish_tokens"),
+        round(TextAnalysis.meanWordLength(t), 6).as("mean_word_len"),
+      )
+    }),
+
+    "t2_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "t3_quality_score" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
+
+    // Rolling 64-bit content hash (order-sensitive) — no SQL oracle.
+    "t5_rolling_hash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash64(col("text")).as("rhash"))),
+
+    // --- Text dedup (beyond-reference) ---------------------------------
+
+    "td1_exact_dedup" -> ((s, dir) =>
+      TextDedup
+        .exactDedup(tbl(s, dir, "documents"), col("text"), col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // Word-set (k=1 shingle) Jaccard pairs within a blocking key.
+    "td2_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.blockedJaccardPairs(
+        tbl(s, dir, "documents"), "doc_id", "text", "source", k = 1, threshold = 0.5)),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥0.9.
+    // Identical word sets ⇒ identical signatures ⇒ recall 1 at j=1.
+    "td3_minhash_pairs" -> ((s, dir) =>
+      TextDedup.minhashNearDupPairs(
+        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9, k = 1)),
+
+    // MinHash dedup: survivors after dropping near-dup losers.
+    "td4_minhash_dedup" -> ((s, dir) =>
+      TextDedup
+        .minhashDedup(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .select("doc_id")),
+
+    // SimHash signatures (+ banded near-dup pairs are in tests).
+    "td5_simhash_sigs" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextDedup.simhashBits(col("text")).as("simhash_bits"))),
+
+    // --- Similarity search (beyond-reference) --------------------------
+
+    "v1_cosine_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10)
+    }),
+
+    "v2_cosine_pairs" -> ((s, dir) =>
+      Similarity.blockedCosinePairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)),
+
+    // LSH-bucketed approximate top-k (the scale path) — no oracle.
+    "v3_lsh_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, nBits = 4)
+    }),
+
+    // --- Multimodal plumbing (beyond-reference) ------------------------
+
+    "mm1_media_meta" -> ((s, dir) =>
+      Multimodal
+        .asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("media_id", "media_type", "n_bytes")),
+
+    // Stubbed decode via partition-batched mapPartitions — no oracle.
+    "mm2_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal
+        .extractFeaturesDf(s, media)
+        .select("media_id", "media_type", "n_bytes", "width", "height", "checksum")
+    }),
+  )
+
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "a5_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_monthly_rollup" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-01') AS month,
+        |  l_returnflag,
+        |  SUM(l_quantity * l_linenumber) / 60.0 AS total_generation_mwh
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "a2_monthly_plant_rollup" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m-01') AS month,
+        |  user_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_generation_mwh
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "a4_coverage_matrix" ->
+      """SELECT 'orders' AS source, strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month, COUNT(*) AS row_count FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'lineitem', strftime(date_trunc('month', l_shipdate), '%Y-%m-01'), COUNT(*) FROM lineitem GROUP BY 2
+        |UNION ALL
+        |SELECT 'events', strftime(date_trunc('month', ts), '%Y-%m-01'), COUNT(*) FROM events GROUP BY 2""".stripMargin,
+
+    "a5_multi_metric_monthly" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_generation_mwh,
+        |  COUNT(*) AS hours_of_data,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_generation_mw,
+        |  MAX(o_totalprice) AS peak_generation_mw
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "a6_distinct_years" ->
+      """SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year
+        |FROM orders ORDER BY year""".stripMargin,
+
+    "a7_date_range" ->
+      """SELECT strftime(MIN(ts), '%Y-%m-%d') AS start_date,
+        |  strftime(MAX(ts), '%Y-%m-%d') AS end_date
+        |FROM events WHERE user_id = 7""".stripMargin,
+
+    "a8_latest_dates" ->
+      """SELECT 'orders' AS source, COALESCE(CAST(MAX(o_orderdate) AS DATE), DATE '1970-01-01') AS latest_date FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', COALESCE(CAST(MAX(l_shipdate) AS DATE), DATE '1970-01-01') FROM lineitem
+        |UNION ALL
+        |SELECT 'events', COALESCE(CAST(MAX(ts) AS DATE), DATE '1970-01-01') FROM events""".stripMargin,
+
+    "a9_record_counts" ->
+      """SELECT 'region' AS table_name, COUNT(*) AS record_count FROM region
+        |UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings""".stripMargin,
+
+    "a10_extraction_summary" ->
+      """SELECT o_orderpriority AS source,
+        |  COUNT(*) AS total_runs,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS successful_runs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_records,
+        |  MIN(o_orderdate) AS earliest_start,
+        |  MAX(o_orderdate) AS latest_end
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "a11_duplicate_count" ->
+      """SELECT COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS duplicate_count
+        |FROM lineitem""".stripMargin,
+
+    "d1_dedup_first_wins" ->
+      """SELECT * FROM lineitem
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_partkey, l_suppkey, l_extendedprice) = 1""".stripMargin,
+
+    "w1_duplicate_groups" ->
+      """SELECT l_orderkey, l_linenumber, COUNT(*) AS occurrences
+        |FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY 1, 2""".stripMargin,
+
+    "d2_upsert_new_rows" ->
+      """WITH incoming AS (
+        |  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_partkey, l_suppkey, l_extendedprice) = 1),
+        |existing AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01')
+        |SELECT i.* FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |  WHERE e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)""".stripMargin,
+
+    "s7_upsert_counts" ->
+      """WITH raw_incoming AS (
+        |  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+        |incoming AS (
+        |  SELECT * FROM raw_incoming
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_partkey, l_suppkey, l_extendedprice) = 1),
+        |existing AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+        |ins AS (SELECT i.* FROM incoming i
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |    WHERE e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber))
+        |SELECT (SELECT COUNT(*) FROM raw_incoming) AS incoming_records,
+        |  (SELECT COUNT(*) FROM incoming) AS batch_records,
+        |  (SELECT COUNT(*) FROM ins) AS inserted_records""".stripMargin,
+
+    "d4_metadata_merge" ->
+      """WITH u AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM u
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |  ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderstatus, o_orderpriority, o_custkey) = 1""".stripMargin,
+
+    "j1_drift_missing" ->
+      """SELECT DISTINCT c_nationkey AS plant_key FROM customer
+        |WHERE c_nationkey IS NOT NULL
+        |  AND c_nationkey NOT IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_regionkey <= 2 AND n_nationkey IS NOT NULL)
+        |ORDER BY plant_key""".stripMargin,
+
+    "j4_crosswalk_enrich" ->
+      """SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-01') AS month,
+        |  r.r_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS order_count
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "p18_validate_summary" ->
+      """SELECT COUNT(*) AS total_records,
+        |  SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
+        |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
+        |        AND user_id IS NOT NULL AND user_id <= 9
+        |      THEN 1 ELSE 0 END) AS valid_records,
+        |  SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
+        |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
+        |        AND user_id IS NOT NULL AND user_id <= 9
+        |      THEN 0 ELSE 1 END) AS invalid_records
+        |FROM events""".stripMargin,
+
+    "p18_error_stats" ->
+      """SELECT error_type, error_count FROM (
+        |  SELECT 'missing required field' AS error_type,
+        |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS error_count
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', SUM(CASE WHEN event_type IS NOT NULL AND TRIM(event_type) = '' THEN 1 ELSE 0 END) FROM events
+        |  UNION ALL
+        |  SELECT 'timestamp_ms', SUM(CASE WHEN ts IS NOT NULL AND (epoch_ms(ts) <= 0 OR epoch_ms(ts) > 1705363200000) THEN 1 ELSE 0 END) FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', SUM(CASE WHEN user_id IS NOT NULL AND user_id > 9 THEN 1 ELSE 0 END) FROM events
+        |) WHERE error_count > 0 ORDER BY error_type""".stripMargin,
+
+    "p17_valid_records" ->
+      """SELECT event_id, epoch_ms(ts) AS timestamp_ms, user_id, event_type, value
+        |FROM events
+        |WHERE event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |  AND event_type IS NOT NULL AND TRIM(event_type) <> ''
+        |  AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
+        |  AND user_id IS NOT NULL AND user_id <= 9""".stripMargin,
+
+    "p1_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+
+    "p2_enrich_envelope" ->
+      """SELECT event_id,
+        |  '550e8400-e29b-41d4-a716-446655440000' AS extraction_run_id,
+        |  1705276800000 AS created_at_ms,
+        |  epoch_ms(ts) AS timestamp_ms
+        |FROM events""".stripMargin,
+
+    "p5_ts_coercion" ->
+      "SELECT event_id, epoch_ms(ts) AS timestamp_ms FROM events",
+
+    "p6_dict_lookup" ->
+      """SELECT event_id, event_type,
+        |  CASE event_type
+        |    WHEN 'click' THEN 'Engagement' WHEN 'view' THEN 'Engagement'
+        |    WHEN 'purchase' THEN 'Conversion' WHEN 'signup' THEN 'Conversion'
+        |    WHEN 'error' THEN 'Fault' ELSE 'Unknown' END AS category
+        |FROM events""".stripMargin,
+
+    "p7_suffix_strip" ->
+      """SELECT event_id,
+        |  regexp_replace(event_type || '_Actual Aggregated', '_Actual Aggregated$', '') AS plant_name
+        |FROM events""".stripMargin,
+
+    "s1_json_extract" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_value FROM events""",
+
+    "m3_topk_recent" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    "i1_watermark_resume" ->
+      """SELECT GREATEST(CAST(MAX(o_orderdate) AS DATE) + INTERVAL 1 DAY, DATE '1996-01-01')::DATE AS resume_date
+        |FROM orders""".stripMargin,
+
+    "i3_month_windows" ->
+      """SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start
+        |FROM (SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |             date_trunc('month', MAX(o_orderdate)) AS hi FROM orders)""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  LENGTH(text) AS n_chars,
+        |  CASE WHEN TRIM(text) = '' THEN 0 ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpeish_tokens,
+        |  ROUND(CASE WHEN TRIM(text) = '' THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
+        |      / len(string_split_regex(TRIM(text), '\s+')) END, 6) AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "t2_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS en,
+        |  len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS de,
+        |  len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS fr,
+        |  len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|para|con|por|del|como)\b')) AS es,
+        |  3 * len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        |FROM documents),
+        |m AS (SELECT *, GREATEST(en, de, fr, es, zh) AS mx FROM s)
+        |SELECT doc_id, CASE WHEN mx <= 0 THEN 'und'
+        |  WHEN zh = mx THEN 'zh' WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+        |  WHEN en = mx THEN 'en' ELSE 'de' END AS lang_pred
+        |FROM m""".stripMargin,
+
+    "t3_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |  CASE WHEN TRIM(text) = '' THEN 0.0
+        |    ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) END AS toks,
+        |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS DOUBLE) AS stop,
+        |  CASE WHEN TRIM(text) = '' THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
+        |      / len(string_split_regex(TRIM(text), '\s+')) END AS mwl
+        |FROM documents)
+        |SELECT doc_id, ROUND(
+        |  0.4 * LEAST(chars / 200.0, 1.0)
+        |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(stop / toks, 0.5) * 2.0 END)
+        |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
+        |  + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS quality
+        |FROM f""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+        |sims AS (SELECT q.query_id, e.vec_id,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE q.query_id <> e.vec_id)
+        |SELECT query_id, vec_id, sim, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |WHERE rank <= 10""".stripMargin,
+
+    "v2_cosine_pairs" ->
+      """WITH sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.3""".stripMargin,
+
+    "td1_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp FROM documents)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
+
+    "td2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+')) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5""".stripMargin,
+
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+  )
 }

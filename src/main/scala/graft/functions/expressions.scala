@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity / dedup hot paths.
+  *
+  * Higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * interpreted per element — fine for narrow enrichment, but a cosine
+  * or set-intersection evaluated per *candidate pair* inside a join
+  * pays ~µs-per-element interpreter overhead, which dominates at LSH
+  * scale. These expressions run the whole kernel as one tight JVM
+  * loop per call; [[CosineSimilarity]] additionally participates in
+  * whole-stage codegen via doGenCode.
+  *
+  * Registered as SQL functions by [[graft.GraftExtensions]]
+  * (SparkSessionExtensions), callable from the DataFrame API with
+  * `call_function("graft_cosine_sim", a, b)`.
+  */
+object expressions // scaladoc anchor
+
+/** cosine(a, b) over double arrays (float arrays arrive via implicit
+  * upcast), computed in one pass: dot, |a|², |b|². Deterministic
+  * left-to-right accumulation — matches a sequential fold exactly. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    CosineSimilarity.compute(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** jaccard(a, b) of two string arrays treated as sets. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < x.numElements()) { sa.add(x.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (sb.add(s) && sa.contains(s)) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(shingles, numHashes): signature[j] = min over shingles
+  * of murmur3(shingle bytes, seed = j). One native pass over the
+  * shingle array per hash. */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(a: Any, n: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val numHashes = n.asInstanceOf[Int]
+    val sig = new Array[Int](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), j)
+        if (h < best) best = h
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** simhash_bits(tokens, nBits): classic SimHash — one 32-bit murmur3
+  * per (token, word) chunk; bit i of the per-token hash votes ±1 into
+  * counter i; sign of the counter is the output bit. nBits ≤ 64 uses
+  * two 32-bit hashes per token. */
+case class SimHashBits(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes =
+    Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_simhash_bits"
+
+  override def nullSafeEval(a: Any, n: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val nBits = n.asInstanceOf[Int]
+    val counters = new Array[Int](nBits)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      var chunk = 0
+      var b = 0
+      while (b < nBits) {
+        if (b % 32 == 0) {
+          chunk = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), b / 32)
+        }
+        if (((chunk >>> (b % 32)) & 1) == 1) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    val bits = new Array[Int](nBits)
+    var b = 0
+    while (b < nBits) { bits(b) = if (counters(b) > 0) 1 else 0; b += 1 }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object GraftFunctions {
+  type Description = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
+
+  private def desc(name: String, usage: String, builder: FunctionBuilder): Description =
+    (new FunctionIdentifier(name), new ExpressionInfo(classOf[CosineSimilarity].getName, name, usage), builder)
+
+  val all: Seq[Description] = Seq(
+    desc("graft_cosine_sim", "cosine similarity of two numeric arrays",
+      args => CosineSimilarity(args(0), args(1))),
+    desc("graft_jaccard", "jaccard similarity of two string arrays as sets",
+      args => JaccardSimilarity(args(0), args(1))),
+    desc("graft_minhash_sig", "minhash signature of a string array",
+      args => MinHashSignature(args(0), args.lift(1).getOrElse(Literal(32)))),
+    desc("graft_simhash_bits", "simhash bit signature of a string array",
+      args => SimHashBits(args(0), args.lift(1).getOrElse(Literal(64)))),
+  )
+}

@@ -1,0 +1,71 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Schema-enforced JSONL scan (reference operators S1–S4).
+  *
+  * The reference reads JSONL line-by-line into Python dicts with manual
+  * 500k-record batches / 50k-line chunks to bound memory (reference
+  * src/database.py:469-470, :568, :1059). On Spark the file is split
+  * across input partitions and executors stream it, so batching is
+  * obsolete; the schema is *enforced*, never inferred, mirroring the
+  * reference's fixed-schema design (src/validator.py:123-276).
+  *
+  * Scale notes: a JSONL scan at 100 TB parallelizes by HDFS-style file
+  * splits (newline-delimited JSON is splittable); keep files ≥128 MB or
+  * many files, and never `collect()` — every downstream op stays a
+  * narrow map until the first key-based shuffle.
+  */
+object JsonlSource {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Line-order column captured at read time, *before* any shuffle, so
+    * that first-occurrence-wins dedup (reference validator.py:507-519)
+    * has a stable total order. Valid because ids are monotonically
+    * increasing within each input partition and partitions are ordered
+    * by file-split offset. */
+  val LineOrderCol = "_line_order"
+
+  /** S1/S2/S3: read JSONL with an enforced schema. Malformed lines are
+    * captured in [[CorruptCol]] (PERMISSIVE mode) instead of killing
+    * the job — the analog of the reference's per-line warnings
+    * (database.py:633-665). Blank lines are dropped by the JSON reader
+    * just like the reference's `if line.strip()` filter
+    * (database.py:469-470). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Same scan with a stable line-order column for first-wins dedup. */
+  def readJsonlOrdered(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readJsonl(spark, path, schema)
+      .withColumn(LineOrderCol, monotonically_increasing_id())
+
+  /** Parse an in-memory column of JSONL lines against an enforced
+    * schema — same semantics as [[readJsonl]] but usable on any string
+    * column (e.g. a Kafka value or a test fixture). */
+  def parseJsonLines(df: DataFrame, lineCol: String, schema: StructType): DataFrame = {
+    val parsed = df.withColumn("_parsed", from_json(col(lineCol), schema))
+    schema.fieldNames.foldLeft(parsed) { (acc, f) =>
+      acc.withColumn(f, col(s"_parsed.$f"))
+    }.drop("_parsed", lineCol)
+  }
+
+  /** Split a permissive scan into (good, corrupt) record frames.
+    * The input is cached first: Spark disallows queries that touch
+    * only the internal corrupt-record column of a raw JSON scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    * branches re-read the scan anyway. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    val good = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = cached.filter(col(CorruptCol).isNotNull)
+    (good, bad)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media (image/audio/video) as opaque
+  * `binary` columns plus typed metadata, with decode / feature-extract
+  * implemented as partition-local batch transforms.
+  *
+  * The Spark-side plumbing — schema, binary payload column,
+  * partition-batched processing, typed output — is real; the actual
+  * media decode is STUBBED with a deterministic fake (the codec
+  * libraries are not available in this environment). Swap
+  * [[decodeStub]] for a real decoder (JNI/FFI per partition) without
+  * touching any other layer.
+  *
+  * Scale notes: payloads stay distributed (no collect); decode runs
+  * once per partition batch via `mapPartitions` so per-record library
+  * init cost amortizes — the Scala analog of `mapInPandas` batch
+  * shape. Metadata-only queries never touch the payload column thanks
+  * to Parquet column pruning, which is the whole point of the
+  * opaque-binary + typed-metadata split.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      n_bytes: Long,
+  )
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int, // STUB: derived deterministically from payload
+      height: Int, // STUB
+      checksum: Long, // real: sum of first 64 payload bytes
+      features: Array[Float], // STUB: 8-dim deterministic fake embedding
+  )
+
+  /** Wrap any table with a string column as a media table (test/demo
+    * path: text bytes play the payload role). */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+    )
+
+  /** ??? in spirit: a deterministic fake decode so the pipeline is
+    * testable end-to-end. Real implementation would call the codec
+    * here, once per partition. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val head = r.payload.take(64)
+    val checksum = head.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val w = 16 + (checksum % 16).toInt
+    val h = 16 + ((checksum / 16) % 16).toInt
+    val feats = Array.tabulate(8)(i =>
+      ((head.lift(i).getOrElse(0: Byte) & 0xff) / 255.0f))
+    MediaFeatures(r.media_id, r.media_type, r.n_bytes, w, h, checksum, feats)
+  }
+
+  /** Partition-batched decode/feature-extract. */
+  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real decoder init would happen here, once per partition batch
+      it.map(decodeStub)
+    }
+  }
+
+  /** DataFrame convenience: media table → features table. */
+  def extractFeaturesDf(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(media.as[MediaRecord])(spark).toDF()
+  }
+}

@@ -1,0 +1,178 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Declared input schemas for the eight power-generation sources.
+  *
+  * The reference declares each source twice: SQL DDL (reference
+  * per-source schema .sql files) and Python validator schemas (reference
+  * src/validator.py:123-276). Here both collapse into one `StructType`
+  * per source, used to enforce schema-on-read for JSONL ingestion
+  * (never inferred — mirrors the reference's fixed-schema design).
+  *
+  * Shared harmonized envelope on every fact row (reference
+  * README.md:225-236): extraction_run_id, created_at_ms, timestamp_ms,
+  * resolution_minutes, plus one generation measure.
+  */
+object Schemas {
+
+  /** Envelope fields shared by all sources. Epoch-millis longs for all
+    * event time (reference schema/entsoe_generation.sql:31). */
+  val envelope: Seq[StructField] = Seq(
+    StructField("extraction_run_id", StringType),
+    StructField("created_at_ms", LongType),
+    StructField("timestamp_ms", LongType),
+    StructField("resolution_minutes", IntegerType),
+  )
+
+  private def st(fields: StructField*): StructType =
+    StructType(envelope ++ fields)
+
+  /** reference src/validator.py:123-137 + schema/npp_generation.sql */
+  val npp: StructType = st(
+    StructField("plant", StringType),
+    StructField("plant_and_unit", StringType),
+    StructField("unit", StringType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** reference src/validator.py:139-159 + schema/eia_generation.sql */
+  val eia: StructType = st(
+    StructField("utility_id", StringType),
+    StructField("plant_code", StringType),
+    StructField("generator_id", StringType),
+    StructField("state", StringType),
+    StructField("prime_mover", StringType),
+    StructField("fuel_source", StringType),
+    StructField("energy_source", StringType),
+    StructField("net_generation_mwh", DoubleType),
+    StructField("in_gcpt_crosswalk", BooleanType),
+    StructField("eia_plant_unit_id", StringType),
+  )
+
+  /** reference src/validator.py:161-176 + schema/entsoe_generation.sql */
+  val entsoe: StructType = st(
+    StructField("country_code", StringType),
+    StructField("psr_type", StringType),
+    StructField("plant_name", StringType),
+    StructField("fuel_type", StringType),
+    StructField("data_type", StringType),
+    StructField("generation_mw", DoubleType),
+  )
+
+  /** reference src/validator.py:178-199 + schema/ons_generation.sql */
+  val ons: StructType = st(
+    StructField("plant", StringType),
+    StructField("ons_plant_id", StringType),
+    StructField("plant_type", StringType),
+    StructField("fuel_type", StringType),
+    StructField("subsystem_id", StringType),
+    StructField("subsystem", StringType),
+    StructField("state", StringType),
+    StructField("state_name", StringType),
+    StructField("operation_mode", StringType),
+    StructField("ceg", StringType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** reference src/validator.py:201-216 + schema/oe_generation.sql */
+  val oe: StructType = st(
+    StructField("network_code", StringType),
+    StructField("network_region", StringType),
+    StructField("fueltech", StringType),
+    StructField("fueltech_group", StringType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** reference src/validator.py:238-258 + schema/oe_facility_generation.sql */
+  val oeFacility: StructType = st(
+    StructField("network_code", StringType),
+    StructField("network_region", StringType),
+    StructField("facility_code", StringType),
+    StructField("facility_name", StringType),
+    StructField("fueltech", StringType),
+    StructField("fueltech_group", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("capacity_registered_mw", DoubleType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** reference src/validator.py:218-236 + schema/occto_generation.sql */
+  val occto: StructType = st(
+    StructField("plant", StringType),
+    StructField("unit", StringType),
+    StructField("plant_code", StringType),
+    StructField("fuel_code", StringType),
+    StructField("fuel_type", StringType),
+    StructField("area_code", StringType),
+    StructField("area_name", StringType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** reference src/validator.py:260-276 + schema/chile_generation.sql */
+  val chile: StructType = st(
+    StructField("plant", StringType),
+    StructField("chile_plant_id", StringType),
+    StructField("fuel_type", StringType),
+    StructField("region", StringType),
+    StructField("comuna", StringType),
+    StructField("generation_mwh", DoubleType),
+  )
+
+  /** Natural dedup/upsert key per source (reference validator.py:136,
+    * 158, 175, 198, 215, 235, 257, 275; UNIQUE indexes in per-source schema .sql files).
+    * Keys marked in [[nullSafeKeyParts]] are COALESCE(col,'') in the
+    * reference's expression indexes (ons_generation.sql:49-50 etc.). */
+  val naturalKeys: Map[String, Seq[String]] = Map(
+    "npp" -> Seq("timestamp_ms", "plant_and_unit"),
+    "eia" -> Seq("timestamp_ms", "plant_code", "generator_id"),
+    "entsoe" -> Seq("timestamp_ms", "country_code", "psr_type", "plant_name"),
+    "ons" -> Seq("timestamp_ms", "plant", "ons_plant_id"),
+    "oe" -> Seq("timestamp_ms", "fueltech", "network_code"),
+    "oe_facility" -> Seq("timestamp_ms", "facility_code", "fueltech"),
+    "occto" -> Seq("timestamp_ms", "plant", "unit"),
+    "chile" -> Seq("timestamp_ms", "plant", "chile_plant_id"),
+  )
+
+  /** Key columns that are nullable and keyed as COALESCE(col, '') in the
+    * reference (ons_generation.sql:49-50, occto_generation.sql:43-44,
+    * chile_generation.sql:43-44). */
+  val nullSafeKeyParts: Map[String, Set[String]] = Map(
+    "ons" -> Set("ons_plant_id"),
+    "occto" -> Set("unit"),
+    "chile" -> Set("chile_plant_id"),
+  ).withDefaultValue(Set.empty)
+
+  /** Default resolution_minutes per source when the field is absent
+    * (reference ons_generation.sql:31, occto_generation.sql:27,
+    * oe_generation.sql:23, npp_generation.sql). EIA is monthly →
+    * resolution stays NULL (eia_generation.sql). */
+  val defaultResolutionMinutes: Map[String, Int] = Map(
+    "npp" -> 1440,
+    "ons" -> 60,
+    "oe" -> 1440,
+    "oe_facility" -> 1440,
+    "occto" -> 30,
+    "chile" -> 60,
+    "entsoe" -> 60,
+  )
+
+  val schemas: Map[String, StructType] = Map(
+    "npp" -> npp,
+    "eia" -> eia,
+    "entsoe" -> entsoe,
+    "ons" -> ons,
+    "oe" -> oe,
+    "oe_facility" -> oeFacility,
+    "occto" -> occto,
+    "chile" -> chile,
+  )
+
+  /** Measure column per source (MW for ENTSOE, MWh elsewhere —
+    * reference per-source schema .sql files). */
+  val measureColumn: Map[String, String] =
+    schemas.map { case (s, _) =>
+      s -> (if (s == "entsoe") "generation_mw" else "generation_mwh")
+    }
+}

@@ -1,0 +1,147 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Idempotent-append sink (reference operators S7/D2/J3/D4).
+  *
+  * The reference achieves exactly-once table semantics with Postgres:
+  * stage via `COPY` into a temp table, then
+  * `INSERT … ON CONFLICT (<natural key>) DO NOTHING` inside one
+  * transaction (src/database.py:222-302). Re-delivered or overlapping
+  * extraction windows are neutralized by the key conflict — "Re-runs
+  * are inherently safe" (reference README.md:424).
+  *
+  * Spark-native equivalent: `incoming LEFT ANTI JOIN existing` on the
+  * natural key, then an atomic append. Two scale decisions:
+  *
+  *   - The existing side is read as *keys only* (column pruning reaches
+  *     the Parquet scan) and, when the incoming batch covers a bounded
+  *     time window, pruned by the incoming `timestamp_ms` min/max so a
+  *     100 TB table contributes only the overlapping partitions to the
+  *     join.
+  *   - The join strategy is left to AQE: a small pruned existing side
+  *     broadcast-joins; a large one sort-merge-joins on the key. No
+  *     collect(), no driver-side key set.
+  *
+  * Atomicity: Parquet append is not transactional, so commit = write to
+  * a staging dir, then move the part files into the table dir
+  * (one FS rename each). A crash mid-move leaves a partial append that
+  * the next idempotent run repairs — the same self-healing argument the
+  * reference makes for re-runs (SURVEY.md §4, last row).
+  */
+object IdempotentAppend {
+
+  final case class UpsertResult(incoming: Long, inserted: Long, duplicates: Long)
+
+  /** Null-safe equi-join condition over natural-key columns.
+    * `nullSafeCols` use the COALESCE(col,'') key form of the
+    * reference's expression indexes (ons/occto/chile). */
+  def keyCondition(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      nullSafeCols: Set[String] = Set.empty,
+  ): Column =
+    keys
+      .map { k =>
+        if (nullSafeCols.contains(k)) Dedup.nullSafe(left(k)) === Dedup.nullSafe(right(k))
+        else left(k) === right(k)
+      }
+      .reduce(_ && _)
+
+  /** D2/J3: rows of `incoming` whose natural key is absent from
+    * `existing`. */
+  def newRows(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String],
+      nullSafeCols: Set[String] = Set.empty,
+  ): DataFrame = {
+    val existingKeys = existing.select(keys.map(col): _*)
+    incoming.join(existingKeys, keyCondition(incoming, existingKeys, keys, nullSafeCols), "left_anti")
+  }
+
+  /** Full upsert: in-batch first-wins dedup, anti-join against the
+    * target table (pruned to the incoming time window when
+    * `timeCol` is given), atomic append. Returns the reference's
+    * "rows actually inserted" count (database.py:294). */
+  def upsert(
+      spark: SparkSession,
+      incoming: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      nullSafeCols: Set[String] = Set.empty,
+      timeCol: Option[String] = Some("timestamp_ms"),
+  ): UpsertResult = {
+    val batch = Dedup
+      .firstWinsByName(incoming, keys, orderCols)
+      .cache()
+    val incomingCount = incoming.count()
+    val batchCount = batch.count()
+
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(tablePath)
+
+    val toInsert =
+      if (!fs.exists(target)) batch
+      else {
+        val existing = spark.read.parquet(tablePath)
+        val pruned = timeCol match {
+          case Some(tc) if batch.columns.contains(tc) =>
+            val Array(lo, hi) = batch.agg(min(col(tc)), max(col(tc))).head() match {
+              case r if r.isNullAt(0) => Array[Any](null, null)
+              case r => Array[Any](r.get(0), r.get(1))
+            }
+            if (lo == null) existing
+            else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
+          case _ => existing
+        }
+        newRows(batch, pruned, keys, nullSafeCols)
+      }
+
+    val insertedCount = atomicAppend(spark, toInsert, tablePath)
+    batch.unpersist()
+    UpsertResult(incomingCount, insertedCount, incomingCount - insertedCount)
+  }
+
+  /** Stage-then-rename append; returns appended row count. */
+  def atomicAppend(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+    val staging = tablePath.stripSuffix("/") + s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val cached = df.cache()
+    val n = cached.count()
+    if (n > 0) {
+      cached.write.mode(SaveMode.Overwrite).parquet(staging)
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val target = new Path(tablePath)
+      if (!fs.exists(target)) fs.mkdirs(target)
+      val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
+      parts.foreach { p =>
+        val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
+        fs.rename(p.getPath, dst)
+      }
+      fs.delete(new Path(staging), true)
+    }
+    cached.unpersist()
+    n
+  }
+
+  /** D4: true merge for the (small) extraction-metadata table —
+    * `ON CONFLICT (extraction_run_id) DO UPDATE` (reference
+    * database.py:1765-1784). Union + keep-latest per key; the latest
+    * version wins via `versionOrder` (descending). */
+  def mergeLatest(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      versionOrder: Seq[Column],
+  ): DataFrame =
+    Dedup.firstWins(
+      existing.unionByName(incoming, allowMissingColumns = true),
+      keys.map(col),
+      versionOrder,
+    )
+}

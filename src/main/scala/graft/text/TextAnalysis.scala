@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization / token counting, language identification (n-gram /
+  * stopword heuristic), quality scoring, and document fingerprinting.
+  *
+  * All operators are pure `Column` expressions — narrow, shuffle-free,
+  * codegen-eligible — so a 100 TB corpus pass is a single pipelined
+  * scan with no UDF serialization cost.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → empty array (`split` on a
+    * blank string would yield [""]). */
+  def tokens(text: Column): Column =
+    when(trim(text) === "" || text.isNull, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of word chars OR single non-space
+    * punctuation — the classic pre-tokenizer regex. */
+  val BpeishPattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  def charCount(text: Column): Column = length(coalesce(text, lit("")))
+
+  // -------------------------------------------------------------------
+  // Language ID: stopword-hit heuristic. Deterministic and
+  // SQL-mirrorable (same regex counts run in any engine). Real
+  // pipelines plug a model here; the operator shape (score-per-lang →
+  // argmax) is what matters.
+  // -------------------------------------------------------------------
+
+  /** Tiny high-frequency function-word lists per language. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b",
+    "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
+    "fr" -> "(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
+    "es" -> "(?i)\\b(el|los|las|es|una|para|con|por|del|como)\\b",
+  )
+
+  /** CJK ideograph detection for zh (codepoint-range n-gram test). */
+  val ZhPattern = "[\\u4e00-\\u9fff]"
+
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(pattern), lit(0)))
+
+  /** Predicted language = argmax over marker-hit counts; ties resolve
+    * by list order (en first), no hits → 'und'. */
+  def langId(text: Column): Column = {
+    val zh = langScore(text, ZhPattern) * 3 // ideograms are strong signal
+    val scored = ("zh", zh) +: LangMarkers.map { case (l, p) => (l, langScore(text, p)) }
+    val best = scored.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }
+    val top = greatest(best: _*) // struct ordering: score first, then lang
+    when(top.getField("score") > 0, top.getField("lang")).otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------------------
+  // Quality scoring: length / punctuation / stopword / word-shape
+  // ratios, the standard cheap pre-filter for web-scale corpora.
+  // -------------------------------------------------------------------
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("[\\p{Punct}]"), lit(0)))
+
+  def stopwordCount(text: Column): Column =
+    langScore(text, LangMarkers.head._2)
+
+  def meanWordLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: rewards adequate length, real
+    * words and some stopword mass; penalizes punctuation soup. The
+    * exact formula is a deterministic, engine-portable stand-in for a
+    * learned quality model. */
+  def qualityScore(text: Column): Column = {
+    val chars = charCount(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lengthOk = least(chars / 200.0, lit(1.0)) // saturate at 200 chars
+    val punctRatio = when(chars === 0, 1.0).otherwise(punctCount(text) / chars)
+    val stopRatio = when(toks === 0, 0.0).otherwise(least(stopwordCount(text) / toks, lit(0.5)) * 2.0)
+    val wordShape = when(toks === 0, 0.0)
+      .otherwise(least(meanWordLength(text) / 5.0, lit(1.0)))
+    round(lit(0.4) * lengthOk + lit(0.2) * stopRatio + lit(0.2) * wordShape
+      + lit(0.2) * (lit(1.0) - least(punctRatio * 5.0, lit(1.0))), 6)
+  }
+
+  // -------------------------------------------------------------------
+  // Fingerprinting
+  // -------------------------------------------------------------------
+
+  /** Whitespace-collapsed lowercase normal form. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normal form: stable across
+    * engines (md5 over UTF-8 bytes), the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling polynomial hash (base-31, wrapping long arithmetic)
+    * over the normal form's characters — order-sensitive, unlike a
+    * token-set hash. Computed as a higher-order fold: no UDF, no
+    * shuffle. */
+  def rollingHash64(text: Column): Column =
+    aggregate(
+      split(normalized(text), ""),
+      lit(1125899906842597L),
+      (acc, ch) => acc * 31L + coalesce(ascii(ch), lit(0)),
+    )
+}

@@ -1,0 +1,237 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact
+  * (normalized-hash groupBy), MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - Signatures (minhash / simhash) are per-row higher-order-function
+  *     folds over the token array — narrow, no shuffle, no UDF.
+  *   - Candidate generation NEVER crosses the full corpus with itself:
+  *     LSH bands are exploded (b rows per doc) and candidates are pairs
+  *     within a (band, bucket) hash-shuffle group. Shuffle volume is
+  *     b × corpus, and bucket joins only materialize genuinely
+  *     colliding pairs.
+  *   - Exact Jaccard runs only on candidate pairs (a verification join
+  *     on doc_id), not on all O(n²) pairs.
+  */
+object TextDedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact dedup on the md5 of the normalized text: keep the smallest
+    * id per group — the reference's keep-min-id historical dedup rule
+    * (migrations/001a:33-38) transplanted to documents. One hash
+    * shuffle on the fingerprint. */
+  def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprintMd5(textCol)).orderBy(idCol)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // -------------------------------------------------------------------
+  // Shingles + MinHash
+  // -------------------------------------------------------------------
+
+  /** Distinct word k-shingles from a *bound* token-array column.
+    *
+    * PERF: the token array must be a materialized column attribute,
+    * never an inline `split(...)` subtree — expressions inside a
+    * higher-order-function lambda are re-evaluated per element, which
+    * turns an inlined tokenization into O(n²) regex work per row (and
+    * HOFs are interpreted, not codegen'd). Callers bind tokens with
+    * [[withTokens]] first. */
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))),
+    )
+    array_distinct(grams)
+  }
+
+  /** Bind normalized tokens + distinct k-shingles as real columns so
+    * downstream HOFs evaluate them once per row. */
+  def withShingles(df: DataFrame, textCol: String, k: Int, out: String): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn(out, shinglesOfTokens(col("_toks"), k))
+      .drop("_toks")
+
+  /** Convenience (tests / small data): shingles straight from text.
+    * Prefer [[withShingles]] in pipelines — see the PERF note above. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    shinglesOfTokens(toks, k)
+  }
+
+  /** MinHash signature: element j = min over shingles of
+    * murmur3(shingle, seed=j). Backed by the native
+    * [[graft.functions.MinHashSignature]] expression — one JVM loop
+    * per row instead of H interpreted HOF passes. Zero shuffles. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", shinglesCol, lit(numHashes))
+
+  /** LSH band key: hash of one signature slice of length r. With
+    * b bands × r rows, P(candidate | jaccard=s) = 1-(1-s^r)^b. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"),
+      )
+    }: _*)
+
+  /** Per-document band-bucket assignments: (id, band, bucket) — b rows
+    * per doc. This is the scale-safe join key for candidate pairs. */
+  def minhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withShingles(df, textCol, k, "_sh")
+      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+      .select(col(idCol), explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs = distinct id pairs sharing ≥1 (band, bucket).
+    * Self-join shuffles on (band,bucket) — bounded by collision counts,
+    * never O(n²). */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for given pairs (verification step). */
+  def verifyJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+  ): DataFrame = {
+    val sh = withShingles(docs, textCol, k, "sh").select(col(idCol), col("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(call_function("graft_jaccard", col("sh_a"), col("sh_b")), 6))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Full MinHash near-dup pipeline: bucket → candidates → verify →
+    * keep pairs with jaccard ≥ threshold. */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    val buckets = minhashBuckets(docs, idCol, textCol, k, numHashes, bands)
+    val pairs = candidatePairs(buckets, idCol)
+    verifyJaccard(pairs, docs, idCol, textCol, k).filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup dedup: drop the larger id of every confirmed pair
+    * (keep-min-id, transitive via repeated sweep being unnecessary for
+    * a dedup *filter*: any doc that loses to someone is dropped). */
+  def minhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val losers = minhashNearDupPairs(docs, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens, as a bit *array*: bit i of each
+    * token's murmur3 hash votes ±1 into counter i; the counter's sign
+    * is the output bit. Backed by the native
+    * [[graft.functions.SimHashBits]] expression — one JVM loop per
+    * row, no shuffle. */
+  def simhashBits(text: Column, nBits: Int = 64): Column =
+    call_function("graft_simhash_bits",
+      TextAnalysis.tokens(TextAnalysis.normalized(text)), lit(nBits))
+
+  /** Hamming distance between two bit-array signatures. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-dup candidates by band collision: split the 64-bit
+    * signature into 4×16-bit bands; near-identical docs (hamming ≤ 3)
+    * must collide on ≥1 band (pigeonhole). Same explode-join shape as
+    * MinHash LSH — never O(n²). */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    val sigs = docs.select(col(idCol), simhashBits(col(textCol)).as("sig"))
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * 16 + 1, 16)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingBits(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard (bounded-pair variant)
+  // -------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard across pairs within a blocking key (e.g.
+    * same source/shard) — the engine-portable, oracle-checkable
+    * variant: blocking bounds the pair count the same way LSH bands
+    * do, just deterministically. */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      k: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val sh = withShingles(docs, textCol, k, "sh")
+      .select(col(blockCol).as("block"), col(idCol), col("sh"))
+    val a = sh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        round(call_function("graft_jaccard", col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.views
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Materialized-view lifecycle (reference operators M1–M3).
+  *
+  * The reference maintains 17 Postgres materialized views refreshed
+  * CONCURRENTLY via a source→views registry (reference
+  * refresh_views.py:24-34, :50-67). Spark has no auto MV rewrite, so —
+  * exactly like the reference's dashboard (refresh_views.py:22-23) —
+  * readers target the summary tables explicitly and a refresh job
+  * recomputes them. Refresh is atomic from the reader's point of view:
+  * write to a fresh dir, then swap directories, the moral equivalent of
+  * `REFRESH MATERIALIZED VIEW CONCURRENTLY` (no reader ever sees a
+  * half-written view).
+  *
+  * At scale the MV pattern is exactly why the reference uses it: the
+  * dashboard reads hundreds of pre-aggregated rows instead of scanning
+  * millions (materialized_views.sql:2-3); here it reads a tiny Parquet
+  * summary instead of scanning 100 TB.
+  */
+object Refresh {
+
+  final case class ViewJob(name: String, build: SparkSession => DataFrame)
+
+  /** Registry: source → views to refresh after that source loads
+    * (reference refresh_views.py:24-34). */
+  final case class Registry(bySource: Map[String, Seq[ViewJob]]) {
+    def viewsFor(source: String): Seq[ViewJob] =
+      bySource.getOrElse(source, Seq.empty)
+    def all: Seq[ViewJob] = bySource.values.flatten.toSeq.distinctBy(_.name)
+  }
+
+  def viewPath(warehouse: String, name: String): String =
+    s"${warehouse.stripSuffix("/")}/$name"
+
+  /** M2: recompute one view and atomically swap it into place. */
+  def refreshView(spark: SparkSession, warehouse: String, job: ViewJob): Long = {
+    val target = viewPath(warehouse, job.name)
+    val tmp = target + ".new"
+    val old = target + ".old"
+    val df = job.build(spark)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (tgtP, tmpP, oldP) = (new Path(target), new Path(tmp), new Path(old))
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(tgtP)) fs.rename(tgtP, oldP)
+    fs.rename(tmpP, tgtP)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    n
+  }
+
+  /** Refresh every view registered for the given sources; returns
+    * view→rowcount. Sources with no views (reference: EIA/OE read raw)
+    * are skipped, like refresh_views.py:56-57. */
+  def refreshForSources(
+      spark: SparkSession,
+      warehouse: String,
+      registry: Registry,
+      sources: Seq[String],
+  ): Map[String, Long] =
+    sources
+      .flatMap(registry.viewsFor)
+      .distinctBy(_.name)
+      .map(j => j.name -> refreshView(spark, warehouse, j))
+      .toMap
+}

@@ -1,0 +1,53 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vdf = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+    (2L, Array(0.0f, 1.0f, 0.0f), "a"),
+    (3L, Array(1.0f, 1.0f, 0.0f), "a"),
+    (4L, Array(2.0f, 0.0f, 0.0f), "b"), // parallel to 1
+  ).toDF("vec_id", "embedding", "label")
+
+  test("native cosine kernel matches hand values and the HOF formulation") {
+    val pairs = vdf.as("x").crossJoin(vdf.as("y"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("fast"),
+        Similarity.cosineHof(col("x.embedding"), col("y.embedding")).as("hof"))
+    val rows = pairs.collect()
+    rows.foreach(r => assert(r.getDouble(2) == r.getDouble(3),
+      s"native vs HOF mismatch at ${r.getLong(0)},${r.getLong(1)}"))
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) == 0.0)
+    assert(m((1L, 4L)) == 1.0)
+    assert(math.abs(m((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by rounded sim desc with id tiebreak, excludes self") {
+    val q = vdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(vdf, q, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 2L)) // 1.0, 0.707, 0.0
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("blockedCosinePairs respects blocks and threshold") {
+    val out = Similarity.blockedCosinePairs(vdf, "vec_id", "embedding", "label", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 3L))) // (1,4) crosses blocks; (1,2) below threshold
+  }
+
+  test("lshTopK: same bucket ⇒ scored; signature deterministic") {
+    val sigs = vdf.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 8).as("sig"))
+      .as[(Long, Int)].collect().toMap
+    assert(sigs == vdf.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 8).as("s"))
+      .as[(Long, Int)].collect().toMap)
+    // parallel vectors share all hyperplane signs
+    assert(sigs(1L) == sigs(4L))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The reference's upsert laws (README.md:424 "Re-runs are inherently
+  * safe"; database.py:222-302): idempotence, conflict accounting, and
+  * the D4 metadata merge. */
+class IdempotentAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-upsert").resolve("table").toString
+
+  private val keys = Seq("timestamp_ms", "plant")
+  private val order = Seq("line")
+
+  test("upsert: loading the same file twice ≡ once") {
+    val dir = freshDir()
+    val batch = Seq((1L, "A", 10.0, 1), (2L, "A", 20.0, 2), (2L, "B", 30.0, 3))
+      .toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    val r1 = IdempotentAppend.upsert(spark, batch, dir, keys, order)
+    assert(r1.inserted == 3 && r1.duplicates == 0)
+    val r2 = IdempotentAppend.upsert(spark, batch, dir, keys, order)
+    assert(r2.inserted == 0 && r2.duplicates == 3)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("upsert: overlapping window inserts only genuinely new keys") {
+    val dir = freshDir()
+    val b1 = Seq((1L, "A", 10.0, 1), (2L, "A", 20.0, 2))
+      .toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    val b2 = Seq((2L, "A", 99.0, 1), (3L, "A", 30.0, 2)) // (2,A) conflicts
+      .toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    IdempotentAppend.upsert(spark, b1, dir, keys, order)
+    val r = IdempotentAppend.upsert(spark, b2, dir, keys, order)
+    assert(r.inserted == 1 && r.duplicates == 1)
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 3)
+    // first write wins: conflicting (2,A) kept generation 20.0
+    assert(t.filter(col("timestamp_ms") === 2 && col("plant") === "A")
+      .select("generation_mwh").as[Double].head() == 20.0)
+  }
+
+  test("upsert: in-batch duplicates resolved first-wins before append") {
+    val dir = freshDir()
+    val batch = Seq((1L, "A", 10.0, 1), (1L, "A", 77.0, 2))
+      .toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    val r = IdempotentAppend.upsert(spark, batch, dir, keys, order)
+    assert(r.incoming == 2 && r.inserted == 1 && r.duplicates == 1)
+    assert(spark.read.parquet(dir).select("generation_mwh").as[Double].head() == 10.0)
+  }
+
+  test("order-insensitivity: final table keys identical regardless of batch order") {
+    val d1 = freshDir(); val d2 = freshDir()
+    val b1 = Seq((1L, "A", 1.0, 1), (2L, "A", 2.0, 2)).toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    val b2 = Seq((2L, "A", 9.0, 1), (3L, "A", 3.0, 2)).toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    IdempotentAppend.upsert(spark, b1, d1, keys, order)
+    IdempotentAppend.upsert(spark, b2, d1, keys, order)
+    IdempotentAppend.upsert(spark, b2, d2, keys, order)
+    IdempotentAppend.upsert(spark, b1, d2, keys, order)
+    val k1 = spark.read.parquet(d1).select("timestamp_ms", "plant").collect().toSet
+    val k2 = spark.read.parquet(d2).select("timestamp_ms", "plant").collect().toSet
+    assert(k1 == k2)
+  }
+
+  test("mergeLatest: incoming run metadata replaces same-key rows (D4)") {
+    val existing = Seq(("run1", 10L, 1L), ("run2", 20L, 1L)).toDF("run_id", "total", "version")
+    val incoming = Seq(("run2", 25L, 2L), ("run3", 30L, 1L)).toDF("run_id", "total", "version")
+    val merged = IdempotentAppend.mergeLatest(existing, incoming,
+      Seq("run_id"), Seq(col("version").desc))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("run1" -> 10L, "run2" -> 25L, "run3" -> 30L))
+  }
+
+  test("null-safe keys join NULL against empty string") {
+    val inc = Seq((1L, "P", None: Option[String], 1.0)).toDF("timestamp_ms", "plant", "id", "v")
+    val ex = Seq((1L, "P", Some(""), 2.0)).toDF("timestamp_ms", "plant", "id", "v")
+    val nw = IdempotentAppend.newRows(inc, ex, Seq("timestamp_ms", "plant", "id"), Set("id"))
+    assert(nw.count() == 0) // NULL ≡ '' under the reference's COALESCE key
+  }
+}

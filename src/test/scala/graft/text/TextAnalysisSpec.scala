@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, blank → empty array") {
+    val out = Seq("a b  c", "  ", "", "one").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n")).as[Int].collect().toSeq
+    assert(out == Seq(3, 0, 0, 1))
+  }
+
+  test("bpe-ish tokens: words and punctuation split") {
+    val n = Seq("don't stop, world!").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount(col("t"))).as[Int].head()
+    // don ' t stop , world !
+    assert(n == 7)
+  }
+
+  test("langId picks dominant stopword language; no hits → und") {
+    val cases = Seq(
+      "the cat and the dog is in that house" -> "en",
+      "der Hund und die Katze ist nicht ein Tier" -> "de",
+      "le chat et la maison est dans une rue" -> "fr",
+      "el perro es una mascota para los vecinos" -> "es",
+      "qwerty zxcvb asdfgh" -> "und",
+    )
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("fingerprint: whitespace/case variants share md5; rolling hash is order-sensitive") {
+    val fp = Seq("Hello  World", "hello world", "world hello").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t"))).as[String].collect().toSeq
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    val rh = Seq("hello world", "world hello").toDF("t")
+      .select(TextAnalysis.rollingHash64(col("t"))).as[Long].collect().toSeq
+    assert(rh(0) != rh(1))
+  }
+
+  test("quality score bounded in [0,1]; longer clean text scores higher than punct soup") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs through the field with great speed today"
+    val soup = "!!! ??? ### $$$ %%%"
+    val out = Seq(clean, soup).toDF("t")
+      .select(TextAnalysis.qualityScore(col("t"))).as[Double].collect().toSeq
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("meanWordLength") {
+    val m = Seq("ab abcd").toDF("t")
+      .select(TextAnalysis.meanWordLength(col("t"))).as[Double].head()
+    assert(m == 3.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // ws/case variant ⇒ exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words entirely unrelated content"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per normalized text") {
+    val out = TextDedup.exactDedup(docs, col("text"), col("doc_id"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("shingles: distinct word k-grams of normalized text") {
+    val sh = docs.filter(col("doc_id") === 1)
+      .select(TextDedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+    assert(sh.size == 7) // 9 tokens → 7 trigrams, all distinct
+  }
+
+  test("minhash near-dup pairs find the word-set duplicates and the near dup") {
+    val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.7, k = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical word sets ⇒ guaranteed candidate
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // 8/10 jaccard = 0.8
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashDedup drops losers, keeps min-id representative") {
+    val out = TextDedup.minhashDedup(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(1L) && out.contains(4L))
+    assert(!out.contains(2L))
+  }
+
+  test("verifyJaccard computes exact jaccard on candidate pairs") {
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val j = TextDedup.verifyJaccard(pairs, docs, "doc_id", "text", k = 1)
+      .select("jaccard").as[Double].head()
+    // word sets: {the,quick,brown,fox,jumps,over,lazy,dog} vs ...{cat}: 7/9
+    assert(math.abs(j - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("simhash: identical normalized texts share signature; hamming 0") {
+    val sigs = docs.select(col("doc_id"), TextDedup.simhashBits(col("text")).as("sig"))
+    val s1 = sigs.filter(col("doc_id") === 1).select("sig").as[Seq[Int]].head()
+    val s2 = sigs.filter(col("doc_id") === 2).select("sig").as[Seq[Int]].head()
+    val s4 = sigs.filter(col("doc_id") === 4).select("sig").as[Seq[Int]].head()
+    assert(s1 == s2)
+    assert(s1 != s4)
+    assert(s1.size == 64 && s1.forall(b => b == 0 || b == 1))
+  }
+
+  test("simhashPairs finds the identical pair via band collision") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("blockedJaccardPairs respects blocks") {
+    val blocked = docs.withColumn("block", when(col("doc_id") <= 2, "a").otherwise("b"))
+    val pairs = TextDedup.blockedJaccardPairs(blocked, "doc_id", "text", "block", k = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // (1,3) crosses blocks → excluded
+  }
+}

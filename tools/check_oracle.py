@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracles, mimicking the driver's compare:
+run each oracle SQL in DuckDB over the sf parquet tables, load the Verify
+parquet output, sort columns by name and rows by values, compare exactly.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+(Driver-side tooling only — the shipped Scala library does not use this.)
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            expected = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            actual = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        e_n, a_n = norm(expected), norm(actual)
+        if list(e_n.columns) != list(a_n.columns):
+            print(f"FAIL {name}: columns differ: oracle={list(e_n.columns)} spark={list(a_n.columns)}")
+            failures += 1
+            continue
+        if len(e_n) != len(a_n):
+            print(f"FAIL {name}: row counts differ: oracle={len(e_n)} spark={len(a_n)}")
+            failures += 1
+            continue
+        diffs = []
+        for c in e_n.columns:
+            ev, av = e_n[c], a_n[c]
+            try:
+                eq = (ev == av) | (ev.isna() & av.isna())
+            except Exception:
+                eq = ev.astype(str) == av.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                diffs.append(f"col {c} row {i}: oracle={ev[i]!r} spark={av[i]!r} ({int((~eq).sum())} diffs)")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs[:3]))
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(e_n)} rows)")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} oracles match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
