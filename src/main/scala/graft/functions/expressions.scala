@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -104,14 +104,16 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** minhash_sig(shingles, numHashes): signature[j] = min over shingles
-  * of murmur3(shingle bytes, seed = j). One native pass over the
-  * shingle array per hash. */
+/** minhash_sig(hashed_shingles, numHashes): signature[j] = min over
+  * the 64-bit shingle hashes of murmur3(hash, seed = j). Operates on
+  * the [[HashShingles]] representation so shingle strings are hashed
+  * once per document and never re-touched; one native pass per hash
+  * function. */
 case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes =
-    Seq(ArrayType(StringType), IntegerType)
+    Seq(ArrayType(LongType), IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
@@ -124,8 +126,7 @@ case class MinHashSignature(left: Expression, right: Expression)
       var best = Int.MaxValue
       var i = 0
       while (i < arr.numElements()) {
-        val s = arr.getUTF8String(i)
-        val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), j)
+        val h = Murmur3_x86_32.hashLong(arr.getLong(i), j)
         if (h < best) best = h
         i += 1
       }
@@ -179,6 +180,113 @@ case class SimHashBits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** hash_shingles(arr<string>) → sorted distinct arr<long> (XXH64,
+  * seed 42). Hashing once per *document* turns the per-*pair* join
+  * payload from ~5 KB of string arrays into packed longs, and lets
+  * jaccard run as a merge over sorted arrays with zero allocation —
+  * the difference between 360 µs and ~3 µs per candidate pair.
+  * 64-bit hashes make within-pair collisions (~1e-15) irrelevant. */
+case class HashShingles(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash_shingles"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** jaccard of two sorted distinct long arrays: merge intersection,
+  * no allocation. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** first_colliding_band(sig_a, sig_b, rowsPerBand) → index of the
+  * first band (0-based) where the two minhash signatures agree on all
+  * rows, or -1. Used to emit each LSH candidate pair from exactly one
+  * band — `band == first_colliding_band` — which replaces the
+  * multi-million-row DISTINCT shuffle over candidate pairs with a
+  * per-row predicate. */
+case class FirstCollidingBand(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_first_band"
+
+  override def nullSafeEval(a: Any, b: Any, r: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val rpb = r.asInstanceOf[Int]
+    val n = math.min(x.numElements(), y.numElements())
+    var band = 0
+    while ((band + 1) * rpb <= n) {
+      var i = band * rpb
+      var all = true
+      while (all && i < (band + 1) * rpb) {
+        if (x.getInt(i) != y.getInt(i)) all = false
+        i += 1
+      }
+      if (all) return band
+      band += 1
+    }
+    -1
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   type Description = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
 
@@ -194,5 +302,11 @@ object GraftFunctions {
       args => MinHashSignature(args(0), args.lift(1).getOrElse(Literal(32)))),
     desc("graft_simhash_bits", "simhash bit signature of a string array",
       args => SimHashBits(args(0), args.lift(1).getOrElse(Literal(64)))),
+    desc("graft_hash_shingles", "sorted distinct 64-bit hashes of a string array",
+      args => HashShingles(args(0))),
+    desc("graft_jaccard_sorted", "jaccard of two sorted distinct long arrays",
+      args => JaccardSortedLong(args(0), args(1))),
+    desc("graft_first_band", "first band index where two minhash signatures collide",
+      args => FirstCollidingBand(args(0), args(1), args(2))),
   )
 }

@@ -36,24 +36,31 @@ object IdempotentAppend {
 
   final case class UpsertResult(incoming: Long, inserted: Long, duplicates: Long)
 
-  /** Null-safe equi-join condition over natural-key columns.
+  /** Null-safe equi-join condition over natural-key columns, written
+    * against explicit aliases so that incoming/existing frames sharing
+    * lineage (the common self-join case: both sides carved from one
+    * table) never resolve to the same attribute — without aliases
+    * Spark silently builds a trivially-true predicate.
     * `nullSafeCols` use the COALESCE(col,'') key form of the
     * reference's expression indexes (ons/occto/chile). */
   def keyCondition(
-      left: DataFrame,
-      right: DataFrame,
+      leftAlias: String,
+      rightAlias: String,
       keys: Seq[String],
       nullSafeCols: Set[String] = Set.empty,
   ): Column =
     keys
       .map { k =>
-        if (nullSafeCols.contains(k)) Dedup.nullSafe(left(k)) === Dedup.nullSafe(right(k))
-        else left(k) === right(k)
+        val (l, r) = (col(s"$leftAlias.$k"), col(s"$rightAlias.$k"))
+        if (nullSafeCols.contains(k)) Dedup.nullSafe(l) === Dedup.nullSafe(r)
+        else l === r
       }
       .reduce(_ && _)
 
   /** D2/J3: rows of `incoming` whose natural key is absent from
-    * `existing`. */
+    * `existing`. Only the key columns of the existing side are read —
+    * column pruning reaches the scan, so a wide 100 TB table
+    * contributes just its key columns to the join. */
   def newRows(
       incoming: DataFrame,
       existing: DataFrame,
@@ -61,7 +68,8 @@ object IdempotentAppend {
       nullSafeCols: Set[String] = Set.empty,
   ): DataFrame = {
     val existingKeys = existing.select(keys.map(col): _*)
-    incoming.join(existingKeys, keyCondition(incoming, existingKeys, keys, nullSafeCols), "left_anti")
+    incoming.alias("_inc")
+      .join(existingKeys.alias("_ex"), keyCondition("_inc", "_ex", keys, nullSafeCols), "left_anti")
   }
 
   /** Full upsert: in-batch first-wins dedup, anti-join against the

@@ -61,6 +61,19 @@ object TextDedup {
       .withColumn(out, shinglesOfTokens(col("_toks"), k))
       .drop("_toks")
 
+  /** Shingles as sorted distinct 64-bit hashes — the join-friendly
+    * representation: per-pair jaccard becomes an allocation-free merge
+    * over packed longs instead of hash-set ops over ~5 KB of strings
+    * (graft_hash_shingles / graft_jaccard_sorted). Hashing happens
+    * once per document, never per pair. */
+  def withHashedShingles(df: DataFrame, textCol: String, k: Int, out: String): DataFrame =
+    withShingles(df, textCol, k, "_shs")
+      .withColumn(out, call_function("graft_hash_shingles", col("_shs")))
+      .drop("_shs")
+
+  private def jaccardSorted(a: Column, b: Column): Column =
+    round(call_function("graft_jaccard_sorted", a, b), 6)
+
   /** Convenience (tests / small data): shingles straight from text.
     * Prefer [[withShingles]] in pipelines — see the PERF note above. */
   def shingles(text: Column, k: Int): Column = {
@@ -87,6 +100,20 @@ object TextDedup {
 
   /** Per-document band-bucket assignments: (id, band, bucket) — b rows
     * per doc. This is the scale-safe join key for candidate pairs. */
+  /** Band-bucket assignments from a pre-hashed frame (id, sh). */
+  private def bucketsOfHashed(
+      hashed: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    hashed
+      .withColumn("_sig", minhashSignature(col("sh"), numHashes))
+      .select(col(idCol), explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashBuckets(
       df: DataFrame,
       idCol: String,
@@ -94,13 +121,10 @@ object TextDedup {
       k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-  ): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    withShingles(df, textCol, k, "_sh")
-      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
-      .select(col(idCol), explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+  ): DataFrame =
+    bucketsOfHashed(
+      withHashedShingles(df, textCol, k, "sh").select(col(idCol), col("sh")),
+      idCol, numHashes, bands)
 
   /** Candidate pairs = distinct id pairs sharing ≥1 (band, bucket).
     * Self-join shuffles on (band,bucket) — bounded by collision counts,
@@ -122,17 +146,62 @@ object TextDedup {
       textCol: String,
       k: Int = 3,
   ): DataFrame = {
-    val sh = withShingles(docs, textCol, k, "sh").select(col(idCol), col("sh"))
+    val sh = withHashedShingles(docs, textCol, k, "sh").select(col(idCol), col("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        round(call_function("graft_jaccard", col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .drop("sh_a", "sh_b")
   }
 
+  /** Candidates → verified pairs over a pre-hashed (id, sh) frame.
+    *
+    * Shuffle-minimal shape: bands are exploded with the signature and
+    * hashed shingles carried along, so the bucket self-join emits the
+    * final verified pairs directly — the `band == first_colliding_band`
+    * predicate makes each pair come out of exactly one band (replacing
+    * a multi-million-row DISTINCT shuffle), and jaccard verification
+    * runs inline as a native merge. One exchange per side, no
+    * post-join shuffle at all. */
+  private def nearDupPairsOfHashed(
+      hashed: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+  ): DataFrame = {
+    val rpb = numHashes / bands
+    val banded = hashed
+      .withColumn("_sig", minhashSignature(col("sh"), numHashes))
+      .select(col(idCol), col("sh"), col("_sig"),
+        explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
+      .select(col(idCol), col("sh"), col("_sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("sh").as("sh_a"), col("_sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("sh").as("sh_b"), col("_sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("graft_first_band", col("sig_a"), col("sig_b"), lit(rpb)) === col("band"))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Full MinHash near-dup pipeline: bucket → candidates → verify →
-    * keep pairs with jaccard ≥ threshold. */
+    * keep pairs with jaccard ≥ threshold.
+    *
+    * Scale shape: identical shingle sets are first collapsed to a
+    * min-id representative by fingerprint (xxhash64 of the sorted
+    * hash array — a plain hash groupBy). LSH + verification run only
+    * across representatives; the result is then expanded back over
+    * group members (an identical set has identical jaccard to
+    * everything, so intra-group pairs are exactly 1.0 and cross-group
+    * member pairs inherit their representatives' jaccard — the
+    * expansion is exact, not approximate). On near-dup-heavy corpora
+    * this removes the quadratic per-bucket pair blowup; output size
+    * is the true pair count, which no formulation can beat. */
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -142,24 +211,64 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
   ): DataFrame = {
-    val buckets = minhashBuckets(docs, idCol, textCol, k, numHashes, bands)
-    val pairs = candidatePairs(buckets, idCol)
-    verifyJaccard(pairs, docs, idCol, textCol, k).filter(col("jaccard") >= threshold)
+    val hashed = withHashedShingles(docs, textCol, k, "sh")
+      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
+    val reps = hashed.groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+    val members = hashed.select(col("_fp"), col(idCol))
+
+    val repPairs = nearDupPairsOfHashed(
+      reps.select(col(idCol), col("sh")), idCol, threshold, numHashes, bands)
+    val repFp = reps.select(col(idCol).as("_rid"), col("_fp"))
+
+    val cross = repPairs
+      .join(repFp.select(col("_rid").as("id_a"), col("_fp").as("fp_a")), "id_a")
+      .join(repFp.select(col("_rid").as("id_b"), col("_fp").as("fp_b")), "id_b")
+      .join(members.select(col("_fp").as("fp_a"), col(idCol).as("_ma")), "fp_a")
+      .join(members.select(col("_fp").as("fp_b"), col(idCol).as("_mb")), "fp_b")
+      .select(
+        least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"),
+        col("jaccard"))
+
+    val intra = members.select(col("_fp"), col(idCol).as("id_a"))
+      .join(members.select(col("_fp"), col(idCol).as("id_b")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+
+    cross.unionByName(intra)
   }
 
-  /** Near-dup dedup: drop the larger id of every confirmed pair
-    * (keep-min-id, transitive via repeated sweep being unnecessary for
-    * a dedup *filter*: any doc that loses to someone is dropped). */
+  /** Near-dup dedup, keep-min-id semantics: drop any doc with a
+    * smaller-id doc at jaccard ≥ threshold.
+    *
+    * Scale shape: documents with IDENTICAL shingle sets are collapsed
+    * to their min-id representative by a plain hash groupBy *before*
+    * LSH — on near-dup-heavy corpora identical-set clusters are what
+    * make per-bucket pair counts quadratic, and since an identical set
+    * has identical jaccard to everything, collapsing first provably
+    * preserves the drop semantics: a doc beaten by any smaller-id doc
+    * is also beaten by that doc's (even smaller) representative. LSH
+    * then runs only across representatives. */
   def minhashDedup(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
+      k: Int = 1,
+      numHashes: Int = 32,
+      bands: Int = 8,
   ): DataFrame = {
-    val losers = minhashNearDupPairs(docs, idCol, textCol, threshold)
+    val hashed = withHashedShingles(docs, textCol, k, "sh")
+      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
+    val reps = hashed.groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+      .select(col(idCol), col("sh"))
+    val repLosers = nearDupPairsOfHashed(reps, idCol, threshold, numHashes, bands)
       .select(col("id_b").as(idCol))
       .distinct()
-    docs.join(losers, Seq(idCol), "left_anti")
+    val survivors = reps.select(col(idCol)).join(repLosers, Seq(idCol), "left_anti")
+    docs.join(survivors, Seq(idCol), "left_semi")
   }
 
   // -------------------------------------------------------------------
@@ -223,14 +332,13 @@ object TextDedup {
       k: Int,
       threshold: Double,
   ): DataFrame = {
-    val sh = withShingles(docs, textCol, k, "sh")
+    val sh = withHashedShingles(docs, textCol, k, "sh")
       .select(col(blockCol).as("block"), col(idCol), col("sh"))
     val a = sh.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(call_function("graft_jaccard", col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
