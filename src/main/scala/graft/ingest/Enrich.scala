@@ -66,22 +66,30 @@ object Enrich {
   }
 
   /** P3 (NPP): legacy `date` (unix seconds) → `timestamp_ms`, drop
-    * `scrape_id` (reference database.py:493-499). */
+    * `scrape_id` (reference database.py:493-499). The reference's
+    * check is per *record* ("date" present, "timestamp_ms" absent), so
+    * under schema-on-read this is a value-level coalesce — mixed-shape
+    * files work. */
   def nppLegacyRename(df: DataFrame): DataFrame = {
     val renamed =
-      if (df.columns.contains("date") && !df.columns.contains("timestamp_ms"))
-        df.withColumn("timestamp_ms", (col("date").cast(LongType) * 1000L)).drop("date")
-      else df
+      if (!df.columns.contains("date")) df
+      else if (df.columns.contains("timestamp_ms"))
+        df.withColumn("timestamp_ms",
+          coalesce(col("timestamp_ms"), col("date").cast(LongType) * 1000L)).drop("date")
+      else df.withColumn("timestamp_ms", col("date").cast(LongType) * 1000L).drop("date")
     if (renamed.columns.contains("scrape_id")) renamed.drop("scrape_id") else renamed
   }
 
-  /** P3 (Chile): legacy `plant_id` → `chile_plant_id`; drop columns the
-    * DDL does not carry (reference database.py:1629-1631, :1655-1660). */
+  /** P3 (Chile): legacy `plant_id` → `chile_plant_id` (value-level,
+    * like NPP above); drop columns the DDL does not carry (reference
+    * database.py:1629-1631, :1655-1660). */
   def chileLegacyRename(df: DataFrame): DataFrame = {
     val renamed =
-      if (df.columns.contains("plant_id") && !df.columns.contains("chile_plant_id"))
-        df.withColumnRenamed("plant_id", "chile_plant_id")
-      else df
+      if (!df.columns.contains("plant_id")) df
+      else if (df.columns.contains("chile_plant_id"))
+        df.withColumn("chile_plant_id", coalesce(col("chile_plant_id"), col("plant_id")))
+          .drop("plant_id")
+      else df.withColumnRenamed("plant_id", "chile_plant_id")
     renamed.drop("country_code", "latitude", "longitude")
   }
 

@@ -1,0 +1,156 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.schema.Schemas
+import graft.sink.IdempotentAppend
+import graft.validate.{Rules, Validator}
+
+/** The composed `load-data <source> <file>` pipeline — the reference's
+  * main entry point (reference src/database_management.py:105-181 →
+  * insert_<source>_jsonl_data, database.py; lifecycle in SURVEY.md
+  * §3.1):
+  *
+  *   scan → enrich → validate → in-file first-wins dedup →
+  *   idempotent upsert → extraction-metadata row
+  *
+  * One Spark job per load; the narrow chain (scan/enrich/validate) is
+  * pipelined, with shuffles only at the dedup window and the
+  * anti-join. The reference's 500k-record batching (database.py:568)
+  * is obsolete — Spark partitions the file.
+  */
+object IngestJob {
+
+  final case class LoadResult(
+      source: String,
+      report: Validator.Report,
+      upsert: IdempotentAppend.UpsertResult,
+      runId: String,
+  )
+
+  /** Per-source enrichment chain (reference operators P2–P8 wired per
+    * source exactly as insert_<source>_jsonl_data does). */
+  def enrich(source: String, df: DataFrame, runId: String, nowMs: Long): DataFrame = {
+    val legacy = source match {
+      case "npp" => Enrich.nppLegacyRename(df)
+      case "chile" => Enrich.chileLegacyRename(df)
+      case "eia" => Enrich.idsToString(df, Seq("utility_id", "plant_code", "generator_id"))
+      case "entsoe" =>
+        Enrich.stripPlantSuffixes(
+          Enrich.fixFuelTypeFromPsr(Enrich.coerceTimestampMs(df)))
+      case _ => df
+    }
+    val withMeta = Enrich.ensureRunMetadata(legacy, runId, nowMs)
+    Schemas.defaultResolutionMinutes.get(source) match {
+      case Some(m) if source != "eia" => Enrich.defaultResolution(withMeta, m)
+      case _ => withMeta
+    }
+  }
+
+  /** Validation rule set per source: envelope + measure/dimension
+    * rules from the validator schema tables (reference
+    * validator.py:123-276). */
+  def rules(source: String, nowMs: Long): Seq[Rules.Rule] = {
+    val envelope = Rules.envelopeRules(nowMs)
+    val measure = Schemas.measureColumn(source)
+    val measureRules =
+      Rules.requiredWith(measure, Rules.isNonNegative, "must be non-negative number")
+    val dims: Seq[Rules.Rule] = source match {
+      case "npp" =>
+        Rules.requiredWith("plant", Rules.isNonEmptyString, "must be non-empty string") ++
+          Rules.requiredWith("plant_and_unit", Rules.isNonEmptyString, "must be non-empty string")
+      case "eia" =>
+        Rules.requiredWith("state", Rules.isUsStateCode, "must be 2-character state code") ++
+          Seq("utility_id", "plant_code", "generator_id", "prime_mover").flatMap(f =>
+            Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string"))
+      case "entsoe" =>
+        Seq("country_code", "psr_type", "plant_name", "fuel_type", "data_type").flatMap(f =>
+          Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string")) ++
+          Rules.requiredWith("resolution_minutes", Rules.isPositive, "must be a positive number")
+      case "ons" | "occto" | "chile" =>
+        Rules.requiredWith("plant", Rules.isNonEmptyString, "must be non-empty string")
+      case "oe" =>
+        Rules.requiredWith("network_code", Rules.isNonEmptyString, "must be non-empty string") ++
+          Rules.requiredWith("fueltech", Rules.isNonEmptyString, "must be non-empty string")
+      case "oe_facility" =>
+        Seq("network_code", "facility_code", "facility_name", "fueltech").flatMap(f =>
+          Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string")) ++
+          Seq(
+            Rules.optionalWith("latitude", c => c >= -90 && c <= 90, "must be in [-90, 90]"),
+            Rules.optionalWith("longitude", c => c >= -180 && c <= 180, "must be in [-180, 180]"),
+          )
+      case _ => Seq.empty
+    }
+    envelope ++ measureRules ++ dims
+  }
+
+  /** Full load: returns the validation report + upsert accounting the
+    * CLI prints, and appends only genuinely new natural keys to the
+    * target table (reference §3.1 steps 1–6). The `strict` gate of
+    * database_management.py:172-175 is the caller's decision on the
+    * returned counts. */
+  def load(
+      spark: SparkSession,
+      source: String,
+      jsonlPath: String,
+      tablePath: String,
+      runId: String = java.util.UUID.randomUUID().toString,
+      nowMs: Long = System.currentTimeMillis(),
+  ): LoadResult = {
+    val schema = Schemas.readSchemas(source)
+    val raw = JsonlSource.readJsonlOrdered(spark, jsonlPath, schema)
+    val (good, _) = JsonlSource.splitCorrupt(raw)
+    val enriched = enrich(source, good, runId, nowMs)
+    val annotated = Validator.annotate(enriched, rules(source, nowMs)).cache()
+    val valid = Validator.validRecords(annotated)
+
+    val keys = Schemas.naturalKeys(source)
+    val nullSafe = Schemas.nullSafeKeyParts(source)
+    // In-file first-wins dedup ordered by physical line order
+    // (reference validator.py:507-519). Window.partitionBy groups
+    // NULL key parts together, matching the reference's Python-tuple
+    // key where None == None; the COALESCE('') form only applies at
+    // the cross-run DB key (nullSafeCols below). The order column is
+    // dropped so it never reaches the table.
+    val deduped = Dedup
+      .firstWinsByName(valid, keys, Seq(JsonlSource.LineOrderCol))
+      .drop(JsonlSource.LineOrderCol)
+    val upsert = IdempotentAppend.appendNew(
+      spark, deduped, tablePath, keys, nullSafeCols = nullSafe,
+      incomingCount = Some(valid.count()))
+    val report = Validator.report(annotated, duplicates = upsert.duplicates)
+    annotated.unpersist()
+    LoadResult(source, report, upsert, runId)
+  }
+
+  /** I8: one extraction-metadata row per load (reference
+    * database.py:1730-1824), merged keep-latest on run id (D4). */
+  def recordMetadata(
+      spark: SparkSession,
+      metadataPath: String,
+      result: LoadResult,
+      nowMs: Long,
+  ): Unit = {
+    import spark.implicits._
+    val row = Seq((
+      result.runId, result.source, result.report.total,
+      result.upsert.inserted, result.report.invalid, result.upsert.duplicates,
+      result.report.invalid == 0L, nowMs,
+    )).toDF("extraction_run_id", "source", "total_records",
+      "inserted_records", "invalid_records", "duplicate_records",
+      "success", "extraction_timestamp_ms")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(metadataPath))) {
+        IdempotentAppend.mergeLatest(
+          spark.read.parquet(metadataPath), row,
+          Seq("extraction_run_id"), Seq(col("extraction_timestamp_ms").desc))
+      } else row
+    val tmp = metadataPath + ".new"
+    merged.write.mode("overwrite").parquet(tmp)
+    val (t, p) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(metadataPath))
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+}

@@ -169,10 +169,33 @@ object Schemas {
     "chile" -> chile,
   )
 
-  /** Measure column per source (MW for ENTSOE, MWh elsewhere —
-    * reference per-source schema .sql files). */
+  /** Measure column per source (MW for ENTSOE, net MWh for EIA, MWh
+    * elsewhere — reference per-source schema .sql files). */
   val measureColumn: Map[String, String] =
     schemas.map { case (s, _) =>
-      s -> (if (s == "entsoe") "generation_mw" else "generation_mwh")
+      s -> (s match {
+        case "entsoe" => "generation_mw"
+        case "eia" => "net_generation_mwh"
+        case _ => "generation_mwh"
+      })
     }
+
+  /** Read-side schemas: the table schema plus legacy input fields the
+    * enrichment renames away (reference database.py:493-499 NPP
+    * `date`/`scrape_id`; :1629-1660 Chile `plant_id` + dropped geo
+    * columns). Ingestion reads with these so legacy-shaped records
+    * survive schema-on-read. */
+  val readSchemas: Map[String, StructType] = schemas.map {
+    case ("npp", st) =>
+      "npp" -> st.add("date", LongType).add("scrape_id", StringType)
+    case ("chile", st) =>
+      "chile" -> st.add("plant_id", StringType).add("country_code", StringType)
+        .add("latitude", DoubleType).add("longitude", DoubleType)
+    case ("entsoe", st) =>
+      // timestamp_ms may arrive as a datetime *string* (reference
+      // database.py:633-665) — read as string, coerce in P5.
+      "entsoe" -> StructType(st.fields.map(f =>
+        if (f.name == "timestamp_ms") f.copy(dataType = StringType) else f))
+    case (s, st) => s -> st
+  }
 }

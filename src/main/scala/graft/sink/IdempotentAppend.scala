@@ -72,10 +72,51 @@ object IdempotentAppend {
       .join(existingKeys.alias("_ex"), keyCondition("_inc", "_ex", keys, nullSafeCols), "left_anti")
   }
 
+  /** Append an already-deduplicated batch: anti-join against the
+    * target table (pruned to the incoming time window when `timeCol`
+    * is given — a 100 TB table contributes only its overlapping
+    * partitions to the join), then atomic append. */
+  def appendNew(
+      spark: SparkSession,
+      batch: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      nullSafeCols: Set[String] = Set.empty,
+      timeCol: Option[String] = Some("timestamp_ms"),
+      incomingCount: Option[Long] = None,
+  ): UpsertResult = {
+    val cached = batch.cache()
+    val batchCount = cached.count()
+    val incoming = incomingCount.getOrElse(batchCount)
+
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(tablePath)
+
+    val toInsert =
+      if (!fs.exists(target)) cached
+      else {
+        val existing = spark.read.parquet(tablePath)
+        val pruned = timeCol match {
+          case Some(tc) if cached.columns.contains(tc) =>
+            val Array(lo, hi) = cached.agg(min(col(tc)), max(col(tc))).head() match {
+              case r if r.isNullAt(0) => Array[Any](null, null)
+              case r => Array[Any](r.get(0), r.get(1))
+            }
+            if (lo == null) existing
+            else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
+          case _ => existing
+        }
+        newRows(cached, pruned, keys, nullSafeCols)
+      }
+
+    val insertedCount = atomicAppend(spark, toInsert, tablePath)
+    cached.unpersist()
+    UpsertResult(incoming, insertedCount, incoming - insertedCount)
+  }
+
   /** Full upsert: in-batch first-wins dedup, anti-join against the
-    * target table (pruned to the incoming time window when
-    * `timeCol` is given), atomic append. Returns the reference's
-    * "rows actually inserted" count (database.py:294). */
+    * target table, atomic append. Returns the reference's "rows
+    * actually inserted" count (database.py:294). */
   def upsert(
       spark: SparkSession,
       incoming: DataFrame,
@@ -85,35 +126,9 @@ object IdempotentAppend {
       nullSafeCols: Set[String] = Set.empty,
       timeCol: Option[String] = Some("timestamp_ms"),
   ): UpsertResult = {
-    val batch = Dedup
-      .firstWinsByName(incoming, keys, orderCols)
-      .cache()
-    val incomingCount = incoming.count()
-    val batchCount = batch.count()
-
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(tablePath)
-
-    val toInsert =
-      if (!fs.exists(target)) batch
-      else {
-        val existing = spark.read.parquet(tablePath)
-        val pruned = timeCol match {
-          case Some(tc) if batch.columns.contains(tc) =>
-            val Array(lo, hi) = batch.agg(min(col(tc)), max(col(tc))).head() match {
-              case r if r.isNullAt(0) => Array[Any](null, null)
-              case r => Array[Any](r.get(0), r.get(1))
-            }
-            if (lo == null) existing
-            else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
-          case _ => existing
-        }
-        newRows(batch, pruned, keys, nullSafeCols)
-      }
-
-    val insertedCount = atomicAppend(spark, toInsert, tablePath)
-    batch.unpersist()
-    UpsertResult(incomingCount, insertedCount, incomingCount - insertedCount)
+    val batch = Dedup.firstWinsByName(incoming, keys, orderCols)
+    appendNew(spark, batch, tablePath, keys, nullSafeCols, timeCol,
+      incomingCount = Some(incoming.count()))
   }
 
   /** Stage-then-rename append; returns appended row count. */

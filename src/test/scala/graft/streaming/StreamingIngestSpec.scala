@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.schema.Schemas
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private val runId = "550e8400-e29b-41d4-a716-446655440000"
+
+  test("AvailableNow drain: files → enriched, deduped parquet; second drain picks up only new files") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"timestamp_ms":1,"plant":"P","plant_and_unit":"P 1","generation_mwh":10.0}
+         |{"timestamp_ms":1,"plant":"P","plant_and_unit":"P 1","generation_mwh":99.0}
+         |{"timestamp_ms":2,"plant":"P","plant_and_unit":"P 1","generation_mwh":20.0}
+         |""".stripMargin)
+
+    val stream = StreamingIngest.readStream(spark, in.toString, Schemas.npp)
+    val piped = StreamingIngest.pipeline(stream, runId, 1000L, Schemas.naturalKeys("npp"))
+    StreamingIngest.drainToParquet(piped, out, ckpt).awaitTermination()
+
+    val t1 = spark.read.parquet(out)
+    assert(t1.count() == 2) // in-run key dedup
+    assert(t1.select("extraction_run_id").distinct().head().getString(0) == runId)
+
+    // new file arrives; a fresh AvailableNow run drains only it
+    Files.writeString(in.resolve("b.jsonl"),
+      s"""{"timestamp_ms":3,"plant":"P","plant_and_unit":"P 1","generation_mwh":30.0}
+         |""".stripMargin)
+    val stream2 = StreamingIngest.readStream(spark, in.toString, Schemas.npp)
+    val piped2 = StreamingIngest.pipeline(stream2, runId, 1000L, Schemas.naturalKeys("npp"))
+    StreamingIngest.drainToParquet(piped2, out, ckpt).awaitTermination()
+
+    assert(spark.read.parquet(out).count() == 3) // checkpoint skipped a.jsonl
+  }
+}
