@@ -14,6 +14,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup at the smallest scale factor: first executions in a fresh
+    // JVM pay JIT/codegen compilation (interpreted Catalyst eval is
+    // ~50-100x slower pre-C2), which is startup cost, not workload.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,118 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.schema.Schemas
+
+/** Warehouse lifecycle + export/report sinks (reference operators
+  * S5/S6/S8/S9/S10/S11, P19, I5).
+  *
+  * The reference's "database" is Postgres DDL executed per table
+  * (database.py:362-449) plus CREATE DATABASE bootstrap (:320-360);
+  * here a warehouse is a directory of per-source parquet fact tables
+  * with declared StructTypes — creation registers empty tables so
+  * downstream readers see a schema before first load.
+  */
+object Warehouse {
+
+  /** P19: SQL-identifier guard (reference database.py:111-156) — the
+    * same whitelist discipline, applied to table/source names before
+    * they reach a path or SQL string. */
+  private val IdentifierRe = "^[A-Za-z_][A-Za-z0-9_]{0,62}$".r
+
+  def requireValidIdentifier(name: String): String = {
+    require(IdentifierRe.matches(name), s"invalid identifier: '$name'")
+    name
+  }
+
+  def requireKnownSource(source: String): String = {
+    require(Schemas.schemas.contains(source), s"unknown source table: '$source'")
+    source
+  }
+
+  def tablePath(warehouse: String, source: String): String =
+    s"${warehouse.stripSuffix("/")}/${requireValidIdentifier(source)}_generation_data"
+
+  /** S6: bootstrap the warehouse directory. */
+  def createWarehouse(spark: SparkSession, warehouse: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(warehouse))
+  }
+
+  /** S5: create one (empty) table with its declared schema —
+    * `create_all_tables` loops every known source
+    * (reference database.py:386-449). */
+  def createTable(spark: SparkSession, warehouse: String, source: String): Unit = {
+    requireKnownSource(source)
+    val path = tablePath(warehouse, source)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.schemas(source),
+      ).write.parquet(path)
+    }
+  }
+
+  def createAllTables(spark: SparkSession, warehouse: String): Unit =
+    Schemas.schemas.keys.toSeq.sorted.foreach(createTable(spark, warehouse, _))
+
+  /** S10: truncate with pre-count (reference database.py:910-935). */
+  def truncateTable(spark: SparkSession, warehouse: String, source: String): Long = {
+    val path = tablePath(warehouse, source)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val before =
+      if (fs.exists(new Path(path))) spark.read.parquet(path).count() else 0L
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    createTable(spark, warehouse, source)
+    before
+  }
+
+  /** S8: CSV export sink — one headered CSV per partition value
+    * (reference database.py:893-898 writes one CSV per year). The
+    * single-file-per-year shape is preserved with a partitioned write
+    * + per-partition repartition(1). */
+  def exportCsvByYear(df: DataFrame, yearCol: String, outDir: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(yearCol))
+      .write.mode("overwrite")
+      .partitionBy(yearCol)
+      .option("header", "true")
+      .csv(outDir)
+
+  /** S9/S11: driver-side JSON report sink (validation reports,
+    * drift reports — reference validator.py:527-552,
+    * check_crosswalk_drift.py:101-102). */
+  def saveJsonReport(path: String, fields: Seq[(String, Any)]): Unit = {
+    def quote(v: Any): String = v match {
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case m: Map[_, _] =>
+        m.map { case (k, x) => quote(k.toString) + ": " + quote(x) }.mkString("{", ", ", "}")
+      case seq: Seq[_] => seq.map(quote).mkString("[", ", ", "]")
+      case other => String.valueOf(other)
+    }
+    val json = fields.map { case (k, v) => quote(k) + ": " + quote(v) }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** I5: thin retry wrapper for sink commits (reference
+    * database.py:63-82 — tenacity, 3 attempts, exponential 1–10 s).
+    * Spark already retries tasks; this covers driver-side FS commits. */
+  def withRetry[A](attempts: Int = 3, baseDelayMs: Long = 1000, maxDelayMs: Long = 10000)(f: => A): A = {
+    var delay = baseDelayMs
+    var lastErr: Throwable = null
+    for (i <- 1 to attempts) {
+      try return f
+      catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          if (i < attempts) { Thread.sleep(delay); delay = math.min(delay * 2, maxDelayMs) }
+      }
+    }
+    throw lastErr
+  }
+
+  /** P20: empty-input guard (reference database.py:472-474,
+    * incremental_extract.py:110-117): 0-record input → success no-op. */
+  def isEmptyInput(df: DataFrame): Boolean = df.isEmpty
+}

@@ -1,0 +1,65 @@
+package graft.warehouse
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("create all tables with declared schemas; truncate re-creates empty") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    Warehouse.createAllTables(spark, wh)
+    val npp = spark.read.parquet(Warehouse.tablePath(wh, "npp"))
+    assert(npp.count() == 0)
+    assert(npp.columns.contains("plant_and_unit"))
+    // write a row then truncate
+    Seq(("id", 1L, 2L, 1440, "P", "P 1", "U", 5.0))
+      .toDF(npp.columns.take(8): _*)
+      .write.mode("append").parquet(Warehouse.tablePath(wh, "npp"))
+    assert(Warehouse.truncateTable(spark, wh, "npp") == 1)
+    assert(spark.read.parquet(Warehouse.tablePath(wh, "npp")).count() == 0)
+  }
+
+  test("identifier guard rejects injection-shaped names (reference database.py:111-156)") {
+    intercept[IllegalArgumentException](Warehouse.requireValidIdentifier("x; DROP TABLE"))
+    intercept[IllegalArgumentException](Warehouse.requireValidIdentifier("../escape"))
+    intercept[IllegalArgumentException](Warehouse.requireKnownSource("not_a_source"))
+    assert(Warehouse.requireValidIdentifier("entsoe") == "entsoe")
+  }
+
+  test("CSV export by year writes one headered partition per year") {
+    val out = Files.createTempDirectory("graft-csv").toString + "/export"
+    val df = Seq((2023, "Gas", 1.5), (2024, "Gas", 2.5), (2024, "Solar", 3.0))
+      .toDF("year", "fuel", "mwh")
+    Warehouse.exportCsvByYear(df, "year", out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 3)
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("year=")) == 2)
+  }
+
+  test("retry wrapper retries IOExceptions with backoff") {
+    var calls = 0
+    val r = Warehouse.withRetry(attempts = 3, baseDelayMs = 1, maxDelayMs = 2) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("flaky")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    intercept[java.io.IOException] {
+      Warehouse.withRetry(attempts = 2, baseDelayMs = 1, maxDelayMs = 2) {
+        throw new java.io.IOException("always")
+      }
+    }
+  }
+
+  test("json report sink escapes and round-trips via Spark's json reader") {
+    val p = Files.createTempDirectory("graft-rep").resolve("r.json").toString
+    Warehouse.saveJsonReport(p, Seq(
+      "source" -> "npp", "valid" -> 10, "invalid" -> 2,
+      "errors" -> Seq("a \"quoted\" err", "b\\path"),
+    ))
+    val df = spark.read.json(p)
+    assert(df.select("source").head().getString(0) == "npp")
+    assert(df.select("valid").head().getLong(0) == 10)
+  }
+}
