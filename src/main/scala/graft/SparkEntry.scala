@@ -318,6 +318,17 @@ object SparkEntry {
             concat(col("event_type"), lit("_Actual Aggregated"))).as("plant_name"))
     }),
 
+    // S1/S2: schema-enforced JSONL parse — rows round-trip through
+    // JSONL text and back under the declared schema (the scan parser
+    // exercised inside the oracle gate; file-based variants are
+    // covered in JsonlSourceSpec).
+    "s2_ingest_roundtrip" -> ((s, dir) => {
+      val src = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val lines = src.select(to_json(struct(src.columns.map(col): _*)).as("line"))
+      graft.ingest.JsonlSource.parseJsonLines(lines, "line", src.schema)
+    }),
+
     // S1-ish: JSON field extraction (the JSONB metadata analog).
     "s1_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -657,6 +668,9 @@ object SparkEntry {
 
     "s1_json_extract" ->
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_value FROM events""",
+
+    "s2_ingest_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
 
     "m3_topk_recent" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
