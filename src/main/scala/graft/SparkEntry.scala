@@ -430,13 +430,28 @@ object SparkEntry {
       Similarity.blockedCosinePairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)),
 
-    // LSH-bucketed approximate top-k (the scale path) — no oracle.
+    // LSH-bucketed approximate top-k (scale path) — no oracle.
     "v3_lsh_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, nBits = 4)
     }),
+
+    // IVF approximate top-k (the other scale path) — no oracle.
+    "v4_ivf_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, centroidFilter = col("vec_id") % 31 === 0, nprobe = 3)
+    }),
+
+    // Embedding-cosine near-dup dedup (keep-min-id survivors).
+    "v5_embed_dedup" -> ((s, dir) =>
+      Similarity
+        .cosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
+        .select("vec_id", "label")),
 
     // --- Multimodal plumbing (beyond-reference) ------------------------
 
@@ -750,6 +765,15 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.3""".stripMargin,
+
+    "v5_embed_dedup" ->
+      """WITH sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id_b FROM sims WHERE sim >= 0.3)""".stripMargin,
 
     "td1_exact_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM (

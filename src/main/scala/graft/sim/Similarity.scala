@@ -99,6 +99,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-cosine near-dup dedup: drop the larger id of every
+    * pair at sim ≥ threshold within a blocking key (keep-min-id, the
+    * same drop rule as text near-dup dedup). */
+  def cosineDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val losers = blockedCosinePairs(df, idCol, vecCol, blockCol, threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Sign-random-projection LSH signature: bit j = sign(v · plane_j)
     * with pseudo-random plane components derived from murmur3(j, i) —
     * deterministic, no stored model. nBits ≤ 32. */
@@ -123,7 +139,63 @@ object Similarity {
     * in the same bucket are candidate neighbors. */
   def lshBucket(vec: Column, nBits: Int = 16): Column = lshSignature(vec, nBits)
 
-  /** IVF-style probe: approximate top-k that only scores corpus
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * assigned to their nearest centroid (the "coarse quantizer"); a
+    * query scores only the lists of its `nprobe` nearest centroids.
+    *
+    * Centroids here are seed vectors selected by `centroidFilter` and
+    * collected to the driver — the index-build step; C is small by
+    * construction (a real deployment would k-means them, the operator
+    * shape is identical). Assignment is then a pure narrow map (C
+    * codegen'd cosine kernels per row, no shuffle); the only shuffle
+    * is the hash join on centroid id plus the per-query top-k window.
+    * Recall/cost trades via nprobe. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      centroidFilter: Column,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    val cents: Array[(Int, Seq[Float])] = corpus
+      .filter(centroidFilter)
+      .select(col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+
+    def simToCentroids(vec: Column): Column =
+      array(cents.map { case (cid, cvec) =>
+        struct(cosine(vec, lit(cvec.toArray)).as("sim"), lit(cid).as("cid"))
+      }: _*)
+
+    def nearestCentroid(vec: Column): Column =
+      greatest(cents.map { case (cid, cvec) =>
+        struct(cosine(vec, lit(cvec.toArray)).as("sim"), lit(cid).as("cid"))
+      }: _*).getField("cid")
+
+    val assigned = corpus.withColumn("_cid", nearestCentroid(col(vecCol)))
+    val probes = queries
+      .withColumn("_probe",
+        explode(transform(
+          slice(reverse(array_sort(simToCentroids(col(queryVecCol)))), 1, nprobe),
+          s => s.getField("cid"))))
+    val joined = assigned
+      .join(probes, assigned("_cid") === probes("_probe"))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucket probe: approximate top-k that only scores corpus
     * vectors whose LSH bucket matches one of the query's. Recall is
     * tunable via nBits (fewer bits → bigger buckets → higher recall).
     * Join is a hash shuffle on bucket — no broadcast of the corpus, no

@@ -115,4 +115,26 @@ object Warehouse {
   /** P20: empty-input guard (reference database.py:472-474,
     * incremental_extract.py:110-117): 0-record input → success no-op. */
   def isEmptyInput(df: DataFrame): Boolean = df.isEmpty
+
+  /** On-write layout that replaces the reference's 30+ b-tree indexes
+    * (SURVEY.md §4): Hive-partition by (year, month) of the event
+    * time and sort each file by `timestamp_ms` so per-window queries
+    * prune partitions statically/dynamically and parquet min/max
+    * stats skip row groups inside a month. At 100 TB this layout —
+    * not an index — is what makes incremental month-window loads and
+    * per-year exports read only their slice. */
+  def writeTimePartitioned(
+      df: DataFrame,
+      path: String,
+      tsMsCol: String = "timestamp_ms",
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("_year", year(timestamp_millis(col(tsMsCol))))
+      .withColumn("_month", month(timestamp_millis(col(tsMsCol))))
+      .repartition(col("_year"), col("_month"))
+      .sortWithinPartitions(col(tsMsCol))
+      .write.mode("overwrite")
+      .partitionBy("_year", "_month")
+      .parquet(path)
+  }
 }

@@ -42,6 +42,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L))) // (1,4) crosses blocks; (1,2) below threshold
   }
 
+  test("ivfTopK: nprobe covering all centroids reproduces exact top-k") {
+    val q = vdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vdf, q, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // centroids = ids 1 and 2; probing both lists covers the corpus
+    val ivf = Similarity.ivfTopK(vdf, q, "vec_id", "embedding", "query_id", "qvec",
+      k = 3, centroidFilter = col("vec_id") <= 2, nprobe = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("cosineDedup drops larger ids of over-threshold pairs within block") {
+    val out = Similarity.cosineDedup(vdf, "vec_id", "embedding", "label", 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    // within label a: (1,3) and (2,3) ≥ .707 → 3 dropped; 4 alone in b
+    assert(out == Set(1L, 2L, 4L))
+  }
+
   test("lshTopK: same bucket ⇒ scored; signature deterministic") {
     val sigs = vdf.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 8).as("sig"))
       .as[(Long, Int)].collect().toMap
