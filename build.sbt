@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Moderate heap on purpose: a very large heap (24g tested) starves
+  // GC-driven ContextCleaner reclamation for minutes and then pays
+  // multi-second full collections mid-query.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

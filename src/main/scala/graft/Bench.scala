@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-running driver: GC (which drives ContextCleaner's
+      // broadcast/shuffle reclamation) may not fire for minutes,
+      // letting state from past queries pile onto later ones. 2 min
+      // balances reclamation against full-GC pause frequency (30 s
+      // tested: random multi-second pauses inside timed queries).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,6 +28,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      // Reclaim warmup-phase broadcasts/shuffles before timing.
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(2000)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
