@@ -100,9 +100,8 @@ object TextDedup {
       )
     }: _*)
 
-  /** Per-document band-bucket assignments: (id, band, bucket) — b rows
-    * per doc. This is the scale-safe join key for candidate pairs. */
-  /** Band-bucket assignments from a pre-hashed frame (id, sh). */
+  /** Band-bucket assignments from a pre-hashed frame (id, sh):
+    * b rows per doc — the scale-safe join key for candidate pairs. */
   private def bucketsOfHashed(
       hashed: DataFrame,
       idCol: String,
