@@ -345,6 +345,30 @@ object SparkEntry {
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))),
 
+    // M3+J4 combo: top-k revenue customers (join + agg + sort-limit).
+    "m3_top_customers" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(25)
+    }),
+
+    // Window beyond row_number (lead/lag family the dashboard layer
+    // uses, SURVEY.md §2.5 note): month-over-month revenue delta.
+    "w2_mom_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = tbl(s, dir, "orders")
+        .groupBy(Rollups.monthStr(col("o_orderdate")).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy(col("month"))
+      monthly.select(col("month"), col("revenue"),
+        round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), lit(0.0)), 2)
+          .as("mom_delta"))
+    }),
+
     // --- Incremental (I1, I3) ------------------------------------------
 
     // I1: high-watermark resume point, clamped to a minimum start.
@@ -690,6 +714,23 @@ object SparkEntry {
     "m3_topk_recent" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
         |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    "m3_top_customers" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 25""".stripMargin,
+
+    "w2_mom_delta" ->
+      """WITH monthly AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  ROUND(revenue - COALESCE(LAG(revenue, 1) OVER (ORDER BY month), 0.0), 2) AS mom_delta
+        |FROM monthly""".stripMargin,
 
     "i1_watermark_resume" ->
       """SELECT GREATEST(CAST(MAX(o_orderdate) AS DATE) + INTERVAL 1 DAY, DATE '1996-01-01')::DATE AS resume_date
