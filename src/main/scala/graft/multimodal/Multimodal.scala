@@ -79,4 +79,43 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(media.as[MediaRecord])(spark).toDF()
   }
+
+  /** ??? in spirit: "resize" — a real implementation re-encodes the
+    * decoded image at (w, h); the stub deterministically resamples the
+    * payload bytes to w*h/64 bytes so output size scales like a real
+    * thumbnail. The Spark shape (partition-batched, payload-in /
+    * payload-out, metadata updated) is the real contract. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real codec init once per partition batch
+      val targetBytes = math.max(1, w * h / 64)
+      it.map { r =>
+        val out = Array.tabulate(math.min(targetBytes, math.max(1, r.payload.length))) { i =>
+          r.payload(i * math.max(1, r.payload.length / targetBytes) % math.max(1, r.payload.length))
+        }
+        r.copy(payload = out, n_bytes = out.length.toLong)
+      }
+    }.toDF()
+  }
+
+  /** ??? in spirit: "frame sample" — a real implementation decodes a
+    * video and emits every Nth frame; the stub splits the payload into
+    * fixed-size chunks and keeps every Nth, one output row per kept
+    * frame (the generator/explode shape of frame sampling). */
+  final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      frameBytes: Int = 32,
+      every: Int = 2,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % every == 0 => Frame(r.media_id, i, chunk)
+      }
+    }.toDF()
+  }
 }

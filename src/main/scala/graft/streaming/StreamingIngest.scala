@@ -63,4 +63,61 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Event-time windowed rollup with a watermark: the streaming form
+    * of the monthly MV (daily tumbling windows here — month windows
+    * are calendar-irregular, so the batch refresh stays the monthly
+    * source of truth; the reference's MVs are likewise recomputed,
+    * not incrementally maintained — SURVEY.md §2.10). Late rows
+    * beyond the watermark are dropped instead of reopening state. */
+  def windowedRollup(
+      stream: DataFrame,
+      tsCol: String,
+      dims: Seq[String],
+      measureCol: String,
+      windowLength: String = "1 day",
+      watermarkDelay: String = "2 days",
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .withColumn("_event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("_event_time", watermarkDelay)
+      .groupBy((org.apache.spark.sql.functions.window(col("_event_time"), windowLength).as("win")
+        +: dims.map(col)): _*)
+      .agg(sum(col(measureCol)).as("total_generation_mwh"),
+        count(lit(1)).as("records"))
+      .select((Seq(col("win.start").as("window_start")) ++ dims.map(col)
+        ++ Seq(col("total_generation_mwh"), col("records"))): _*)
+  }
+
+  /** Per-entity running state via flatMapGroupsWithState: cumulative
+    * generation + record count per plant, emitted on every update —
+    * the custom-state shape (KeyValueGroupedDataset) the batch engine
+    * has no equivalent for. State is bounded by entity cardinality. */
+  final case class EntityState(entity: String, totalMwh: Double, records: Long)
+
+  def runningTotals(
+      spark: SparkSession,
+      stream: DataFrame,
+      entityCol: String,
+      measureCol: String,
+  ): org.apache.spark.sql.Dataset[EntityState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = stream
+      .selectExpr(s"CAST($entityCol AS STRING) AS entity", s"CAST($measureCol AS DOUBLE) AS mwh")
+      .as[(String, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (entity: String, rows: Iterator[(String, Double)], state: GroupState[EntityState]) => {
+          val prev = state.getOption.getOrElse(EntityState(entity, 0.0, 0L))
+          var total = prev.totalMwh
+          var n = prev.records
+          rows.foreach { r => total += r._2; n += 1 }
+          val next = EntityState(entity, total, n)
+          state.update(next)
+          Iterator(next)
+        })
+  }
 }

@@ -25,6 +25,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L) != f(1L))
   }
 
+  test("resize stub: payload resampled to thumbnail-scaled size, metadata updated") {
+    val docs = Seq((1L, "x" * 500)).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val resized = Multimodal.resize(spark, media, 32, 32)
+    val r = resized.head()
+    assert(r.getAs[Long]("n_bytes") == 16) // 32*32/64
+    assert(r.getAs[Array[Byte]]("payload").length == 16)
+    // deterministic
+    assert(Multimodal.resize(spark, media, 32, 32).head()
+      .getAs[Array[Byte]]("payload").toSeq == r.getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("frame sampling: every Nth fixed-size chunk, one row per kept frame") {
+    val docs = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, every = 2)
+    // 100 bytes → chunks 0..3 (32,32,32,4); kept: 0 and 2
+    assert(frames.count() == 2)
+    assert(frames.select("frame_no").collect().map(_.getInt(0)).toSet == Set(0, 2))
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
