@@ -345,6 +345,44 @@ object SparkEntry {
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))),
 
+    // §2.6 harmonization: stack three "sources" into one canonical
+    // envelope via unionByName, then roll up per source-month — the
+    // Spark-native version of the reference dashboard's
+    // UNION-by-convention over per-source aggregates.
+    "u1_harmonized_stack" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(
+        lit("orders").as("source"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("timestamp_ms"),
+        col("o_totalprice").as("measure"))
+      val l = tbl(s, dir, "lineitem").select(
+        lit("lineitem").as("source"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("timestamp_ms"),
+        col("l_extendedprice").as("measure"))
+      val e = events(s, dir).select(
+        lit("events").as("source"),
+        unix_millis(col("ts")).as("timestamp_ms"),
+        col("value").as("measure"))
+      o.unionByName(l).unionByName(e)
+        .groupBy(col("source"),
+          Rollups.monthStr(timestamp_millis(col("timestamp_ms"))).as("month"))
+        .agg(dsum(col("measure")).as("total"), count(lit(1)).as("records"))
+    }),
+
+    // A5 at ALL granularities in ONE scan via GROUPING SETS — the
+    // reference runs three separate queries per granularity
+    // (database.py:829-861); grouping sets make it a single pass,
+    // which is the difference between one and three 100 TB scans.
+    "a5_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("month", Rollups.monthStr(col("o_orderdate")))
+        .groupingSets(
+          Seq(Seq(col("month")), Seq(col("month"), col("o_orderpriority")),
+            Seq(col("month"), col("o_orderpriority"), col("o_orderstatus"))),
+          col("month"), col("o_orderpriority"), col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("total_generation_mwh"),
+          count(lit(1)).as("hours_of_data"))
+    }),
+
     // M3+J4 combo: top-k revenue customers (join + agg + sort-limit).
     "m3_top_customers" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
@@ -714,6 +752,25 @@ object SparkEntry {
     "m3_topk_recent" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
         |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    "u1_harmonized_stack" ->
+      """WITH stacked AS (
+        |  SELECT 'orders' AS source, epoch_ms(o_orderdate) AS timestamp_ms, o_totalprice AS measure FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', epoch_ms(l_shipdate), l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', epoch_ms(ts), value FROM events)
+        |SELECT source, strftime(date_trunc('month', to_timestamp(timestamp_ms / 1000)), '%Y-%m-01') AS month,
+        |  CAST(SUM(CAST(measure AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS records
+        |FROM stacked GROUP BY 1, 2""".stripMargin,
+
+    "a5_grouping_sets" ->
+      """SELECT month, o_orderpriority, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_generation_mwh,
+        |  COUNT(*) AS hours_of_data
+        |FROM (SELECT *, strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month FROM orders)
+        |GROUP BY GROUPING SETS ((month), (month, o_orderpriority), (month, o_orderpriority, o_orderstatus))""".stripMargin,
 
     "m3_top_customers" ->
       """SELECT c.c_custkey, c.c_name,

@@ -53,11 +53,21 @@ object Similarity {
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }
 
+  /** Rank scored candidates per query and keep the top k. Similarity
+    * must already be rounded (6 dp) so ordering — and therefore the
+    * result set — is stable across engines; residual ties break on
+    * corpus id. */
+  private def rankTopK(scored: DataFrame, queryIdCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most
     * similar corpus vectors (excluding the query itself when ids
-    * collide). Similarity is rounded to 6 dp *before* ranking so that
-    * ordering — and therefore the result set — is stable across
-    * engines; residual ties break on corpus id. */
+    * collide). */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -67,15 +77,11 @@ object Similarity {
       queryVecCol: String,
       k: Int,
   ): DataFrame = {
-    val joined = corpus
+    val scored = corpus
       .crossJoin(broadcast(queries))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 
   /** Pairs above a cosine threshold within a blocking key (embedding
@@ -184,15 +190,11 @@ object Similarity {
         explode(transform(
           slice(reverse(array_sort(simToCentroids(col(queryVecCol)))), 1, nprobe),
           s => s.getField("cid"))))
-    val joined = assigned
+    val scored = assigned
       .join(probes, assigned("_cid") === probes("_probe"))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 
   /** LSH-bucket probe: approximate top-k that only scores corpus
@@ -212,14 +214,10 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.withColumn("bucket", lshBucket(col(vecCol), nBits))
     val q = queries.withColumn("bucket", lshBucket(col(queryVecCol), nBits))
-    val joined = c
+    val scored = c
       .join(q, Seq("bucket"))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rankTopK(scored, queryIdCol, idCol, k)
   }
 }
