@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.agg.{Rollups, Stats}
@@ -54,6 +55,18 @@ object SparkEntry {
     * splits the data. */
   private val NowMs = 1705276800000L
   private val RunId = "550e8400-e29b-41d4-a716-446655440000"
+
+  /** Mixed-type JSONL fixture shared verbatim with the p10 oracle SQL
+    * (same lines inlined as VALUES there — both engines must agree on
+    * the lexical type of every token). */
+  private val P10Fixture: Seq[(Int, String)] = Seq(
+    1 -> """{"created_at_ms":true,"generation_mwh":100.0}""",
+    2 -> """{"created_at_ms":1700000000000,"generation_mwh":"100.0"}""",
+    3 -> """{"created_at_ms":1700000000000,"generation_mwh":100}""",
+    4 -> """{"created_at_ms":1700000000000,"generation_mwh":100.5,"utility_id":"abc","unit":null}""",
+    5 -> """{"utility_id":7,"unit":5.5,"resolution_minutes":60}""",
+    6 -> """{"utility_id":1.5,"unit":true,"resolution_minutes":"60"}""",
+  )
 
   private val LineitemKey = Seq("l_orderkey", "l_linenumber")
   private val LineitemOrder = Seq("l_shipdate", "l_partkey", "l_suppkey", "l_extendedprice")
@@ -186,6 +199,10 @@ object SparkEntry {
         col("o_orderdate"),
         col("o_orderdate"),
       ).withColumn("total_records", col("total_records").cast("double"))
+        // Render date bounds as strings: parquet TIMESTAMP vs DuckDB DATE
+        // materialize to different pandas dtypes and break the hash compare.
+        .withColumn("earliest_start", date_format(col("earliest_start"), "yyyy-MM-dd"))
+        .withColumn("latest_end", date_format(col("latest_end"), "yyyy-MM-dd"))
     }),
 
     // A11: duplicate-count verification on the natural key.
@@ -215,15 +232,23 @@ object SparkEntry {
     }),
 
     // S7: the "rows actually inserted" accounting of the staged upsert.
+    // One pass: rank incoming in-place, left-join distinct existing keys,
+    // and take all three counts from a single aggregate — no recomputed
+    // lineage, no cross-joined sub-aggregates.
     "s7_upsert_counts" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val rawIncoming = li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
-      val incoming = Dedup.firstWinsByName(rawIncoming, LineitemKey, LineitemOrder)
-      val existing = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-      val inserted = IdempotentAppend.newRows(incoming, existing, LineitemKey)
-      rawIncoming.agg(count(lit(1)).as("incoming_records"))
-        .crossJoin(incoming.agg(count(lit(1)).as("batch_records")))
-        .crossJoin(inserted.agg(count(lit(1)).as("inserted_records")))
+      val w = Window.partitionBy(LineitemKey.map(col): _*).orderBy(LineitemOrder.map(col): _*)
+      val existingKeys = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(LineitemKey.map(col): _*).distinct().withColumn("_exists", lit(1))
+      rawIncoming
+        .withColumn("_rn", row_number().over(w))
+        .join(existingKeys, LineitemKey, "left")
+        .agg(
+          count(lit(1)).as("incoming_records"),
+          count(when(col("_rn") === 1, 1)).as("batch_records"),
+          count(when(col("_rn") === 1 && col("_exists").isNull, 1)).as("inserted_records"),
+        )
     }),
 
     // D4: metadata merge — latest version wins per key.
@@ -279,6 +304,25 @@ object SparkEntry {
       Validator
         .validRecords(annotatedEvents(s, dir))
         .select("event_id", "timestamp_ms", "user_id", "event_type", "value")),
+
+    // P10: lexical JSON type checks over a mixed-type fixture — the
+    // raw token type (from the line parsed as VARIANT) decides, not
+    // the schema-on-read column type. Pins the reference's edges:
+    // bool is NOT int/float, int IS float, quoted "100.0" is NOT float
+    // (validator.py:326-362; test_validator.py:440-480).
+    "p10_lexical_types" -> ((s, dir) => {
+      import s.implicits._
+      val df = P10Fixture.toDF("rid", "line")
+        .withColumn("_v", try_parse_json(col("line")))
+      def ok(f: String, t: String): Column =
+        !coalesce(Rules.typeRule(col("_v"), f, t).violated, lit(false))
+      df.select(col("rid"),
+        ok("created_at_ms", "int").as("created_at_is_int"),
+        ok("generation_mwh", "float").as("mwh_is_float"),
+        ok("utility_id", "int_or_str").as("utility_is_int_or_str"),
+        ok("unit", "str_or_null_or_number").as("unit_is_str_null_num"),
+        ok("resolution_minutes", "int_or_null").as("resolution_is_int_or_null"))
+    }),
 
     // --- Enrichment / transforms (P1–P8, S1) ---------------------------
 
@@ -473,11 +517,12 @@ object SparkEntry {
         .minhashDedup(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
         .select("doc_id")),
 
-    // SimHash signatures (+ banded near-dup pairs are in tests).
+    // SimHash signatures, packed into one BIGINT per doc so the column
+    // is sortable/hashable externally (+ banded near-dup pairs in tests).
     "td5_simhash_sigs" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"),
-          TextDedup.simhashBits(col("text")).as("simhash_bits"))),
+          TextDedup.simhash64(col("text")).as("simhash64"))),
 
     // --- Similarity search (beyond-reference) --------------------------
 
@@ -604,10 +649,10 @@ object SparkEntry {
     "a10_extraction_summary" ->
       """SELECT o_orderpriority AS source,
         |  COUNT(*) AS total_runs,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS successful_runs,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS successful_runs,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_records,
-        |  MIN(o_orderdate) AS earliest_start,
-        |  MAX(o_orderdate) AS latest_end
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS earliest_start,
+        |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_end
         |FROM orders GROUP BY 1""".stripMargin,
 
     "a11_duplicate_count" ->
@@ -678,35 +723,35 @@ object SparkEntry {
 
     "p18_validate_summary" ->
       """SELECT COUNT(*) AS total_records,
-        |  SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |  CAST(SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
         |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
         |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
         |        AND user_id IS NOT NULL AND user_id <= 9
-        |      THEN 1 ELSE 0 END) AS valid_records,
-        |  SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+        |  CAST(SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
         |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
         |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
         |        AND user_id IS NOT NULL AND user_id <= 9
-        |      THEN 0 ELSE 1 END) AS invalid_records
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS invalid_records
         |FROM events""".stripMargin,
 
     "p18_error_stats" ->
       """SELECT error_type, error_count FROM (
         |  SELECT 'missing required field' AS error_type,
-        |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
         |    + SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
         |    + SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
         |    + SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
-        |    + SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS error_count
+        |    + SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS error_count
         |  FROM events
         |  UNION ALL
-        |  SELECT 'value', SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) FROM events
+        |  SELECT 'value', CAST(SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |  UNION ALL
-        |  SELECT 'event_type', SUM(CASE WHEN event_type IS NOT NULL AND TRIM(event_type) = '' THEN 1 ELSE 0 END) FROM events
+        |  SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NOT NULL AND TRIM(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |  UNION ALL
-        |  SELECT 'timestamp_ms', SUM(CASE WHEN ts IS NOT NULL AND (epoch_ms(ts) <= 0 OR epoch_ms(ts) > 1705363200000) THEN 1 ELSE 0 END) FROM events
+        |  SELECT 'timestamp_ms', CAST(SUM(CASE WHEN ts IS NOT NULL AND (epoch_ms(ts) <= 0 OR epoch_ms(ts) > 1705363200000) THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |  UNION ALL
-        |  SELECT 'user_id', SUM(CASE WHEN user_id IS NOT NULL AND user_id > 9 THEN 1 ELSE 0 END) FROM events
+        |  SELECT 'user_id', CAST(SUM(CASE WHEN user_id IS NOT NULL AND user_id > 9 THEN 1 ELSE 0 END) AS BIGINT) FROM events
         |) WHERE error_count > 0 ORDER BY error_type""".stripMargin,
 
     "p17_valid_records" ->
@@ -716,6 +761,31 @@ object SparkEntry {
         |  AND event_type IS NOT NULL AND TRIM(event_type) <> ''
         |  AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
         |  AND user_id IS NOT NULL AND user_id <= 9""".stripMargin,
+
+    // Same fixture lines as P10Fixture; DuckDB json_type gives the raw
+    // token type (BIGINT/DOUBLE/VARCHAR/BOOLEAN/'NULL'/SQL NULL).
+    "p10_lexical_types" ->
+      """WITH t(rid, line) AS (VALUES
+        |  (1, '{"created_at_ms":true,"generation_mwh":100.0}'),
+        |  (2, '{"created_at_ms":1700000000000,"generation_mwh":"100.0"}'),
+        |  (3, '{"created_at_ms":1700000000000,"generation_mwh":100}'),
+        |  (4, '{"created_at_ms":1700000000000,"generation_mwh":100.5,"utility_id":"abc","unit":null}'),
+        |  (5, '{"utility_id":7,"unit":5.5,"resolution_minutes":60}'),
+        |  (6, '{"utility_id":1.5,"unit":true,"resolution_minutes":"60"}')),
+        |ty AS (SELECT rid,
+        |  json_type(line::JSON, '$.created_at_ms') AS t_created,
+        |  json_type(line::JSON, '$.generation_mwh') AS t_mwh,
+        |  json_type(line::JSON, '$.utility_id') AS t_util,
+        |  json_type(line::JSON, '$.unit') AS t_unit,
+        |  json_type(line::JSON, '$.resolution_minutes') AS t_res
+        |FROM t)
+        |SELECT rid,
+        |  (t_created IS NULL OR t_created = 'NULL' OR t_created IN ('BIGINT','UBIGINT')) AS created_at_is_int,
+        |  (t_mwh IS NULL OR t_mwh = 'NULL' OR t_mwh IN ('BIGINT','DOUBLE','UBIGINT')) AS mwh_is_float,
+        |  (t_util IS NULL OR t_util = 'NULL' OR t_util IN ('BIGINT','UBIGINT','VARCHAR')) AS utility_is_int_or_str,
+        |  (t_unit IS NULL OR t_unit = 'NULL' OR t_unit IN ('VARCHAR','BIGINT','DOUBLE','UBIGINT')) AS unit_is_str_null_num,
+        |  (t_res IS NULL OR t_res = 'NULL' OR t_res IN ('BIGINT','UBIGINT')) AS resolution_is_int_or_null
+        |FROM ty""".stripMargin,
 
     "p1_projection" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",

@@ -180,6 +180,49 @@ case class SimHashBits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** simhash64(tokens): 64-bit SimHash packed into one BIGINT — the
+  * same voting scheme as [[SimHashBits]] (two 32-bit murmur3 chunks
+  * per token, bit b of the output = sign of counter b) but emitting a
+  * single long. One scalar per doc: band extraction downstream is a
+  * shift+mask, hamming distance is `bit_count(a ^ b)` — both
+  * codegen'd built-ins — and the column is sortable/hashable by any
+  * external comparator (an array<int> signature is not). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      var chunk = 0
+      var b = 0
+      while (b < 64) {
+        if (b % 32 == 0) {
+          chunk = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), b / 32)
+        }
+        if (((chunk >>> (b % 32)) & 1) == 1) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hash_shingles(arr<string>) → sorted distinct arr<long> (XXH64,
   * seed 42). Hashing once per *document* turns the per-*pair* join
   * payload from ~5 KB of string arrays into packed longs, and lets
@@ -302,6 +345,8 @@ object GraftFunctions {
       args => MinHashSignature(args(0), args.lift(1).getOrElse(Literal(32)))),
     desc("graft_simhash_bits", "simhash bit signature of a string array",
       args => SimHashBits(args(0), args.lift(1).getOrElse(Literal(64)))),
+    desc("graft_simhash64", "64-bit simhash of a string array packed into a bigint",
+      args => SimHash64(args(0))),
     desc("graft_hash_shingles", "sorted distinct 64-bit hashes of a string array",
       args => HashShingles(args(0))),
     desc("graft_jaccard_sorted", "jaccard of two sorted distinct long arrays",

@@ -48,34 +48,50 @@ object IngestJob {
     }
   }
 
+  /** P10: lexical type rules over the raw-line variant (reference
+    * validator.py:326-362 via the per-source type tables). */
+  def typeRules(source: String): Seq[Rules.Rule] =
+    Schemas.lexicalTypes.getOrElse(source, Seq.empty).map { case (f, t) =>
+      Rules.typeRule(col(JsonlSource.VariantCol), f, t)
+    }
+
   /** Validation rule set per source: envelope + measure/dimension
     * rules from the validator schema tables (reference
-    * validator.py:123-276). */
-  def rules(source: String, nowMs: Long): Seq[Rules.Rule] = {
-    val envelope = Rules.envelopeRules(nowMs)
+    * validator.py:123-276). `isMissing` picks the presence test: the
+    * pipeline passes the variant-aware form so a wrong-typed token is
+    * a P10 type error, not "missing". */
+  def rules(
+      source: String,
+      nowMs: Long,
+      isMissing: String => org.apache.spark.sql.Column = Rules.colMissing,
+  ): Seq[Rules.Rule] = {
+    val envelope = Rules.envelopeRules(nowMs, isMissing)
     val measure = Schemas.measureColumn(source)
     val measureRules =
-      Rules.requiredWith(measure, Rules.isNonNegative, "must be non-negative number")
+      Rules.requiredWith(measure, Rules.isNonNegative, "must be non-negative number", isMissing)
+    def req(f: String, pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        err: String): Seq[Rules.Rule] =
+      Rules.requiredWith(f, pred, err, isMissing)
     val dims: Seq[Rules.Rule] = source match {
       case "npp" =>
-        Rules.requiredWith("plant", Rules.isNonEmptyString, "must be non-empty string") ++
-          Rules.requiredWith("plant_and_unit", Rules.isNonEmptyString, "must be non-empty string")
+        req("plant", Rules.isNonEmptyString, "must be non-empty string") ++
+          req("plant_and_unit", Rules.isNonEmptyString, "must be non-empty string")
       case "eia" =>
-        Rules.requiredWith("state", Rules.isUsStateCode, "must be 2-character state code") ++
+        req("state", Rules.isUsStateCode, "must be 2-character state code") ++
           Seq("utility_id", "plant_code", "generator_id", "prime_mover").flatMap(f =>
-            Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string"))
+            req(f, Rules.isNonEmptyString, "must be non-empty string"))
       case "entsoe" =>
         Seq("country_code", "psr_type", "plant_name", "fuel_type", "data_type").flatMap(f =>
-          Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string")) ++
-          Rules.requiredWith("resolution_minutes", Rules.isPositive, "must be a positive number")
+          req(f, Rules.isNonEmptyString, "must be non-empty string")) ++
+          req("resolution_minutes", Rules.isPositive, "must be a positive number")
       case "ons" | "occto" | "chile" =>
-        Rules.requiredWith("plant", Rules.isNonEmptyString, "must be non-empty string")
+        req("plant", Rules.isNonEmptyString, "must be non-empty string")
       case "oe" =>
-        Rules.requiredWith("network_code", Rules.isNonEmptyString, "must be non-empty string") ++
-          Rules.requiredWith("fueltech", Rules.isNonEmptyString, "must be non-empty string")
+        req("network_code", Rules.isNonEmptyString, "must be non-empty string") ++
+          req("fueltech", Rules.isNonEmptyString, "must be non-empty string")
       case "oe_facility" =>
         Seq("network_code", "facility_code", "facility_name", "fueltech").flatMap(f =>
-          Rules.requiredWith(f, Rules.isNonEmptyString, "must be non-empty string")) ++
+          req(f, Rules.isNonEmptyString, "must be non-empty string")) ++
           Seq(
             Rules.optionalWith("latitude", c => c >= -90 && c <= 90, "must be in [-90, 90]"),
             Rules.optionalWith("longitude", c => c >= -180 && c <= 180, "must be in [-180, 180]"),
@@ -99,11 +115,14 @@ object IngestJob {
       nowMs: Long = System.currentTimeMillis(),
   ): LoadResult = {
     val schema = Schemas.readSchemas(source)
-    val raw = JsonlSource.readJsonlOrdered(spark, jsonlPath, schema)
+    val raw = JsonlSource.readJsonlWithVariant(spark, jsonlPath, schema)
     val (good, _) = JsonlSource.splitCorrupt(raw)
     val enriched = enrich(source, good, runId, nowMs)
-    val annotated = Validator.annotate(enriched, rules(source, nowMs)).cache()
-    val valid = Validator.validRecords(annotated)
+    val variant = col(JsonlSource.VariantCol)
+    val allRules =
+      rules(source, nowMs, isMissing = Rules.variantMissing(variant)) ++ typeRules(source)
+    val annotated = Validator.annotate(enriched, allRules).cache()
+    val valid = Validator.validRecords(annotated).drop(JsonlSource.VariantCol)
 
     val keys = Schemas.naturalKeys(source)
     val nullSafe = Schemas.nullSafeKeyParts(source)
@@ -125,12 +144,25 @@ object IngestJob {
   }
 
   /** I8: one extraction-metadata row per load (reference
-    * database.py:1730-1824), merged keep-latest on run id (D4). */
+    * database.py:1730-1824), merged keep-latest on run id (D4).
+    *
+    * JSONB parity with the reference's extraction_metadata table
+    * (extraction_metadata.sql:35-37, serialized at database.py:
+    * 1798-1805): `failed_details` (error histogram + capped sample),
+    * `config_snapshot` (run parameters) and `source_urls` (inputs)
+    * are carried as JSON strings via `to_json(struct/map/array)`.
+    *
+    * The published table is swapped atomically (same rename-to-.old
+    * protocol as [[graft.views.Refresh.refreshView]]): a crash between
+    * steps always leaves a readable table at the published path — never
+    * the delete-then-rename window where no table exists. */
   def recordMetadata(
       spark: SparkSession,
       metadataPath: String,
       result: LoadResult,
       nowMs: Long,
+      sourceUrls: Seq[String] = Seq.empty,
+      configSnapshot: Map[String, String] = Map.empty,
   ): Unit = {
     import spark.implicits._
     val row = Seq((
@@ -140,6 +172,11 @@ object IngestJob {
     )).toDF("extraction_run_id", "source", "total_records",
       "inserted_records", "invalid_records", "duplicate_records",
       "success", "extraction_timestamp_ms")
+      .withColumn("failed_details", to_json(struct(
+        typedlit(result.report.errorCounts).as("error_counts"),
+        typedlit(result.report.sampleErrors).as("sample_errors"))))
+      .withColumn("config_snapshot", to_json(typedlit(configSnapshot)))
+      .withColumn("source_urls", to_json(typedlit(sourceUrls)))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(metadataPath))) {
@@ -148,9 +185,19 @@ object IngestJob {
           Seq("extraction_run_id"), Seq(col("extraction_timestamp_ms").desc))
       } else row
     val tmp = metadataPath + ".new"
+    val old = metadataPath + ".old"
     merged.write.mode("overwrite").parquet(tmp)
-    val (t, p) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(metadataPath))
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    val (tmpP, oldP, tgtP) = (
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(old),
+      new org.apache.hadoop.fs.Path(metadataPath))
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(tgtP) && !fs.rename(tgtP, oldP)) {
+      throw new java.io.IOException(s"recordMetadata: cannot retire $tgtP")
+    }
+    if (!fs.rename(tmpP, tgtP)) {
+      throw new java.io.IOException(s"recordMetadata: cannot publish $tmpP -> $tgtP")
+    }
+    if (fs.exists(oldP)) fs.delete(oldP, true)
   }
 }

@@ -47,6 +47,37 @@ object JsonlSource {
     readJsonl(spark, path, schema)
       .withColumn(LineOrderCol, monotonically_increasing_id())
 
+  /** Raw-line VARIANT column carried through the pipeline for P10
+    * lexical type rules. */
+  val VariantCol = "_raw_variant"
+
+  /** Ingest-path scan: typed fields (same Jackson parse semantics as
+    * [[readJsonl]]) PLUS the raw line as a VARIANT, so P10 lexical
+    * type rules can see the original JSON token types that
+    * schema-on-read erases. Corrupt = the line is not valid JSON
+    * (`try_parse_json` null) — a *well-formed* line with a wrong-typed
+    * field is NOT corrupt; its field reads null and the P10/required
+    * rules classify it invalid, exactly the reference's split
+    * (validator.py:390-426 vs database.py:633-665).
+    *
+    * Cost note: the line is parsed twice (Jackson + variant). Both are
+    * narrow codegen'd per-row work on a splittable text scan — at
+    * 100 TB this stays embarrassingly parallel; no shuffle is added. */
+  def readJsonlWithVariant(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parsed = spark.read
+      .text(path)
+      .filter(length(trim(col("value"))) > 0) // reference's `if line.strip()`
+      .withColumn(LineOrderCol, monotonically_increasing_id())
+      .withColumn(VariantCol, try_parse_json(col("value")))
+      .withColumn("_parsed", from_json(col("value"), schema, Map("mode" -> "PERMISSIVE")))
+    parsed.select(
+      schema.fieldNames.map(f => col(s"_parsed.$f").as(f)) ++ Seq(
+        when(col(VariantCol).isNull, col("value")).as(CorruptCol),
+        col(VariantCol),
+        col(LineOrderCol),
+      ): _*)
+  }
+
   /** Parse an in-memory column of JSONL lines against an enforced
     * schema — same semantics as [[readJsonl]] but usable on any string
     * column (e.g. a Kafka value or a test fixture). */

@@ -180,6 +180,73 @@ object Schemas {
       })
     }
 
+  /** P10: lexical JSON type tag per field, transcribed from the
+    * reference's validator schema tables (validator.py:123-276 `type`
+    * entries). Enforced by [[graft.validate.Rules.typeRule]] over the
+    * raw-line VARIANT, because schema-on-read erases token types.
+    *
+    * Documented deviation: entsoe `timestamp_ms` is `int_or_str` here
+    * (reference: `int`) because the load path legally receives legacy
+    * datetime *strings* that P5 coerces before insert (reference
+    * database.py:633-665); a lexical `int` rule on the raw token would
+    * reject records the reference's load path accepts. */
+  val lexicalTypes: Map[String, Seq[(String, String)]] = {
+    val env = Seq(
+      "extraction_run_id" -> "str",
+      "created_at_ms" -> "int",
+      "timestamp_ms" -> "int")
+    Map(
+      "npp" -> (env ++ Seq(
+        "plant" -> "str", "plant_and_unit" -> "str",
+        "generation_mwh" -> "float", "unit" -> "str_or_null_or_number",
+        "resolution_minutes" -> "int_or_null")),
+      "eia" -> (env ++ Seq(
+        "utility_id" -> "int_or_str", "plant_code" -> "int_or_str",
+        "generator_id" -> "int_or_str", "state" -> "str",
+        "prime_mover" -> "str", "net_generation_mwh" -> "float",
+        "fuel_source" -> "str_or_null", "energy_source" -> "str_or_null",
+        "resolution_minutes" -> "int_or_null",
+        "in_gcpt_crosswalk" -> "bool_or_null",
+        "eia_plant_unit_id" -> "str_or_null")),
+      "entsoe" -> (Seq(
+        "extraction_run_id" -> "str",
+        "created_at_ms" -> "int",
+        "timestamp_ms" -> "int_or_str") ++ Seq( // deviation, see above
+        "country_code" -> "str", "psr_type" -> "str",
+        "plant_name" -> "str", "fuel_type" -> "str", "data_type" -> "str",
+        "generation_mw" -> "float", "resolution_minutes" -> "int")),
+      "ons" -> (env ++ Seq(
+        "plant" -> "str", "generation_mwh" -> "float") ++
+        Seq("ons_plant_id", "plant_type", "fuel_type", "subsystem_id",
+          "subsystem", "state", "state_name", "operation_mode", "ceg")
+          .map(_ -> "str_or_null") ++
+        Seq("resolution_minutes" -> "int_or_null")),
+      "oe" -> (env ++ Seq(
+        "network_code" -> "str", "fueltech" -> "str",
+        "generation_mwh" -> "float",
+        "network_region" -> "str_or_null", "fueltech_group" -> "str_or_null",
+        "resolution_minutes" -> "int_or_null")),
+      "oe_facility" -> (env ++ Seq(
+        "network_code" -> "str", "facility_code" -> "str",
+        "facility_name" -> "str", "fueltech" -> "str",
+        "generation_mwh" -> "float",
+        "network_region" -> "str_or_null", "fueltech_group" -> "str_or_null",
+        "latitude" -> "float_or_null", "longitude" -> "float_or_null",
+        "capacity_registered_mw" -> "float_or_null",
+        "resolution_minutes" -> "int_or_null")),
+      "occto" -> (env ++ Seq(
+        "plant" -> "str", "generation_mwh" -> "float") ++
+        Seq("unit", "plant_code", "fuel_code", "fuel_type",
+          "area_code", "area_name").map(_ -> "str_or_null") ++
+        Seq("resolution_minutes" -> "int_or_null")),
+      "chile" -> (env ++ Seq(
+        "plant" -> "str", "generation_mwh" -> "float") ++
+        Seq("chile_plant_id", "fuel_type", "region", "comuna")
+          .map(_ -> "str_or_null") ++
+        Seq("resolution_minutes" -> "int_or_null")),
+    )
+  }
+
   /** Read-side schemas: the table schema plus legacy input fields the
     * enrichment renames away (reference database.py:493-499 NPP
     * `date`/`scrape_id`; :1629-1660 Chile `plant_id` + dropped geo

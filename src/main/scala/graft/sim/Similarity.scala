@@ -149,13 +149,16 @@ object Similarity {
     * assigned to their nearest centroid (the "coarse quantizer"); a
     * query scores only the lists of its `nprobe` nearest centroids.
     *
-    * Centroids here are seed vectors selected by `centroidFilter` and
-    * collected to the driver — the index-build step; C is small by
-    * construction (a real deployment would k-means them, the operator
-    * shape is identical). Assignment is then a pure narrow map (C
-    * codegen'd cosine kernels per row, no shuffle); the only shuffle
-    * is the hash join on centroid id plus the per-query top-k window.
-    * Recall/cost trades via nprobe. */
+    * Centroids here are seed vectors selected by `centroidFilter`,
+    * capped at `maxCentroids` (deterministically, by id order) and
+    * collected to the driver — the bounded index-build step; a real
+    * deployment would k-means a sample, the operator shape is
+    * identical. The centroid table ships to executors as ONE array
+    * literal (plan size O(1), not O(C) expression terms), so
+    * assignment is a pure narrow map — C native cosine kernels per
+    * row, no shuffle; the only shuffle is the hash join on centroid
+    * id plus the per-query top-k window. Recall/cost trades via
+    * nprobe. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -166,23 +169,28 @@ object Similarity {
       k: Int,
       centroidFilter: Column,
       nprobe: Int = 2,
+      maxCentroids: Int = 256,
   ): DataFrame = {
-    val cents: Array[(Int, Seq[Float])] = corpus
+    val cents: Seq[(Int, Seq[Double])] = corpus
       .filter(centroidFilter)
-      .select(col(vecCol))
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(maxCentroids)
       .collect()
+      .toIndexedSeq
       .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](0)) }
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
+    require(cents.nonEmpty, "centroidFilter matched no seed vectors")
+
+    // One literal column holding all centroids: array<struct<_1:cid,_2:vec>>.
+    val centLit = typedlit(cents)
 
     def simToCentroids(vec: Column): Column =
-      array(cents.map { case (cid, cvec) =>
-        struct(cosine(vec, lit(cvec.toArray)).as("sim"), lit(cid).as("cid"))
-      }: _*)
+      transform(centLit, c =>
+        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid")))
 
     def nearestCentroid(vec: Column): Column =
-      greatest(cents.map { case (cid, cvec) =>
-        struct(cosine(vec, lit(cvec.toArray)).as("sim"), lit(cid).as("cid"))
-      }: _*).getField("cid")
+      array_max(simToCentroids(vec)).getField("cid")
 
     val assigned = corpus.withColumn("_cid", nearestCentroid(col(vecCol)))
     val probes = queries

@@ -131,7 +131,15 @@ object IdempotentAppend {
       incomingCount = Some(incoming.count()))
   }
 
-  /** Stage-then-rename append; returns appended row count. */
+  /** Stage-then-rename append; returns appended row count.
+    *
+    * Hadoop FileSystem reports most rename/mkdirs failures by
+    * returning false rather than throwing, so every move is checked
+    * and a failure throws BEFORE the staging dir is deleted — a
+    * silently-dropped part file would otherwise be unrecoverable data
+    * loss reported as success. On failure the staging dir is left in
+    * place for inspection; the next idempotent run is unaffected
+    * (staging dirs are never read as table data). */
   def atomicAppend(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val staging = tablePath.stripSuffix("/") + s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     val cached = df.cache()
@@ -140,11 +148,16 @@ object IdempotentAppend {
       cached.write.mode(SaveMode.Overwrite).parquet(staging)
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val target = new Path(tablePath)
-      if (!fs.exists(target)) fs.mkdirs(target)
+      if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
+        throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")
+      }
       val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
       parts.foreach { p =>
         val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
-        fs.rename(p.getPath, dst)
+        if (!fs.rename(p.getPath, dst)) {
+          throw new java.io.IOException(
+            s"atomicAppend: rename ${p.getPath} -> $dst failed; staging left at $staging")
+        }
       }
       fs.delete(new Path(staging), true)
     }

@@ -276,44 +276,55 @@ object TextDedup {
   // SimHash
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens, as a bit *array*: bit i of each
-    * token's murmur3 hash votes ±1 into counter i; the counter's sign
-    * is the output bit. Backed by the native
-    * [[graft.functions.SimHashBits]] expression — one JVM loop per
-    * row, no shuffle. */
-  def simhashBits(text: Column, nBits: Int = 64): Column =
-    call_function("graft_simhash_bits",
-      TextAnalysis.tokens(TextAnalysis.normalized(text)), lit(nBits))
+  /** 64-bit SimHash over word tokens, packed into one BIGINT: bit i of
+    * each token's murmur3 hash votes ±1 into counter i; the counter's
+    * sign is the output bit. Backed by the native
+    * [[graft.functions.SimHash64]] expression — one JVM loop per row,
+    * no shuffle — and a scalar column, so downstream band extraction
+    * (shift+mask) and hamming (`bit_count(a ^ b)`) stay inside
+    * whole-stage codegen, and external tools can sort/hash it. */
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash64",
+      TextAnalysis.tokens(TextAnalysis.normalized(text)))
 
-  /** Hamming distance between two bit-array signatures. */
-  def hammingBits(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+  /** Hamming distance between two packed 64-bit signatures: one XOR +
+    * popcount, fully codegen'd. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Band b (0-3) of a packed signature: bits [16b, 16b+16). */
+  private def band16(sig: Column, b: Int): Column =
+    shiftrightunsigned(sig, b * 16).bitwiseAND(lit(0xFFFFL))
 
   /** SimHash near-dup candidates by band collision: split the 64-bit
     * signature into 4×16-bit bands; near-identical docs (hamming ≤ 3)
     * must collide on ≥1 band (pigeonhole). Same explode-join shape as
-    * MinHash LSH — never O(n²). */
+    * MinHash LSH — never O(n²). Each pair is emitted from exactly its
+    * first colliding band (a shift/mask predicate on the XOR of the
+    * two scalars), so no post-join DISTINCT shuffle is needed. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
   ): DataFrame = {
-    val sigs = docs.select(col(idCol), simhashBits(col(textCol)).as("sig"))
+    val sigs = docs.select(col(idCol), simhash64(col(textCol)).as("sig"))
     val banded = sigs.select(
       col(idCol), col("sig"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * 16 + 1, 16)).as("bucket"))
+        struct(lit(b).as("band"), band16(col("sig"), b).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val firstBand = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, i) =>
+      when(band16(xor, i) === 0L, i).otherwise(acc)
+    }
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingBits(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      .filter(col("band") === firstBand)
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -20,7 +20,7 @@ object Validator {
   /** P17: annotate every row with its full violation list. */
   def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val errs = array(rules.map(r =>
-      when(coalesce(r.violated, lit(false)), lit(r.label))): _*)
+      when(coalesce(r.violated, lit(false)), r.messageCol)): _*)
     df.withColumn(ErrorsCol, filter(errs, e => e.isNotNull))
   }
 

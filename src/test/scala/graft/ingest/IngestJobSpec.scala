@@ -108,10 +108,37 @@ class IngestJobSpec extends SparkSpec {
     val f = write(npp(1767196019683L, "K 1", 1.0))
     val r = IngestJob.load(spark, "npp", f, table, runId, now)
     IngestJob.recordMetadata(spark, meta, r, now)
-    IngestJob.recordMetadata(spark, meta, r.copy(upsert = r.upsert.copy(inserted = 0)), now + 1)
+    IngestJob.recordMetadata(spark, meta, r.copy(upsert = r.upsert.copy(inserted = 0)), now + 1,
+      sourceUrls = Seq(f), configSnapshot = Map("source" -> "npp", "strict" -> "false"))
     val m = spark.read.parquet(meta)
     assert(m.count() == 1) // merged on run id
     assert(m.select("inserted_records").head().getLong(0) == 0) // latest won
+    // JSONB parity blobs (reference extraction_metadata.sql:35-37) round-trip
+    val blobs = m.select("failed_details", "config_snapshot", "source_urls").head()
+    assert(blobs.getString(0).contains("error_counts"))
+    assert(blobs.getString(1).contains("\"source\":\"npp\""))
+    assert(blobs.getString(2).contains(f))
+    val parsed = m.select(
+      from_json(col("source_urls"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)).as("u")).head().getSeq[String](0)
+    assert(parsed == Seq(f))
+  }
+
+  test("P10 in the pipeline: bool created_at_ms is a type error, not corrupt/missing") {
+    val f = write(
+      npp(1767196019683L, "K 1", 1.0),
+      s"""{"extraction_run_id":"$runId","created_at_ms":true,"timestamp_ms":1767196019683,"plant":"X","plant_and_unit":"X 1","generation_mwh":100.0}""",
+      s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":1767196019683,"plant":"Y","plant_and_unit":"Y 1","generation_mwh":"100.0"}""",
+      s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":1767196019683,"plant":"Z","plant_and_unit":"Z 1","generation_mwh":100}""",
+    )
+    val r = IngestJob.load(spark, "npp", f, freshTable(), runId, now)
+    assert(r.report.total == 4) // wrong-typed lines are NOT corrupt
+    assert(r.report.valid == 2) // line 1 + int-as-float line 4
+    assert(r.report.invalid == 2)
+    assert(r.report.errorCounts.contains("created_at_ms"))
+    assert(r.report.errorCounts.contains("generation_mwh"))
+    // the bool token is a type error, not "missing required field"
+    assert(!r.report.errorCounts.contains("missing required field"))
   }
 
   test("ingest → MV refresh end-to-end (registry over the warehouse)") {

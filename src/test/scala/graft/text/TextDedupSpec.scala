@@ -51,13 +51,17 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("simhash: identical normalized texts share signature; hamming 0") {
-    val sigs = docs.select(col("doc_id"), TextDedup.simhashBits(col("text")).as("sig"))
-    val s1 = sigs.filter(col("doc_id") === 1).select("sig").as[Seq[Int]].head()
-    val s2 = sigs.filter(col("doc_id") === 2).select("sig").as[Seq[Int]].head()
-    val s4 = sigs.filter(col("doc_id") === 4).select("sig").as[Seq[Int]].head()
+    val sigs = docs.select(col("doc_id"), TextDedup.simhash64(col("text")).as("sig"))
+    val s1 = sigs.filter(col("doc_id") === 1).select("sig").as[Long].head()
+    val s2 = sigs.filter(col("doc_id") === 2).select("sig").as[Long].head()
+    val s4 = sigs.filter(col("doc_id") === 4).select("sig").as[Long].head()
     assert(s1 == s2)
     assert(s1 != s4)
-    assert(s1.size == 64 && s1.forall(b => b == 0 || b == 1))
+    val h12 = sigs.filter(col("doc_id") === 1)
+      .crossJoin(sigs.filter(col("doc_id") === 2).select(col("sig").as("sig2")))
+      .select(TextDedup.hamming64(col("sig"), col("sig2")).cast("int"))
+      .as[Int].head()
+    assert(h12 == 0)
   }
 
   test("simhashPairs finds the identical pair via band collision") {

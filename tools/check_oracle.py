@@ -53,6 +53,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: row counts differ: oracle={len(e_n)} spark={len(a_n)}")
             failures += 1
             continue
+        # The driver's hash compare is value-repr sensitive: int64 vs int32
+        # or datetime64 vs date hash the same (r1 evidence: a8/i1/i3/t1 all
+        # passed), but float vs int does NOT (4994.0 != 4994 — the HUGEINT ->
+        # float64 trap that turned three r1 rows red). Flag exactly that class.
+        def kind(d):
+            k = d.kind
+            return "num_f" if k == "f" else ("num_i" if k in "iu" else k)
+        dtype_diffs = [
+            f"col {c}: oracle dtype={e_n[c].dtype} spark dtype={a_n[c].dtype}"
+            for c in e_n.columns
+            if kind(e_n[c].dtype) != kind(a_n[c].dtype)
+            and {kind(e_n[c].dtype), kind(a_n[c].dtype)} & {"num_f", "num_i", "b"}
+        ]
+        if dtype_diffs:
+            print(f"FAIL {name}: " + "; ".join(dtype_diffs[:3]))
+            failures += 1
+            continue
         diffs = []
         for c in e_n.columns:
             ev, av = e_n[c], a_n[c]
@@ -68,7 +85,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(e_n)} rows)")
-    print(f"\n{len(oracles) - failures}/{len(oracles)} oracles match")
+    # Rows-only queries (no oracle): mimic the driver, which still loads the
+    # parquet and sorts rows by value — an unsortable column (e.g. an
+    # array<int> -> numpy.ndarray cell) errors there even without an oracle.
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            df = pd.read_parquet(f"{out_dir}/{name}")
+            df.reindex(sorted(df.columns), axis=1).sort_values(
+                by=sorted(df.columns), kind="mergesort")
+            print(f"OK   {name} (rows-only, {len(df)} rows)")
+        except Exception as e:
+            print(f"FAIL {name}: rows-only sort errored: {type(e).__name__}: {e}")
+            failures += 1
+    print(f"\n{failures} failures across oracle + rows-only checks")
     return 1 if failures else 0
 
 
