@@ -46,13 +46,15 @@ object TextDedup {
     * turns an inlined tokenization into O(n²) regex work per row (and
     * HOFs are interpreted, not codegen'd). Callers bind tokens with
     * [[withTokens]] first. */
-  def shinglesOfTokens(toks: Column, k: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))),
-    )
-    array_distinct(grams)
-  }
+  def shinglesOfTokens(toks: Column, k: Int): Column =
+    if (k == 1) array_distinct(toks) // word-set fast path: no slice/concat HOF
+    else {
+      val grams = transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))),
+      )
+      array_distinct(grams)
+    }
 
   /** Bind normalized tokens + distinct k-shingles as real columns so
     * downstream HOFs evaluate them once per row. */
@@ -157,13 +159,29 @@ object TextDedup {
 
   /** Candidates → verified pairs over a pre-hashed (id, sh) frame.
     *
-    * Shuffle-minimal shape: bands are exploded with the signature and
-    * hashed shingles carried along, so the bucket self-join emits the
-    * final verified pairs directly — the `band == first_colliding_band`
-    * predicate makes each pair come out of exactly one band (replacing
-    * a multi-million-row DISTINCT shuffle), and jaccard verification
-    * runs inline as a native merge. One exchange per side, no
-    * post-join shuffle at all. */
+    * Shuffle-minimal shape, three stages:
+    *
+    *  1. Explode bands and group by (band, bucket) carrying only
+    *     (id, signature) — ~130 B/row, never the multi-KB shingle
+    *     arrays. ONE exchange of b×N slim rows (the old self-join
+    *     shuffled the full payload twice and recomputed the whole
+    *     signature lineage once per side).
+    *  2. Enumerate candidate pairs inside each bucket with the native
+    *     [[graft.functions.BucketPairs]] kernel: a pair must (a) have
+    *     this band as its first fully-agreeing band — emitted exactly
+    *     once across bands, no DISTINCT — and (b) agree on
+    *     ≥ (threshold − 0.25)·H signature components. The signature is
+    *     an unbiased jaccard estimator, so the floor rejects the mass
+    *     of low-jaccard candidates at ~100 ns each WITHOUT ever
+    *     materializing them as rows (miss probability for a true
+    *     j ≥ threshold pair is ~1e-5: Binomial tail 4+σ below mean).
+    *  3. Fetch shingle arrays for the few survivors by id (hash joins
+    *     on a small set) and verify exact jaccard with the native
+    *     sorted-merge kernel.
+    *
+    * Skew: a hot bucket costs O(B²) signature compares in one task —
+    * two orders of magnitude cheaper per candidate than the row-based
+    * join it replaces; banding width controls B at scale. */
   private def nearDupPairsOfHashed(
       hashed: DataFrame,
       idCol: String,
@@ -172,19 +190,24 @@ object TextDedup {
       bands: Int,
   ): DataFrame = {
     val rpb = numHashes / bands
+    val minAgree = math.max(0, math.ceil((threshold - 0.25) * numHashes).toInt)
     val banded = hashed
       .withColumn("_sig", minhashSignature(col("sh"), numHashes))
-      .select(col(idCol), col("sh"), col("_sig"),
+      .select(col(idCol), col("_sig"),
         explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
-      .select(col(idCol), col("sh"), col("_sig"),
+      .select(col(idCol).cast("long").as("_mid"), col("_sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"), col("_sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"), col("_sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(call_function("graft_first_band", col("sig_a"), col("sig_b"), lit(rpb)) === col("band"))
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("_mid"), col("_sig"))).as("_members"))
+      .filter(size(col("_members")) > 1)
+      .select(explode(call_function("graft_bucket_pairs",
+        col("_members"), lit(rpb), col("band"), lit(minAgree))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+    val sh = hashed.select(col(idCol), col("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
