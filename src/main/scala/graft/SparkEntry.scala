@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.{Rollups, Stats}
 import graft.dedup.Dedup
-import graft.incr.Watermarks
-import graft.ingest.Enrich
+import graft.incr.{Backfill, Watermarks}
+import graft.ingest.{Enrich, IngestJob, JsonlSource}
 import graft.multimodal.Multimodal
 import graft.quality.Drift
+import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
 import graft.text.{TextAnalysis, TextDedup}
 import graft.validate.{Rules, Validator}
+import graft.views.{GenerationViews, Refresh}
+import graft.warehouse.Warehouse
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference training-data operators), each
@@ -574,6 +577,273 @@ object SparkEntry {
         .extractFeaturesDf(s, media)
         .select("media_id", "media_type", "n_bytes", "width", "height", "checksum")
     }),
+
+    // --- Warehouse lifecycle / sinks (S5, S6, S8–S11, S10, P19, P20, I5) ---
+
+    // S5: create every declared table, then read each one's schema back
+    // from the written parquet — the declared column counts must
+    // round-trip through the storage layer.
+    "s5_create_tables" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-s5").toString
+      Warehouse.createWarehouse(s, wh)
+      Warehouse.createAllTables(s, wh)
+      Schemas.schemas.keys.toSeq.sorted
+        .map(src => (src, s.read.parquet(Warehouse.tablePath(wh, src)).schema.fields.length))
+        .toDF("table_name", "column_count")
+    }),
+
+    // S6: warehouse bootstrap — dir exists, all 8 tables registered.
+    "s6_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-s6").toString
+      Warehouse.createWarehouse(s, wh)
+      Warehouse.createAllTables(s, wh)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(wh))
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+        .count(_.getPath.getName.endsWith("_generation_data"))
+      Seq((exists, n)).toDF("warehouse_exists", "table_count")
+    }),
+
+    // S8: per-year CSV export round-trip — counts by year must survive
+    // the partitioned CSV write + read (reference database.py:893-898).
+    "s8_csv_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-s8").toString
+      val src = events(s, dir).select(col("event_id"), col("value"), year(col("ts")).as("yr"))
+      Warehouse.exportCsvByYear(src, "yr", out)
+      s.read.option("header", "true")
+        .schema("event_id LONG, value DOUBLE, yr INT")
+        .csv(out)
+        .groupBy(col("yr")).agg(count(lit(1)).as("record_count"))
+    }),
+
+    // S9: validation-report JSON sink round-trip — the counts written
+    // by the report sink must read back equal to the direct aggregate.
+    "s9_report_json" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-s9").resolve("report.json").toString
+      val row = Validator.summary(annotatedEvents(s, dir)).head()
+      Warehouse.saveJsonReport(p, Seq(
+        "total_records" -> row.getLong(0),
+        "valid_records" -> row.getLong(1),
+        "invalid_records" -> row.getLong(2)))
+      s.read.json(p).select("total_records", "valid_records", "invalid_records")
+    }),
+
+    // S10: truncate with pre-count — fill an npp-shaped table from
+    // events, truncate, re-read (reference database.py:910-935).
+    "s10_truncate" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-s10").toString
+      val fact = events(s, dir).select(
+        lit(RunId).as("extraction_run_id"),
+        lit(NowMs).as("created_at_ms"),
+        unix_millis(col("ts")).as("timestamp_ms"),
+        lit(1440).as("resolution_minutes"),
+        col("event_type").as("plant"),
+        concat_ws(" ", col("event_type"), col("user_id")).as("plant_and_unit"),
+        lit(null).cast("string").as("unit"),
+        col("value").as("generation_mwh"))
+      fact.write.parquet(Warehouse.tablePath(wh, "npp"))
+      val before = Warehouse.truncateTable(s, wh, "npp")
+      val after = s.read.parquet(Warehouse.tablePath(wh, "npp")).count()
+      Seq((before, after)).toDF("before_records", "after_records")
+    }),
+
+    // S11: drift-report JSON sink round-trip (missing-key count).
+    "s11_drift_report" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-s11").resolve("drift.json").toString
+      val missing = Drift.missingFromCrosswalk(
+        tbl(s, dir, "customer"), col("c_nationkey"),
+        tbl(s, dir, "nation"), col("n_nationkey"), col("n_regionkey") <= 2).count()
+      Warehouse.saveJsonReport(p, Seq("missing_count" -> missing))
+      s.read.json(p).select("missing_count")
+    }),
+
+    // P19: SQL-identifier guard over edge-case names (reference
+    // database.py:111-156); oracle re-derives via regex in DuckDB.
+    "p19_identifier_guard" -> ((s, dir) => {
+      import s.implicits._
+      val names = Seq("npp", "entsoe_generation_data", "_ok", "ok_2",
+        "bad-name", "1bad", "has space", "drop;table", "", "a" * 63, "a" * 64)
+      names.map(n => (n, Warehouse.isValidIdentifier(n))).toDF("name", "is_valid")
+    }),
+
+    // P20: empty-input guard — 0-record file is a success no-op.
+    "p20_empty_guard" -> ((s, dir) => {
+      import s.implicits._
+      val f = java.nio.file.Files.createTempDirectory("graft-p20").resolve("empty.jsonl")
+      java.nio.file.Files.writeString(f, "")
+      val df = JsonlSource.readJsonlWithVariant(s, f.toString, Schemas.readSchemas("npp"))
+      Seq((Warehouse.isEmptyInput(df), df.count())).toDF("is_empty", "record_count")
+    }),
+
+    // I5: retry-with-backoff — two IOException failures then success.
+    "i5_retry_backoff" -> ((s, dir) => {
+      import s.implicits._
+      var attempts = 0
+      val result = Warehouse.withRetry(attempts = 3, baseDelayMs = 1, maxDelayMs = 4) {
+        attempts += 1
+        if (attempts < 3) throw new java.io.IOException("transient")
+        "ok"
+      }
+      Seq((attempts, result == "ok")).toDF("attempts_used", "succeeded")
+    }),
+
+    // --- Enrichment edge operators (P3, P4, P8) ------------------------
+
+    // P3: legacy renames — npp date(seconds)→timestamp_ms + scrape_id
+    // drop, chile plant_id→chile_plant_id (value-level coalesces).
+    "p3_legacy_renames" -> ((s, dir) => {
+      val legacy = events(s, dir).select(
+        col("event_id"),
+        (unix_millis(col("ts")) / 1000L).cast("long").as("date"),
+        lit("legacy-run").as("scrape_id"),
+        col("user_id").cast("string").as("plant_id"))
+      Enrich.chileLegacyRename(Enrich.nppLegacyRename(legacy))
+        .select("event_id", "timestamp_ms", "chile_plant_id")
+    }),
+
+    // P4: numeric ids → string (EIA utility/plant/generator ids).
+    "p4_ids_to_string" -> ((s, dir) =>
+      Enrich.idsToString(tbl(s, dir, "orders"), Seq("o_orderkey", "o_custkey"))
+        .select("o_orderkey", "o_custkey")),
+
+    // P8: missing optional columns default to NULL of declared type /
+    // per-source resolution default.
+    "p8_default_missing" -> ((s, dir) => {
+      val base = events(s, dir).select("event_id")
+      Enrich.defaultResolution(
+        Enrich.defaultMissing(base, Map("fuel_source" -> "string")), 60)
+        .select("event_id", "fuel_source", "resolution_minutes")
+    }),
+
+    // --- Validation predicates as standalone ops (P11, P14, P16) ------
+
+    // P11: UUID predicate over md5-derived uuids (every 10th corrupted).
+    "p11_uuid_check" -> ((s, dir) => {
+      val h = md5(col("event_id").cast("string"))
+      val u = concat(
+        substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+        substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+        substring(h, 21, 12))
+      val uuid = when(col("event_id") % 10 === 0, regexp_replace(u, "-", "_")).otherwise(u)
+      events(s, dir).select(
+        col("event_id"), uuid.as("run_uuid"), Rules.isUuid(uuid).as("is_valid"))
+    }),
+
+    // P14: US-state predicate over edge-case codes.
+    "p14_state_check" -> ((s, dir) => {
+      import s.implicits._
+      Seq("CA", "ny", "DC", "pr", "ZZ", "Cali", "", "A L", "wa ", "GU")
+        .toDF("code")
+        .select(col("code"), Rules.isUsStateCode(col("code")).as("is_valid"))
+    }),
+
+    // P16: positive-number predicate as a per-type conditional count.
+    "p16_positive_check" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(when(Rules.isPositive(col("value")), 1)).as("positive_count"))),
+
+    // --- Rollups / views (A3, M1, M2) ----------------------------------
+
+    // A3: MWh passthrough monthly rollup (no unit conversion —
+    // reference materialized_views.sql:55-65).
+    "a3_passthrough_rollup" -> ((s, dir) =>
+      Rollups.monthly(
+        events(s, dir), col("ts"),
+        Seq("fuel_type" -> col("event_type")),
+        col("value").cast("decimal(18,2)"))
+        .withColumn("total_generation_mwh", col("total_generation_mwh").cast("double"))),
+
+    // M1: the MV registry itself — source → view-name map (reference
+    // refresh_views.py:24-34).
+    "m1_view_definitions" -> ((s, dir) => {
+      import s.implicits._
+      GenerationViews.registry("wh").bySource.toSeq
+        .flatMap { case (src, views) => views.map(v => (src, v.name)) }
+        .toDF("source", "view_name")
+    }),
+
+    // M2: refresh a view through the atomic swap and read it back.
+    "m2_view_refresh" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-m2").toString
+      val fact = events(s, dir).select(
+        lit(RunId).as("extraction_run_id"),
+        lit(NowMs).as("created_at_ms"),
+        unix_millis(col("ts")).as("timestamp_ms"),
+        lit(1440).as("resolution_minutes"),
+        col("event_type").as("plant"),
+        concat_ws(" ", col("event_type"), col("user_id")).as("plant_and_unit"),
+        lit(null).cast("string").as("unit"),
+        col("value").as("generation_mwh"))
+      fact.write.parquet(GenerationViews.factPath(wh, "npp"))
+      Refresh.refreshForSources(s, wh, GenerationViews.registry(wh), Seq("npp"))
+      s.read.parquet(Refresh.viewPath(wh, "mv_npp_row_counts"))
+        .select("month", "row_count")
+    }),
+
+    // --- Incremental edges (I2, I4, I8, I9) ----------------------------
+
+    // I2: override-window resolution (blank falls through to computed).
+    "i2_override_resolution" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq(
+        (Option(""), "2024-03-05"),
+        (Option("   "), "2021-01-01"),
+        (Option("2023-07-01"), "2021-01-01"),
+        (Option.empty[String], "2020-06-15"))
+      cases.map { case (o, f) =>
+        (o.orNull, f, Watermarks.resolveOverride(o, java.time.LocalDate.parse(f)).toString)
+      }.toDF("override", "fallback", "resolved")
+    }),
+
+    // I4: long-window warning with month-clamped addition edges.
+    "i4_long_window_flag" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq(
+        ("2020-01-01", "2020-12-31"), ("2020-01-31", "2021-01-30"),
+        ("2020-01-01", "2021-01-02"), ("2019-02-28", "2020-02-28"),
+        ("2023-01-31", "2024-02-01"), ("2024-02-29", "2025-03-01"))
+      cases.map { case (a, b) =>
+        (a, b, Watermarks.windowTooLong(
+          java.time.LocalDate.parse(a), java.time.LocalDate.parse(b)))
+      }.toDF("start_date", "end_date", "too_long")
+    }),
+
+    // I8: extraction-metadata row through the full load pipeline
+    // (valid + in-file dup + invalid record → pinned accounting).
+    "i8_metadata_row" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-i8")
+      val jsonl = tmp.resolve("in.jsonl")
+      val ts = 1704067200000L // 2024-01-01, inside the frozen "now" window
+      java.nio.file.Files.writeString(jsonl, Seq(
+        s"""{"extraction_run_id":"$RunId","created_at_ms":$NowMs,"timestamp_ms":$ts,"plant":"P","plant_and_unit":"P 1","generation_mwh":10.5,"resolution_minutes":1440}""",
+        s"""{"extraction_run_id":"$RunId","created_at_ms":$NowMs,"timestamp_ms":$ts,"plant":"P","plant_and_unit":"P 1","generation_mwh":99.0,"resolution_minutes":1440}""",
+        s"""{"extraction_run_id":"$RunId","created_at_ms":$NowMs,"timestamp_ms":$ts,"plant":"Q","plant_and_unit":"Q 1","generation_mwh":-1.0,"resolution_minutes":1440}""",
+      ).mkString("\n"))
+      val result = IngestJob.load(
+        s, "npp", jsonl.toString, tmp.resolve("table").toString, RunId, NowMs)
+      IngestJob.recordMetadata(s, tmp.resolve("meta").toString, result, NowMs,
+        sourceUrls = Seq("in.jsonl"), configSnapshot = Map("source" -> "npp"))
+      s.read.parquet(tmp.resolve("meta").toString)
+        .select("source", "total_records", "inserted_records",
+          "invalid_records", "duplicate_records", "success")
+    }),
+
+    // I9: metadata date backfill from fact timestamps (NULL-only fill).
+    "i9_backfill_dates" -> ((s, dir) => {
+      val fact = tbl(s, dir, "orders").select(
+        col("o_orderpriority").as("extraction_run_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("timestamp_ms"))
+      val pinned = col("extraction_run_id").isin("1-URGENT", "3-MEDIUM")
+      val metadata = fact.select("extraction_run_id").distinct()
+        .withColumn("start_date", when(pinned, lit("1990-01-01")))
+        .withColumn("end_date", when(pinned, lit("1990-12-31")))
+      Backfill.backfillDates(metadata, fact)
+        .select("extraction_run_id", "start_date", "end_date")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -964,5 +1234,176 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'image' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // --- Warehouse lifecycle / sinks -----------------------------------
+
+    "s5_create_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('chile', 10), ('eia', 14), ('entsoe', 10), ('npp', 8),
+        |  ('occto', 12), ('oe', 9), ('oe_facility', 14), ('ons', 15)
+        |) t(table_name, column_count)""".stripMargin,
+
+    "s6_bootstrap" ->
+      "SELECT TRUE AS warehouse_exists, CAST(8 AS INT) AS table_count",
+
+    "s8_csv_export" ->
+      """SELECT CAST(year(ts) AS INT) AS yr, COUNT(*) AS record_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "s9_report_json" ->
+      """SELECT COUNT(*) AS total_records,
+        |  CAST(SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
+        |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
+        |        AND user_id IS NOT NULL AND user_id <= 9
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+        |  CAST(SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
+        |        AND event_type IS NOT NULL AND TRIM(event_type) <> ''
+        |        AND epoch_ms(ts) IS NOT NULL AND epoch_ms(ts) > 0 AND epoch_ms(ts) <= 1705363200000
+        |        AND user_id IS NOT NULL AND user_id <= 9
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS invalid_records
+        |FROM events""".stripMargin,
+
+    "s10_truncate" ->
+      """SELECT (SELECT COUNT(*) FROM events) AS before_records,
+        |  CAST(0 AS BIGINT) AS after_records""".stripMargin,
+
+    "s11_drift_report" ->
+      """SELECT COUNT(*) AS missing_count FROM (
+        |  SELECT DISTINCT c_nationkey FROM customer
+        |  WHERE c_nationkey IS NOT NULL
+        |    AND c_nationkey NOT IN (
+        |      SELECT n_nationkey FROM nation
+        |      WHERE n_regionkey <= 2 AND n_nationkey IS NOT NULL))""".stripMargin,
+
+    "p19_identifier_guard" ->
+      """WITH t(name) AS (
+        |  SELECT 'npp' UNION ALL SELECT 'entsoe_generation_data'
+        |  UNION ALL SELECT '_ok' UNION ALL SELECT 'ok_2'
+        |  UNION ALL SELECT 'bad-name' UNION ALL SELECT '1bad'
+        |  UNION ALL SELECT 'has space' UNION ALL SELECT 'drop;table'
+        |  UNION ALL SELECT '' UNION ALL SELECT repeat('a', 63)
+        |  UNION ALL SELECT repeat('a', 64))
+        |SELECT name, regexp_matches(name, '^[A-Za-z_][A-Za-z0-9_]{0,62}$') AS is_valid
+        |FROM t""".stripMargin,
+
+    "p20_empty_guard" ->
+      "SELECT TRUE AS is_empty, CAST(0 AS BIGINT) AS record_count",
+
+    "i5_retry_backoff" ->
+      "SELECT CAST(3 AS INT) AS attempts_used, TRUE AS succeeded",
+
+    // --- Enrichment edges ----------------------------------------------
+
+    "p3_legacy_renames" ->
+      """SELECT event_id,
+        |  (epoch_ms(ts) // 1000) * 1000 AS timestamp_ms,
+        |  CAST(user_id AS VARCHAR) AS chile_plant_id
+        |FROM events""".stripMargin,
+
+    "p4_ids_to_string" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey
+        |FROM orders""".stripMargin,
+
+    "p8_default_missing" ->
+      """SELECT event_id, CAST(NULL AS VARCHAR) AS fuel_source,
+        |  CAST(60 AS INT) AS resolution_minutes
+        |FROM events""".stripMargin,
+
+    // --- Validation predicates -----------------------------------------
+
+    "p11_uuid_check" ->
+      """WITH u AS (SELECT event_id,
+        |  substring(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+        |  substring(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+        |  substring(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+        |  substring(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+        |  substring(md5(CAST(event_id AS VARCHAR)), 21, 12) AS base
+        |FROM events)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN replace(base, '-', '_') ELSE base END AS run_uuid,
+        |  regexp_matches(
+        |    CASE WHEN event_id % 10 = 0 THEN replace(base, '-', '_') ELSE base END,
+        |    '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS is_valid
+        |FROM u""".stripMargin,
+
+    "p14_state_check" ->
+      """SELECT v AS code, upper(v) IN (
+        |  'AL','AK','AZ','AR','CA','CO','CT','DE','FL','GA',
+        |  'HI','ID','IL','IN','IA','KS','KY','LA','ME','MD',
+        |  'MA','MI','MN','MS','MO','MT','NE','NV','NH','NJ',
+        |  'NM','NY','NC','ND','OH','OK','OR','PA','RI','SC',
+        |  'SD','TN','TX','UT','VT','VA','WA','WV','WI','WY',
+        |  'DC','AS','GU','MP','PR','VI') AS is_valid
+        |FROM (VALUES ('CA'),('ny'),('DC'),('pr'),('ZZ'),('Cali'),(''),('A L'),('wa '),('GU')) t(v)""".stripMargin,
+
+    "p16_positive_check" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value IS NOT NULL AND value > 0) AS positive_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // --- Rollups / views -----------------------------------------------
+
+    "a3_passthrough_rollup" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m-01') AS month,
+        |  event_type AS fuel_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_generation_mwh
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "m1_view_definitions" ->
+      """SELECT * FROM (VALUES
+        |  ('entsoe', 'mv_entsoe_monthly'), ('entsoe', 'mv_entsoe_plant_monthly'), ('entsoe', 'mv_entsoe_row_counts'),
+        |  ('ons', 'mv_ons_monthly'), ('ons', 'mv_ons_plant_monthly'), ('ons', 'mv_ons_row_counts'),
+        |  ('npp', 'mv_npp_monthly'), ('npp', 'mv_npp_plant_monthly'), ('npp', 'mv_npp_row_counts'),
+        |  ('occto', 'mv_occto_monthly'), ('occto', 'mv_occto_plant_monthly'), ('occto', 'mv_occto_row_counts'),
+        |  ('chile', 'mv_chile_monthly'), ('chile', 'mv_chile_plant_monthly'), ('chile', 'mv_chile_row_counts'),
+        |  ('eia', 'mv_eia_row_counts'), ('oe', 'mv_oe_row_counts'), ('oe_facility', 'mv_oe_facility_row_counts')
+        |) t(source, view_name)""".stripMargin,
+
+    "m2_view_refresh" ->
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m-01') AS month,
+        |  COUNT(*) AS row_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // --- Incremental edges ---------------------------------------------
+
+    "i2_override_resolution" ->
+      """SELECT o AS override, f AS fallback,
+        |  CASE WHEN o IS NULL OR TRIM(o) = '' THEN f ELSE o END AS resolved
+        |FROM (VALUES ('', '2024-03-05'), ('   ', '2021-01-01'),
+        |  ('2023-07-01', '2021-01-01'), (NULL, '2020-06-15')) t(o, f)""".stripMargin,
+
+    "i4_long_window_flag" ->
+      """SELECT s AS start_date, e AS end_date,
+        |  (CAST(s AS DATE) + INTERVAL 12 MONTH) < CAST(e AS DATE) AS too_long
+        |FROM (VALUES ('2020-01-01', '2020-12-31'), ('2020-01-31', '2021-01-30'),
+        |  ('2020-01-01', '2021-01-02'), ('2019-02-28', '2020-02-28'),
+        |  ('2023-01-31', '2024-02-01'), ('2024-02-29', '2025-03-01')) t(s, e)""".stripMargin,
+
+    "i8_metadata_row" ->
+      """SELECT 'npp' AS source, CAST(3 AS BIGINT) AS total_records,
+        |  CAST(1 AS BIGINT) AS inserted_records, CAST(1 AS BIGINT) AS invalid_records,
+        |  CAST(1 AS BIGINT) AS duplicate_records, FALSE AS success""".stripMargin,
+
+    "i9_backfill_dates" ->
+      """WITH fact AS (
+        |  SELECT o_orderpriority AS extraction_run_id,
+        |    epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS timestamp_ms
+        |  FROM orders),
+        |meta AS (
+        |  SELECT DISTINCT extraction_run_id,
+        |    CASE WHEN extraction_run_id IN ('1-URGENT', '3-MEDIUM') THEN '1990-01-01' END AS start_date,
+        |    CASE WHEN extraction_run_id IN ('1-URGENT', '3-MEDIUM') THEN '1990-12-31' END AS end_date
+        |  FROM fact),
+        |ranges AS (
+        |  SELECT extraction_run_id,
+        |    strftime(epoch_ms(MIN(timestamp_ms)), '%Y-%m-%d') AS ds,
+        |    strftime(epoch_ms(MAX(timestamp_ms)), '%Y-%m-%d') AS de
+        |  FROM fact GROUP BY 1)
+        |SELECT m.extraction_run_id,
+        |  COALESCE(m.start_date, r.ds) AS start_date,
+        |  COALESCE(m.end_date, r.de) AS end_date
+        |FROM meta m LEFT JOIN ranges r USING (extraction_run_id)""".stripMargin,
   )
 }

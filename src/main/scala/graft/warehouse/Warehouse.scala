@@ -20,8 +20,10 @@ object Warehouse {
     * they reach a path or SQL string. */
   private val IdentifierRe = "^[A-Za-z_][A-Za-z0-9_]{0,62}$".r
 
+  def isValidIdentifier(name: String): Boolean = IdentifierRe.matches(name)
+
   def requireValidIdentifier(name: String): String = {
-    require(IdentifierRe.matches(name), s"invalid identifier: '$name'")
+    require(isValidIdentifier(name), s"invalid identifier: '$name'")
     name
   }
 
