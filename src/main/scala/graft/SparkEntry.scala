@@ -570,12 +570,28 @@ object SparkEntry {
         .asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
         .select("media_id", "media_type", "n_bytes")),
 
-    // Stubbed decode via partition-batched mapPartitions — no oracle.
+    // Real javax.imageio decode over synthesized PNG payloads: the
+    // codec round-trip is exact (lossless PNG, uniform fill), so
+    // dimensions and channel means are oracle-reproducible from the
+    // id arithmetic in ImageIoCodec.synthPng.
     "mm2_media_features" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      val media = Multimodal.asSyntheticImageTable(s, tbl(s, dir, "documents"), "doc_id")
       Multimodal
-        .extractFeaturesDf(s, media)
-        .select("media_id", "media_type", "n_bytes", "width", "height", "checksum")
+        .extractImageFeatures(s, media)
+        .select("media_id", "media_type", "decoded", "width", "height",
+          "mean_r", "mean_g", "mean_b")
+    }),
+
+    // Real codec thumbnail: decode → rescale → re-encode → decode; a
+    // solid-fill source keeps the rescale exact, so the round-trip is
+    // oracle-checkable too.
+    "mm3_thumbnail" -> ((s, dir) => {
+      val media = Multimodal.asSyntheticImageTable(s, tbl(s, dir, "documents"), "doc_id")
+      val thumbs = Multimodal.resizeImages(s, media, 20, 12)
+      Multimodal
+        .extractImageFeatures(s, thumbs)
+        .select("media_id", "decoded", "width", "height",
+          "mean_r", "mean_g", "mean_b")
     }),
 
     // --- Warehouse lifecycle / sinks (S5, S6, S8–S11, S10, P19, P20, I5) ---
@@ -1233,6 +1249,26 @@ object SparkEntry {
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // Mirrors ImageIoCodec.synthPng's id arithmetic: the Spark side
+    // decodes real PNG bytes; the oracle recomputes what the decode
+    // must yield.
+    "mm2_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS media_type, TRUE AS decoded,
+        |  CAST(16 + doc_id % 16 AS INT) AS width,
+        |  CAST(16 + (doc_id // 16) % 16 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id // 256) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id // 65536) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "mm3_thumbnail" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |  CAST(20 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id // 256) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id // 65536) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
 
     // --- Warehouse lifecycle / sinks -----------------------------------

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * implemented as partition-local batch transforms.
   *
   * The Spark-side plumbing — schema, binary payload column,
-  * partition-batched processing, typed output — is real; the actual
-  * media decode is STUBBED with a deterministic fake (the codec
-  * libraries are not available in this environment). Swap
-  * [[decodeStub]] for a real decoder (JNI/FFI per partition) without
-  * touching any other layer.
+  * partition-batched processing, typed output — is real. The IMAGE
+  * modality uses a real codec ([[ImageIoCodec]], `javax.imageio`
+  * PNG/JPEG decode + rescale) behind the pluggable [[ImageCodec]]
+  * trait; audio/video decode remains STUBBED with a deterministic
+  * fake (no codec libraries in this environment). Swap in another
+  * [[ImageCodec]] (JNI/FFI per partition) without touching any other
+  * layer.
   *
   * Scale notes: payloads stay distributed (no collect); decode runs
   * once per partition batch via `mapPartitions` so per-record library
@@ -42,6 +44,22 @@ object Multimodal {
       features: Array[Float], // STUB: 8-dim deterministic fake embedding
   )
 
+  /** Decoded-image features from the real codec path. `decoded` is
+    * false when the payload was not a decodable image and the
+    * deterministic stub supplied the values instead (audio/video, or
+    * corrupt bytes). */
+  final case class ImageFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+  )
+
   /** Wrap any table with a string column as a media table (test/demo
     * path: text bytes play the payload role). */
   def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -51,6 +69,75 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       octet_length(col(textCol)).cast("long").as("n_bytes"),
     )
+
+  /** Media table of REAL PNG payloads synthesized deterministically
+    * from the id column ([[ImageIoCodec.synthPng]]) — the image-path
+    * demo input where decode exercises an actual codec and the outputs
+    * are still oracle-reproducible by arithmetic on the id. */
+  def asSyntheticImageTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val png = ImageIoCodec.synthPng(id)
+          MediaRecord(id, "image", png, png.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Real decode / feature-extract: partition-batched, one codec
+    * instance per partition (library init amortized), stub fallback
+    * for non-image payloads so mixed-modality tables still flow. */
+  def extractImageFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      codecFactory: () => ImageCodec = () => new ImageIoCodec,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val codec = codecFactory()
+      it.map { r =>
+        codec.decode(r.payload) match {
+          case Some(d) =>
+            ImageFeatures(r.media_id, r.media_type, r.n_bytes,
+              decoded = true, d.width, d.height, d.meanR, d.meanG, d.meanB)
+          case None =>
+            val s = decodeStub(r)
+            ImageFeatures(r.media_id, r.media_type, r.n_bytes,
+              decoded = false, s.width, s.height,
+              s.features(0).toDouble, s.features(1).toDouble, s.features(2).toDouble)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Real thumbnail: decode + rescale + re-encode via the codec;
+    * payloads that don't decode fall back to the deterministic stub
+    * resample. Same payload-in/payload-out contract as [[resize]]. */
+  def resizeImages(
+      spark: SparkSession,
+      media: DataFrame,
+      w: Int,
+      h: Int,
+      codecFactory: () => ImageCodec = () => new ImageIoCodec,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val codec = codecFactory()
+      val targetBytes = math.max(1, w * h / 64)
+      it.map { r =>
+        codec.resize(r.payload, w, h) match {
+          case Some(p) => r.copy(payload = p, n_bytes = p.length.toLong)
+          case None =>
+            val out = Array.tabulate(math.min(targetBytes, math.max(1, r.payload.length))) { i =>
+              r.payload(i * math.max(1, r.payload.length / targetBytes) % math.max(1, r.payload.length))
+            }
+            r.copy(payload = out, n_bytes = out.length.toLong)
+        }
+      }
+    }.toDF()
+  }
 
   /** ??? in spirit: a deterministic fake decode so the pipeline is
     * testable end-to-end. Real implementation would call the codec

@@ -46,6 +46,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_no").collect().map(_.getInt(0)).toSet == Set(0, 2))
   }
 
+  test("ImageIoCodec: synthPng round-trips dims and channel means exactly") {
+    val codec = new ImageIoCodec
+    for (id <- Seq(0L, 7L, 255L, 256L, 65536L, 123456L)) {
+      val d = codec.decode(ImageIoCodec.synthPng(id)).get
+      assert(d.width == 16 + (id % 16).toInt, s"id=$id")
+      assert(d.height == 16 + ((id / 16) % 16).toInt, s"id=$id")
+      assert(d.meanR == (id % 256).toDouble, s"id=$id")
+      assert(d.meanG == ((id / 256) % 256).toDouble, s"id=$id")
+      assert(d.meanB == ((id / 65536) % 256).toDouble, s"id=$id")
+    }
+    assert(codec.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("extractImageFeatures: real decode distributed, stub fallback for non-images") {
+    val docs = Seq((1L, "a"), (2L, "b"), (17L, "c")).toDF("doc_id", "text")
+    val synth = Multimodal.asSyntheticImageTable(spark, docs, "doc_id")
+    val f = Multimodal.extractImageFeatures(spark, synth).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(f(1L).getAs[Boolean]("decoded"))
+    assert(f(1L).getAs[Int]("width") == 17 && f(1L).getAs[Int]("height") == 16)
+    assert(f(17L).getAs[Int]("width") == 17 && f(17L).getAs[Int]("height") == 17)
+    assert(f(2L).getAs[Double]("mean_r") == 2.0)
+    // text bytes are not a decodable image → stub path, flagged
+    val textMedia = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val g = Multimodal.extractImageFeatures(spark, textMedia).collect()
+    assert(g.forall(!_.getAs[Boolean]("decoded")))
+  }
+
+  test("resizeImages: real rescale re-encodes at target dims, solid fill preserved") {
+    val docs = Seq((300L, "x")).toDF("doc_id", "text")
+    val synth = Multimodal.asSyntheticImageTable(spark, docs, "doc_id")
+    val thumb = Multimodal.resizeImages(spark, synth, 20, 12)
+    val d = Multimodal.extractImageFeatures(spark, thumb).head()
+    assert(d.getAs[Boolean]("decoded"))
+    assert(d.getAs[Int]("width") == 20 && d.getAs[Int]("height") == 12)
+    assert(d.getAs[Double]("mean_r") == (300 % 256).toDouble)
+    assert(d.getAs[Double]("mean_g") == (300 / 256 % 256).toDouble)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
