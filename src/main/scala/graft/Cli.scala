@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.{Rollups, Stats}
+import graft.ingest.IngestJob
+import graft.schema.Schemas
+import graft.warehouse.Warehouse
+
+/** Thin management CLI composing the engine pieces — the Spark
+  * counterpart of the reference's driver surface
+  * (database_management.py:262-426 argparse dispatch):
+  *
+  *   setup [all|<source>]            create warehouse + declared tables
+  *   load-data <source> <jsonl>      validate → dedup → idempotent upsert
+  *       [--validation-report R] [--strict]
+  *   stats                           per-table + total record counts
+  *   aggregate-export entsoe --output-dir O
+  *       [--granularity plant|country-fuel|country]
+  *   clear-table <source> --confirm  truncate with pre-count
+  *   update-schema [...]             no-op: parquet is schema-on-read
+  *
+  * Every command takes `--warehouse <dir>` (or env GRAFT_WAREHOUSE) in
+  * place of the reference's DB connection config. Commands return an
+  * exit code like the reference (`sys.exit(0 if success else 1)`,
+  * database_management.py:423); the strict gate reproduces
+  * database_management.py:172-175 — any invalid OR duplicate record
+  * fails the load after the report is written.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code =
+      try run(spark, args.toIndexedSeq)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Parse + dispatch; returns the process exit code (testable without
+    * forking a JVM). */
+  def run(spark: SparkSession, args: Seq[String]): Int = {
+    val (flags, positional) = parse(args)
+    def warehouse: String =
+      flags.get("warehouse").orElse(sys.env.get("GRAFT_WAREHOUSE")).getOrElse {
+        throw new IllegalArgumentException(
+          "missing --warehouse <dir> (or env GRAFT_WAREHOUSE)")
+      }
+    try {
+      positional match {
+        case Seq("setup") => setup(spark, warehouse, "all")
+        case Seq("setup", tableType) => setup(spark, warehouse, tableType)
+        case Seq("update-schema", _*) =>
+          // Reference widens Postgres VARCHARs in place
+          // (database_management.py:67-102); parquet + schema-on-read
+          // has no ALTER to run.
+          println("update-schema: no-op (parquet is schema-on-read)")
+          0
+        case Seq("load-data", source, jsonl) =>
+          loadData(spark, warehouse, source, jsonl,
+            reportPath = flags.get("validation-report"),
+            strict = flags.contains("strict"))
+        case Seq("stats") => stats(spark, warehouse)
+        case Seq("aggregate-export", source) =>
+          aggregateExport(spark, warehouse, source,
+            outputDir = flags.getOrElse("output-dir",
+              throw new IllegalArgumentException("aggregate-export requires --output-dir")),
+            granularity = flags.getOrElse("granularity", "plant"))
+        case Seq("clear-table", source) =>
+          clearTable(spark, warehouse, source, confirm = flags.contains("confirm"))
+        case other =>
+          System.err.println(s"unknown command: ${other.mkString(" ")}")
+          System.err.println(
+            "commands: setup | load-data | stats | aggregate-export | clear-table | update-schema")
+          1
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}")
+        1
+    }
+  }
+
+  /** `--flag value` and bare `--flag` (boolean) options, anywhere on
+    * the line; everything else positional, in order. */
+  private[graft] def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    val boolFlags = Set("strict", "confirm")
+    val flags = Map.newBuilder[String, String]
+    val positional = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val name = a.drop(2)
+        if (boolFlags(name) || i + 1 >= args.length) { flags += name -> "true"; i += 1 }
+        else { flags += name -> args(i + 1); i += 2 }
+      } else { positional += a; i += 1 }
+    }
+    (flags.result(), positional.result())
+  }
+
+  private def setup(spark: SparkSession, warehouse: String, tableType: String): Int = {
+    Warehouse.createWarehouse(spark, warehouse)
+    tableType match {
+      case "all" => Warehouse.createAllTables(spark, warehouse)
+      case s if Schemas.schemas.contains(s) => Warehouse.createTable(spark, warehouse, s)
+      case other => System.err.println(s"unknown table type: $other"); return 1
+    }
+    println(s"setup: tables ready under $warehouse")
+    0
+  }
+
+  private def loadData(
+      spark: SparkSession,
+      warehouse: String,
+      source: String,
+      jsonl: String,
+      reportPath: Option[String],
+      strict: Boolean,
+  ): Int = {
+    if (!Schemas.schemas.contains(source)) {
+      System.err.println(s"unknown data source: $source")
+      return 1
+    }
+    if (!new java.io.File(jsonl).exists()) {
+      System.err.println(s"file not found: $jsonl")
+      return 1
+    }
+    val result = IngestJob.load(
+      spark, source, jsonl, Warehouse.tablePath(warehouse, source))
+    IngestJob.recordMetadata(
+      spark, s"${warehouse.stripSuffix("/")}/extraction_metadata", result,
+      nowMs = System.currentTimeMillis(), sourceUrls = Seq(jsonl),
+      configSnapshot = Map("source" -> source, "strict" -> strict.toString))
+    val r = result.report
+    // validator.py:527-552 report shape
+    reportPath.foreach(p => Warehouse.saveJsonReport(p, Seq(
+      "source" -> source,
+      "total_records" -> r.total,
+      "valid_records" -> r.valid,
+      "invalid_records" -> r.invalid,
+      "duplicate_records" -> r.duplicates,
+      "inserted_records" -> result.upsert.inserted,
+      "error_counts" -> r.errorCounts,
+      "sample_errors" -> r.sampleErrors,
+    )))
+    println(s"load-data $source: total=${r.total} valid=${r.valid} " +
+      s"invalid=${r.invalid} duplicates=${r.duplicates} inserted=${result.upsert.inserted}")
+    if (strict && (r.invalid > 0 || r.duplicates > 0)) {
+      System.err.println("strict mode: failing due to validation errors")
+      1
+    } else 0
+  }
+
+  private def stats(spark: SparkSession, warehouse: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tables = Schemas.schemas.keys.toSeq.sorted.flatMap { s =>
+      val path = Warehouse.tablePath(warehouse, s)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(s -> spark.read.parquet(path))
+      else None
+    }
+    if (tables.isEmpty) { System.err.println(s"no tables under $warehouse"); return 1 }
+    val counts = Stats.recordCounts(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    println(s"Total records across all tables: ${counts.map(_._2).sum}")
+    counts.sortBy(_._1).foreach { case (t, n) => println(s"  $t: $n records") }
+    0
+  }
+
+  /** Monthly rollup at the requested granularity, one CSV per year —
+    * reference aggregate_entsoe_to_monthly (database.py:812-908). */
+  private def aggregateExport(
+      spark: SparkSession,
+      warehouse: String,
+      source: String,
+      outputDir: String,
+      granularity: String,
+  ): Int = {
+    if (source != "entsoe") {
+      System.err.println(s"aggregation not supported for: $source")
+      return 1
+    }
+    val dims: Seq[String] = granularity match {
+      case "plant" => Seq("country_code", "psr_type", "plant_name")
+      case "country-fuel" => Seq("country_code", "psr_type")
+      case "country" => Seq("country_code")
+      case other => System.err.println(s"unknown granularity: $other"); return 1
+    }
+    val table = spark.read.parquet(Warehouse.tablePath(warehouse, source))
+    if (table.isEmpty) { println(s"no data in $source table"); return 0 }
+    val monthly = Rollups.multiMetricMonthly(
+      table,
+      Rollups.msToTs(col("timestamp_ms")),
+      dims.map(d => d -> col(d)),
+      col(Schemas.measureColumn(source)),
+    ).withColumn("year", substring(col("month"), 1, 4))
+    Warehouse.exportCsvByYear(monthly, "year", outputDir,
+      sortCols = "month" +: dims)
+    println(s"aggregate-export $source ($granularity) -> $outputDir")
+    0
+  }
+
+  private def clearTable(
+      spark: SparkSession,
+      warehouse: String,
+      source: String,
+      confirm: Boolean,
+  ): Int = {
+    if (!confirm) {
+      System.err.println("Must use --confirm flag to delete data")
+      return 1
+    }
+    if (!Schemas.schemas.contains(source)) {
+      System.err.println(s"unknown data source: $source")
+      return 1
+    }
+    val before = Warehouse.truncateTable(spark, warehouse, source)
+    println(s"clear-table $source: deleted $before records")
+    0
+  }
+}

@@ -74,12 +74,25 @@ object Warehouse {
     * (reference database.py:893-898 writes one CSV per year). The
     * single-file-per-year shape is preserved with a partitioned write
     * + per-partition repartition(1). */
-  def exportCsvByYear(df: DataFrame, yearCol: String, outDir: String): Unit =
-    df.repartition(org.apache.spark.sql.functions.col(yearCol))
-      .write.mode("overwrite")
+  def exportCsvByYear(
+      df: DataFrame,
+      yearCol: String,
+      outDir: String,
+      sortCols: Seq[String] = Seq.empty,
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    val parted = df.repartition(col(yearCol))
+    val sorted =
+      if (sortCols.isEmpty) parted
+      // reference ORDER BY group_cols inside each per-year file
+      // (database.py:890): sort within the per-year partitions — a
+      // global orderBy would add a range-exchange for nothing.
+      else parted.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode("overwrite")
       .partitionBy(yearCol)
       .option("header", "true")
       .csv(outDir)
+  }
 
   /** S9/S11: driver-side JSON report sink (validation reports,
     * drift reports — reference validator.py:527-552,

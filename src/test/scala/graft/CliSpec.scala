@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** E2E drive of the management CLI (reference
+  * database_management.py examples section): setup → load-data
+  * (strict + report) → stats → aggregate-export → clear-table,
+  * asserting exit codes and on-disk effects. */
+class CliSpec extends SparkSpec {
+
+  private val runId = "550e8400-e29b-41d4-a716-446655440000"
+  private val now = 1767282419683L
+
+  private def entsoe(ts: Long, plant: String, mw: Double): String =
+    s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":$ts,"country_code":"DE","psr_type":"B04","plant_name":"$plant","fuel_type":"Fossil Gas","data_type":"Actual","generation_mw":$mw,"resolution_minutes":60}"""
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("setup + load-data + stats + aggregate-export + clear-table lifecycle") {
+    val wh = tmp("graft-cli-wh")
+    val jsonl = Files.createTempDirectory("graft-cli-in").resolve("in.jsonl")
+    Files.writeString(jsonl, Seq(
+      entsoe(1577836800000L, "Plant A", 100.0), // 2020-01
+      entsoe(1577840400000L, "Plant A", 300.0), // 2020-01
+      entsoe(1609459200000L, "Plant B", 50.0), //  2021-01
+    ).mkString("\n"))
+
+    assert(Cli.run(spark, Seq("setup", "--warehouse", wh)) == 0)
+    assert(spark.read.parquet(s"$wh/entsoe_generation_data").isEmpty)
+
+    val report = s"${tmp("graft-cli-rep")}/report.json"
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString,
+      "--warehouse", wh, "--validation-report", report)) == 0)
+    assert(spark.read.parquet(s"$wh/entsoe_generation_data").count() == 3)
+    assert(spark.read.parquet(s"$wh/extraction_metadata").count() == 1)
+    val rep = spark.read.json(report)
+    assert(rep.select("total_records").head().getLong(0) == 3)
+    assert(rep.select("invalid_records").head().getLong(0) == 0)
+
+    assert(Cli.run(spark, Seq("stats", "--warehouse", wh)) == 0)
+
+    val out = tmp("graft-cli-export")
+    assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
+      "--output-dir", out, "--granularity", "country-fuel")) == 0)
+    val exported = spark.read.option("header", "true").csv(out)
+    assert(exported.columns.contains("total_generation_mwh"))
+    // 2020-01 rolls the two Plant-A-hours into one country-fuel row
+    val jan2020 = exported.filter(col("month") === "2020-01-01")
+    assert(jan2020.count() == 1)
+    assert(jan2020.select("total_generation_mwh").head().getString(0).toDouble == 400.0)
+    // per-year file layout: year= Hive partitions
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("year=")) == 2)
+
+    assert(Cli.run(spark, Seq("clear-table", "entsoe", "--warehouse", wh)) == 1) // no --confirm
+    assert(Cli.run(spark, Seq("clear-table", "entsoe", "--confirm", "--warehouse", wh)) == 0)
+    assert(spark.read.parquet(s"$wh/entsoe_generation_data").isEmpty)
+  }
+
+  test("strict mode fails the load on invalid records, lax mode passes (database_management.py:172-175)") {
+    val wh = tmp("graft-cli-strict")
+    val jsonl = Files.createTempDirectory("graft-cli-in2").resolve("bad.jsonl")
+    Files.writeString(jsonl, Seq(
+      entsoe(1577836800000L, "Plant A", 100.0),
+      s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":1577836800000,"country_code":"DE","psr_type":"B04","plant_name":"Bad","fuel_type":"Fossil Gas","data_type":"Actual","generation_mw":-1.0,"resolution_minutes":60}""",
+    ).mkString("\n"))
+    Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString,
+      "--warehouse", wh, "--strict")) == 1)
+    // the valid record still landed before the gate (reference writes
+    // then fails; database_management.py checks the report post-insert)
+    assert(spark.read.parquet(s"$wh/entsoe_generation_data").count() == 1)
+    val wh2 = tmp("graft-cli-lax")
+    Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh2))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString,
+      "--warehouse", wh2)) == 0)
+  }
+
+  test("argument errors return exit 1: unknown command, missing warehouse, bad source, missing file") {
+    assert(Cli.run(spark, Seq("bogus")) == 1)
+    assert(Cli.run(spark, Seq("load-data", "entsoe", "/nope.jsonl")) == 1) // no --warehouse
+    val wh = tmp("graft-cli-err")
+    assert(Cli.run(spark, Seq("load-data", "mystery", "/nope.jsonl", "--warehouse", wh)) == 1)
+    assert(Cli.run(spark, Seq("load-data", "entsoe", "/nope.jsonl", "--warehouse", wh)) == 1)
+    assert(Cli.run(spark, Seq("aggregate-export", "npp", "--warehouse", wh, "--output-dir", "/tmp/x")) == 1)
+    assert(Cli.run(spark, Seq("update-schema", "entsoe")) == 0)
+  }
+}
