@@ -11,12 +11,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Long-running driver: GC (which drives ContextCleaner's
-      // broadcast/shuffle reclamation) may not fire for minutes,
-      // letting state from past queries pile onto later ones. 2 min
-      // balances reclamation against full-GC pause frequency (30 s
-      // tested: random multi-second pauses inside timed queries).
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // The periodic full GC that drives ContextCleaner reclamation
+      // must NOT fire inside the timed phase: a System.gc() on this
+      // heap pauses multi-seconds and lands on whichever query is
+      // running (observed: +8 s on a 1 s query). The timed phase is
+      // well under this interval, so reclamation happens exactly once
+      // — in the explicit post-warmup System.gc() below.
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

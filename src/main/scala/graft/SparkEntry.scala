@@ -563,6 +563,21 @@ object SparkEntry {
         .cosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
         .select("vec_id", "label")),
 
+    // Full-corpus embedding dedup with NO pre-existing blocking column
+    // — multi-table sign-random-projection LSH supplies the blocks
+    // (native graft_srp_sig kernel), candidates verified with the
+    // native cosine. Rows-only check: bucket membership isn't
+    // SQL-reproducible, but precision is exact by construction.
+    // (threshold 0.35 sits in the corpus's near-dup band — see v2/v5;
+    // 6-bit buckets × 8 tables ≈ 0.4 recall at that cosine with ~4×
+    // fewer candidate evaluations than 4-bit buckets — candidate
+    // volume, not recall, is what explodes at 100 TB.)
+    "v6_lsh_embed_dedup" -> ((s, dir) =>
+      Similarity
+        .lshCosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.35,
+          nBits = 6, tables = 8)
+        .select("vec_id", "label")),
+
     // --- Multimodal plumbing (beyond-reference) ------------------------
 
     "mm1_media_meta" -> ((s, dir) =>

@@ -422,6 +422,54 @@ case class BucketPairs(
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** srp_sig(vec, nBits, salt) — sign-random-projection LSH signature
+  * as one INT (nBits ≤ 32): bit j = [vec · plane(salt, j) > 0], with
+  * plane components pseudo-random in [-0.5, 0.5) derived from
+  * murmur3 exactly like Spark SQL's `hash(salt, j, i)` (seed chain
+  * hashInt(i, hashInt(j, hashInt(salt, 42)))) so the interpreted
+  * higher-order-function formulation in
+  * [[graft.sim.Similarity.lshSignatureHof]] produces bit-identical
+  * signatures. The HOF form re-enters the interpreter per vector
+  * element per bit; this kernel is one tight loop — the difference
+  * between an LSH index build that is signature-bound and one that is
+  * scan-bound. */
+case class SrpSignature(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), IntegerType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_srp_sig"
+
+  override def nullSafeEval(v: Any, n: Any, s: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val nBits = n.asInstanceOf[Int]
+    val salt = s.asInstanceOf[Int]
+    val dim = vec.numElements()
+    val saltSeed = Murmur3_x86_32.hashInt(salt, 42)
+    var sig = 0
+    var j = 0
+    while (j < nBits) {
+      val seedJ = Murmur3_x86_32.hashInt(j, saltSeed)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = Murmur3_x86_32.hashInt(i, seedJ)
+        val m = ((h % 1000) + 1000) % 1000
+        proj += vec.getDouble(i) * (m / 1000.0 - 0.5)
+        i += 1
+      }
+      if (proj > 0.0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   type Description = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
 
@@ -447,5 +495,8 @@ object GraftFunctions {
       args => FirstCollidingBand(args(0), args(1), args(2))),
     desc("graft_bucket_pairs", "LSH candidate pairs within one (band,bucket) member list",
       args => BucketPairs(args(0), args(1), args(2), args(3))),
+    desc("graft_srp_sig", "sign-random-projection LSH signature of a numeric array",
+      args => SrpSignature(args(0), args.lift(1).getOrElse(Literal(16)),
+        args.lift(2).getOrElse(Literal(0)))),
   )
 }

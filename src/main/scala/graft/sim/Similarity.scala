@@ -122,16 +122,25 @@ object Similarity {
   }
 
   /** Sign-random-projection LSH signature: bit j = sign(v · plane_j)
-    * with pseudo-random plane components derived from murmur3(j, i) —
-    * deterministic, no stored model. nBits ≤ 32. */
-  def lshSignature(vec: Column, nBits: Int): Column = {
+    * with pseudo-random plane components derived from
+    * murmur3(salt, j, i) — deterministic, no stored model, `salt`
+    * selects an independent hash table. nBits ≤ 32. Backed by the
+    * native [[graft.functions.SrpSignature]] kernel (one tight loop
+    * per vector; the HOF form below re-enters the interpreter per
+    * element per bit). */
+  def lshSignature(vec: Column, nBits: Int, salt: Int = 0): Column =
+    call_function("graft_srp_sig", vec.cast("array<double>"), lit(nBits), lit(salt))
+
+  /** Interpreted HOF formulation — kept for cross-checking the native
+    * kernel in tests (must be bit-identical). */
+  def lshSignatureHof(vec: Column, nBits: Int, salt: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
         zip_with(
           vec,
           sequence(lit(0), size(vec) - 1),
-          // hash(j,i) → uniform in [-0.5, 0.5): a fixed pseudo-random plane
-          (x, i) => x.cast("double") * (pmod(hash(lit(j), i), lit(1000)).cast("double") / 1000.0 - 0.5),
+          // hash(salt,j,i) → uniform in [-0.5, 0.5): a fixed pseudo-random plane
+          (x, i) => x.cast("double") * (pmod(hash(lit(salt), lit(j), i), lit(1000)).cast("double") / 1000.0 - 0.5),
         ),
         lit(0.0),
         (acc, v) => acc + v,
@@ -144,6 +153,91 @@ object Similarity {
   /** LSH bucket id for the scale path of near-neighbor search: vectors
     * in the same bucket are candidate neighbors. */
   def lshBucket(vec: Column, nBits: Int = 16): Column = lshSignature(vec, nBits)
+
+  /** Full-corpus near-dup pairs with NO pre-existing blocking column:
+    * multi-table sign-random-projection LSH supplies the blocks.
+    * Each of the `tables` independent hash tables buckets every vector
+    * into 2^nBits buckets; candidates meet in a per-(table, bucket)
+    * hash join — never a cross product — and are verified with the
+    * native cosine kernel, so precision is exact and only recall
+    * trades against cost (more tables / fewer bits → higher recall).
+    * A pair colliding in several tables is emitted from its FIRST
+    * agreeing table only (array_position over the carried bucket
+    * arrays — `tables` small ints per side), replacing a full
+    * DISTINCT shuffle over emitted pairs with a per-row predicate.
+    * Scale shape: shuffle keys are (table, bucket); hot buckets cost
+    * O(B²) verified candidates — nBits controls B. */
+  def lshCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 12,
+      tables: Int = 4,
+  ): DataFrame = {
+    val sigs = df.select(
+      col(idCol), col(vecCol),
+      array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
+    val exploded = sigs.select(
+      col(idCol), col(vecCol), col("_buckets"),
+      posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
+    val a = exploded.select(col("_t"), col("_bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("_v_a"), col("_buckets").as("_ba"))
+    val b = exploded.select(col("_t"), col("_bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("_v_b"), col("_buckets").as("_bb"))
+    // First table where the two bucket arrays agree, as a nested CASE
+    // over `tables` int comparisons — fully codegen'd. (A zip_with +
+    // array_position HOF here re-enters the interpreter once per
+    // CANDIDATE PAIR, which dominated the whole query.)
+    val firstAgreeingTable = (0 until tables).foldRight(lit(-1)) { (t, rest) =>
+      when(col("_ba").getItem(t) === col("_bb").getItem(t), lit(t)).otherwise(rest)
+    }
+    a.join(b, Seq("_t", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstAgreeingTable === col("_t"))
+      .withColumn("sim", round(cosine(col("_v_a"), col("_v_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Full-corpus embedding near-dup dedup (keep-min-id survivors) —
+    * [[cosineDedup]] without requiring a label/shard column: the LSH
+    * tables of [[lshCosinePairs]] provide the blocking.
+    *
+    * Dedup does NOT need the full candidate-pair enumeration: each
+    * vector is verified against at most ONE representative per table —
+    * the min-id member of its bucket (min_by hash aggregate) — so
+    * per-bucket cost is O(B) instead of the O(B²) of the pairs op.
+    * Linear in corpus size per table: the same representative trick as
+    * the MinHash dedup path. A member is dropped when it is
+    * over-threshold similar to a bucket representative with a smaller
+    * id; tight near-dup clusters share buckets and collapse onto the
+    * cluster's min id. */
+  def lshCosineDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 12,
+      tables: Int = 4,
+  ): DataFrame = {
+    val sigs = df.select(
+      col(idCol), col(vecCol),
+      array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
+    val exploded = sigs.select(
+      col(idCol), col(vecCol),
+      posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
+    val reps = exploded.groupBy("_t", "_bucket")
+      .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"))
+      .select(col("_t"), col("_bucket"),
+        col(s"_rep.$idCol").as("_rep_id"), col(s"_rep.$vecCol").as("_rep_vec"))
+    val losers = exploded.join(reps, Seq("_t", "_bucket"))
+      .filter(col(idCol) > col("_rep_id"))
+      .filter(round(cosine(col(vecCol), col("_rep_vec")), 6) >= threshold)
+      .select(col(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are
     * assigned to their nearest centroid (the "coarse quantizer"); a

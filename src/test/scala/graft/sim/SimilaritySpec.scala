@@ -69,4 +69,46 @@ class SimilaritySpec extends SparkSpec {
     // parallel vectors share all hyperplane signs
     assert(sigs(1L) == sigs(4L))
   }
+
+  test("native srp signature kernel is bit-identical to the HOF formulation") {
+    for (salt <- Seq(0, 1, 3)) {
+      val both = vdf.select(
+        col("vec_id"),
+        Similarity.lshSignature(col("embedding"), 16, salt).as("fast"),
+        Similarity.lshSignatureHof(col("embedding"), 16, salt).as("hof"))
+      both.collect().foreach(r =>
+        assert(r.getInt(1) == r.getInt(2), s"salt=$salt id=${r.getLong(0)}"))
+    }
+    // different salts give independent tables (some signature differs)
+    val s0 = vdf.select(Similarity.lshSignature(col("embedding"), 16, 0)).as[Int].collect().toSeq
+    val s1 = vdf.select(Similarity.lshSignature(col("embedding"), 16, 1)).as[Int].collect().toSeq
+    assert(s0 != s1)
+  }
+
+  test("lshCosinePairs: full-corpus blocking, exact precision, parallel pair found") {
+    val pairs = Similarity.lshCosinePairs(vdf, "vec_id", "embedding", 0.5, nBits = 8, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // verified precision: every emitted pair really is ≥ threshold
+    assert(pairs.forall(_._3 >= 0.5))
+    // no duplicates across tables (first-table emission)
+    val ids = pairs.map(p => (p._1, p._2)).toSeq
+    assert(ids.distinct == ids)
+    // parallel vectors share every signature → always a candidate pair
+    assert(ids.contains((1L, 4L)))
+    // subset of the brute-force truth
+    val truth = vdf.as("x").crossJoin(vdf.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", Similarity.cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= 0.5)
+      .select(col("x.vec_id"), col("y.vec_id")).as[(Long, Long)].collect().toSet
+    assert(ids.toSet.subsetOf(truth))
+  }
+
+  test("lshCosineDedup: keep-min-id survivors without a blocking column") {
+    val out = Similarity.lshCosineDedup(vdf, "vec_id", "embedding", 0.9, nBits = 4, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // (1,4) are parallel (sim 1.0) and always collide → 4 dropped; at
+    // 0.9 no other pair qualifies, so survivors are exactly 1,2,3.
+    assert(out == Set(1L, 2L, 3L))
+  }
 }
