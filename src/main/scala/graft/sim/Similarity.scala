@@ -180,7 +180,7 @@ object Similarity {
       array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
     val exploded = sigs.select(
       col(idCol), col(vecCol), col("_buckets"),
-      posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
+      posexplode_outer(col("_buckets")).as(Seq("_t", "_bucket")))
     val a = exploded.select(col("_t"), col("_bucket"),
       col(idCol).as("id_a"), col(vecCol).as("_v_a"), col("_buckets").as("_ba"))
     val b = exploded.select(col("_t"), col("_bucket"),
@@ -226,7 +226,7 @@ object Similarity {
       array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
     val exploded = sigs.select(
       col(idCol), col(vecCol),
-      posexplode(col("_buckets")).as(Seq("_t", "_bucket")))
+      posexplode_outer(col("_buckets")).as(Seq("_t", "_bucket")))
     val reps = exploded.groupBy("_t", "_bucket")
       .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"))
       .select(col("_t"), col("_bucket"),
