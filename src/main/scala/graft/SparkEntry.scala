@@ -563,6 +563,18 @@ object SparkEntry {
         .cosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
         .select("vec_id", "label")),
 
+    // IVF with a REAL index build: centroids from spark.ml KMeans over
+    // a half-sample of the corpus (driver holds k×dim doubles,
+    // bounded), then the same assign → probe → top-k pipeline as v4.
+    // Rows-only: KMeans centroids aren't SQL-reproducible.
+    "v7_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfTopKKMeans(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, numCentroids = 16, nprobe = 4, sampleFraction = 0.5)
+    }),
+
     // Full-corpus embedding dedup with NO pre-existing blocking column
     // — multi-table sign-random-projection LSH supplies the blocks
     // (native graft_srp_sig kernel), candidates verified with the

@@ -275,7 +275,59 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
     require(cents.nonEmpty, "centroidFilter matched no seed vectors")
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol,
+      k, cents, nprobe)
+  }
 
+  /** Real IVF index build: centroids from `spark.ml` KMeans over a
+    * (sampled) corpus — the production path the seed-vector variant
+    * approximates. The model holds k × dim doubles on the driver
+    * (bounded by construction); everything downstream is identical to
+    * [[ivfTopK]]. */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+  ): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled =
+      (if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed) else df)
+        .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(sampled)
+    model.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toIndexedSeq) }
+  }
+
+  def ivfTopKKMeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      numCentroids: Int,
+      nprobe: Int = 2,
+      sampleFraction: Double = 1.0,
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol,
+      k, kmeansCentroids(corpus, vecCol, numCentroids, sampleFraction), nprobe)
+
+  private def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nprobe: Int,
+  ): DataFrame = {
     // One literal column holding all centroids: array<struct<_1:cid,_2:vec>>.
     val centLit = typedlit(cents)
 

@@ -54,6 +54,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfTopKKMeans: spark.ml-built centroids, full probe reproduces exact top-k") {
+    val q = vdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vdf, q, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val ivf = Similarity.ivfTopKKMeans(vdf, q, "vec_id", "embedding", "query_id", "qvec",
+      k = 3, numCentroids = 2, nprobe = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ivf == exact)
+  }
+
   test("cosineDedup drops larger ids of over-threshold pairs within block") {
     val out = Similarity.cosineDedup(vdf, "vec_id", "embedding", "label", 0.5)
       .select("vec_id").as[Long].collect().toSet
