@@ -140,6 +140,26 @@ object Warehouse {
     * incremental_extract.py:110-117): 0-record input → success no-op. */
   def isEmptyInput(df: DataFrame): Boolean = df.isEmpty
 
+  /** Bucketed on-disk layout for CO-LOCATED joins: two tables
+    * bucketed (and sorted) on the same key into the same bucket count
+    * join with NO exchange on either side — each task reads matching
+    * bucket files directly. This is the layout answer to "the big
+    * fact-to-fact join shuffles 100 TB": pay one clustered write per
+    * table, then every subsequent key join is shuffle-free.
+    * `saveAsTable` is required — bucket metadata lives in the catalog,
+    * not in parquet. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int,
+  ): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, requireValidIdentifier(bucketCol))
+      .sortBy(bucketCol)
+      .saveAsTable(requireValidIdentifier(tableName))
+
   /** On-write layout that replaces the reference's 30+ b-tree indexes
     * (SURVEY.md §4): Hive-partition by (year, month) of the event
     * time and sort each file by `timestamp_ms` so per-window queries

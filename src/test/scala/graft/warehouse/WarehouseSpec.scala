@@ -62,4 +62,26 @@ class WarehouseSpec extends SparkSpec {
     assert(df.select("source").head().getString(0) == "npp")
     assert(df.select("valid").head().getLong(0) == 10)
   }
+
+  test("bucketed tables join with no exchange on either side (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val facts = (1L to 200L).map(i => (i % 50, i, s"f$i")).toDF("key", "seq", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("key", "attr")
+    Warehouse.writeBucketed(facts, "bkt_facts", "key", 4)
+    Warehouse.writeBucketed(dims, "bkt_dims", "key", 4)
+    // forbid broadcast so only bucketing can avoid the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bkt_facts")
+      spark.sql("DROP TABLE bkt_dims")
+    }
+  }
 }
