@@ -85,7 +85,10 @@ object Cli {
           1
       }
     } catch {
-      case e: IllegalArgumentException =>
+      // The reference CLI converts every failure into a False return →
+      // exit 1 (database_management.py:416-423); mirror that, keeping
+      // the message on stderr.
+      case e: Exception =>
         System.err.println(s"error: ${e.getMessage}")
         1
     }

@@ -84,6 +84,9 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("load-data", "mystery", "/nope.jsonl", "--warehouse", wh)) == 1)
     assert(Cli.run(spark, Seq("load-data", "entsoe", "/nope.jsonl", "--warehouse", wh)) == 1)
     assert(Cli.run(spark, Seq("aggregate-export", "npp", "--warehouse", wh, "--output-dir", "/tmp/x")) == 1)
+    // table never created under this warehouse → failure becomes exit 1
+    assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
+      "--output-dir", "/tmp/x")) == 1)
     assert(Cli.run(spark, Seq("update-schema", "entsoe")) == 0)
   }
 }
