@@ -29,11 +29,13 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-      // Reclaim warmup-phase broadcasts/shuffles before timing.
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(2000)
     }
+    // Reclaim pre-timing broadcasts/shuffles unconditionally — with
+    // periodicGC pushed past the run length this is the ONE GC-driven
+    // ContextCleaner sweep, so it must happen on the no-warmup path too.
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

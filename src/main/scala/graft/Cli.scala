@@ -49,14 +49,14 @@ object Cli {
 
   /** Parse + dispatch; returns the process exit code (testable without
     * forking a JVM). */
-  def run(spark: SparkSession, args: Seq[String]): Int = {
-    val (flags, positional) = parse(args)
-    def warehouse: String =
-      flags.get("warehouse").orElse(sys.env.get("GRAFT_WAREHOUSE")).getOrElse {
-        throw new IllegalArgumentException(
-          "missing --warehouse <dir> (or env GRAFT_WAREHOUSE)")
-      }
+  def run(spark: SparkSession, args: Seq[String]): Int =
     try {
+      val (flags, positional) = parse(args)
+      def warehouse: String =
+        flags.get("warehouse").orElse(sys.env.get("GRAFT_WAREHOUSE")).getOrElse {
+          throw new IllegalArgumentException(
+            "missing --warehouse <dir> (or env GRAFT_WAREHOUSE)")
+        }
       positional match {
         case Seq("setup") => setup(spark, warehouse, "all")
         case Seq("setup", tableType) => setup(spark, warehouse, tableType)
@@ -92,10 +92,13 @@ object Cli {
         System.err.println(s"error: ${e.getMessage}")
         1
     }
-  }
 
   /** `--flag value` and bare `--flag` (boolean) options, anywhere on
-    * the line; everything else positional, in order. */
+    * the line; everything else positional, in order. A value-taking
+    * flag with no value — end of line, or followed by another flag —
+    * is an error, NOT a silent "true" (which would e.g. load into a
+    * directory literally named `true`, or swallow `--strict` as a
+    * report path and quietly disable the strict gate). */
   private[graft] def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val boolFlags = Set("strict", "confirm")
     val flags = Map.newBuilder[String, String]
@@ -105,8 +108,10 @@ object Cli {
       val a = args(i)
       if (a.startsWith("--")) {
         val name = a.drop(2)
-        if (boolFlags(name) || i + 1 >= args.length) { flags += name -> "true"; i += 1 }
-        else { flags += name -> args(i + 1); i += 2 }
+        if (boolFlags(name)) { flags += name -> "true"; i += 1 }
+        else if (i + 1 >= args.length || args(i + 1).startsWith("--")) {
+          throw new IllegalArgumentException(s"missing value for --$name")
+        } else { flags += name -> args(i + 1); i += 2 }
       } else { positional += a; i += 1 }
     }
     (flags.result(), positional.result())

@@ -153,8 +153,23 @@ case class SimHashBits(left: Expression, right: Expression)
   override def prettyName: String = "graft_simhash_bits"
 
   override def nullSafeEval(a: Any, n: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
     val nBits = n.asInstanceOf[Int]
+    val counters = SimHashCore.voteCounters(a.asInstanceOf[ArrayData], nBits)
+    val bits = new Array[Int](nBits)
+    var b = 0
+    while (b < nBits) { bits(b) = if (counters(b) > 0) 1 else 0; b += 1 }
+    new GenericArrayData(bits)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The per-token SimHash voting loop shared by [[SimHashBits]] and
+  * [[SimHash64]] — one place to change the hashing scheme so the
+  * array and packed signatures can never fall out of agreement. */
+object SimHashCore {
+  def voteCounters(arr: ArrayData, nBits: Int): Array[Int] = {
     val counters = new Array[Int](nBits)
     var i = 0
     while (i < arr.numElements()) {
@@ -170,14 +185,8 @@ case class SimHashBits(left: Expression, right: Expression)
       }
       i += 1
     }
-    val bits = new Array[Int](nBits)
-    var b = 0
-    while (b < nBits) { bits(b) = if (counters(b) > 0) 1 else 0; b += 1 }
-    new GenericArrayData(bits)
+    counters
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** simhash64(tokens): 64-bit SimHash packed into one BIGINT — the
@@ -195,22 +204,7 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash64"
 
   override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      var chunk = 0
-      var b = 0
-      while (b < 64) {
-        if (b % 32 == 0) {
-          chunk = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), b / 32)
-        }
-        if (((chunk >>> (b % 32)) & 1) == 1) counters(b) += 1 else counters(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
+    val counters = SimHashCore.voteCounters(a.asInstanceOf[ArrayData], 64)
     var sig = 0L
     var b = 0
     while (b < 64) {

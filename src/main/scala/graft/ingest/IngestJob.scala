@@ -178,19 +178,26 @@ object IngestJob {
       .withColumn("config_snapshot", to_json(typedlit(configSnapshot)))
       .withColumn("source_urls", to_json(typedlit(sourceUrls)))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(metadataPath))) {
-        IdempotentAppend.mergeLatest(
-          spark.read.parquet(metadataPath), row,
-          Seq("extraction_run_id"), Seq(col("extraction_timestamp_ms").desc))
-      } else row
     val tmp = metadataPath + ".new"
     val old = metadataPath + ".old"
-    merged.write.mode("overwrite").parquet(tmp)
     val (tmpP, oldP, tgtP) = (
       new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(old),
       new org.apache.hadoop.fs.Path(metadataPath))
+    // Crash recovery BEFORE reading: a prior run that died between the
+    // two renames leaves the only copy at .old — restore it, never
+    // delete it, or the whole metadata history silently collapses to
+    // this run's single row.
+    if (!fs.exists(tgtP) && fs.exists(oldP) && !fs.rename(oldP, tgtP)) {
+      throw new java.io.IOException(s"recordMetadata: cannot restore $oldP -> $tgtP")
+    }
+    val merged =
+      if (fs.exists(tgtP)) {
+        IdempotentAppend.mergeLatest(
+          spark.read.parquet(metadataPath), row,
+          Seq("extraction_run_id"), Seq(col("extraction_timestamp_ms").desc))
+      } else row
+    merged.write.mode("overwrite").parquet(tmp)
     if (fs.exists(oldP)) fs.delete(oldP, true)
     if (fs.exists(tgtP) && !fs.rename(tgtP, oldP)) {
       throw new java.io.IOException(s"recordMetadata: cannot retire $tgtP")

@@ -112,6 +112,16 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Stub byte-resample shared by [[resize]] and the [[resizeImages]]
+    * fallback: output size scales like a w×h thumbnail. Empty payloads
+    * stay empty (indexing into a zero-length array would fail the
+    * task). */
+  private def resampleStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.isEmpty) payload
+    else Array.tabulate(math.min(targetBytes, payload.length)) { i =>
+      payload(i * math.max(1, payload.length / targetBytes) % payload.length)
+    }
+
   /** Real thumbnail: decode + rescale + re-encode via the codec;
     * payloads that don't decode fall back to the deterministic stub
     * resample. Same payload-in/payload-out contract as [[resize]]. */
@@ -127,14 +137,9 @@ object Multimodal {
       val codec = codecFactory()
       val targetBytes = math.max(1, w * h / 64)
       it.map { r =>
-        codec.resize(r.payload, w, h) match {
-          case Some(p) => r.copy(payload = p, n_bytes = p.length.toLong)
-          case None =>
-            val out = Array.tabulate(math.min(targetBytes, math.max(1, r.payload.length))) { i =>
-              r.payload(i * math.max(1, r.payload.length / targetBytes) % math.max(1, r.payload.length))
-            }
-            r.copy(payload = out, n_bytes = out.length.toLong)
-        }
+        val out = codec.resize(r.payload, w, h)
+          .getOrElse(resampleStub(r.payload, targetBytes))
+        r.copy(payload = out, n_bytes = out.length.toLong)
       }
     }.toDF()
   }
@@ -178,9 +183,7 @@ object Multimodal {
       // real codec init once per partition batch
       val targetBytes = math.max(1, w * h / 64)
       it.map { r =>
-        val out = Array.tabulate(math.min(targetBytes, math.max(1, r.payload.length))) { i =>
-          r.payload(i * math.max(1, r.payload.length / targetBytes) % math.max(1, r.payload.length))
-        }
+        val out = resampleStub(r.payload, targetBytes)
         r.copy(payload = out, n_bytes = out.length.toLong)
       }
     }.toDF()

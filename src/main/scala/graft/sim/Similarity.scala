@@ -154,6 +154,25 @@ object Similarity {
     * in the same bucket are candidate neighbors. */
   def lshBucket(vec: Column, nBits: Int = 16): Column = lshSignature(vec, nBits)
 
+  /** One row per (vector, table): id, vec, the full `_buckets` array
+    * and this table's (_t, _bucket) — the shared blocking frame of
+    * [[lshCosinePairs]] and [[lshCosineDedup]], so the bucketing
+    * scheme (salt chain, bit width, null policy) can never diverge
+    * between the two operators. */
+  private def lshExploded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int,
+      tables: Int,
+  ): DataFrame =
+    df.select(
+      col(idCol), col(vecCol),
+      array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
+      .select(
+        col(idCol), col(vecCol), col("_buckets"),
+        posexplode_outer(col("_buckets")).as(Seq("_t", "_bucket")))
+
   /** Full-corpus near-dup pairs with NO pre-existing blocking column:
     * multi-table sign-random-projection LSH supplies the blocks.
     * Each of the `tables` independent hash tables buckets every vector
@@ -175,12 +194,7 @@ object Similarity {
       nBits: Int = 12,
       tables: Int = 4,
   ): DataFrame = {
-    val sigs = df.select(
-      col(idCol), col(vecCol),
-      array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
-    val exploded = sigs.select(
-      col(idCol), col(vecCol), col("_buckets"),
-      posexplode_outer(col("_buckets")).as(Seq("_t", "_bucket")))
+    val exploded = lshExploded(df, idCol, vecCol, nBits, tables)
     val a = exploded.select(col("_t"), col("_bucket"),
       col(idCol).as("id_a"), col(vecCol).as("_v_a"), col("_buckets").as("_ba"))
     val b = exploded.select(col("_t"), col("_bucket"),
@@ -221,12 +235,7 @@ object Similarity {
       nBits: Int = 12,
       tables: Int = 4,
   ): DataFrame = {
-    val sigs = df.select(
-      col(idCol), col(vecCol),
-      array((0 until tables).map(t => lshSignature(col(vecCol), nBits, t)): _*).as("_buckets"))
-    val exploded = sigs.select(
-      col(idCol), col(vecCol),
-      posexplode_outer(col("_buckets")).as(Seq("_t", "_bucket")))
+    val exploded = lshExploded(df, idCol, vecCol, nBits, tables)
     val reps = exploded.groupBy("_t", "_bucket")
       .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"))
       .select(col("_t"), col("_bucket"),

@@ -189,6 +189,17 @@ object TextDedup {
       numHashes: Int,
       bands: Int,
   ): DataFrame = {
+    // The in-bucket pair kernel carries ids as longs; a silent
+    // cast("long") of a string id would null out and corrupt every
+    // pair to (0, 0), so refuse non-integral ids outright.
+    hashed.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"minhash near-dup requires an integral id column; '$idCol' is $other — " +
+            "derive a surrogate (e.g. xxhash64 of the natural key) first")
+    }
     val rpb = numHashes / bands
     val minAgree = math.max(0, math.ceil((threshold - 0.25) * numHashes).toInt)
     val banded = hashed

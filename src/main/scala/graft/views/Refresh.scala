@@ -46,8 +46,14 @@ object Refresh {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val (tgtP, tmpP, oldP) = (new Path(target), new Path(tmp), new Path(old))
     if (fs.exists(oldP)) fs.delete(oldP, true)
-    if (fs.exists(tgtP)) fs.rename(tgtP, oldP)
-    fs.rename(tmpP, tgtP)
+    // Hadoop rename reports most failures by returning false — an
+    // unchecked rename here silently publishes nothing.
+    if (fs.exists(tgtP) && !fs.rename(tgtP, oldP)) {
+      throw new java.io.IOException(s"refreshView: cannot retire $tgtP")
+    }
+    if (!fs.rename(tmpP, tgtP)) {
+      throw new java.io.IOException(s"refreshView: cannot publish $tmpP -> $tgtP")
+    }
     if (fs.exists(oldP)) fs.delete(oldP, true)
     n
   }

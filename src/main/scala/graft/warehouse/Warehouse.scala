@@ -58,14 +58,30 @@ object Warehouse {
 
   /** The 8 empty-table writes are independent driver-side jobs;
     * submitting them concurrently overlaps their fixed commit latency
-    * (sequential: ~8 × 250 ms of mostly waiting). */
+    * (sequential: ~8 × 250 ms of mostly waiting). Every future is
+    * awaited — a fail-fast Future.sequence would rethrow the first
+    * error while the rest keep writing unsupervised behind a "failed"
+    * command — and all failures are reported, not just the first. */
   def createAllTables(spark: SparkSession, warehouse: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    import scala.util.{Failure, Try}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = Schemas.schemas.keys.toSeq.sorted
-      .map(s => Future(createTable(spark, warehouse, s)))
-    Await.result(Future.sequence(fs), Duration.Inf)
+    val attempts = Schemas.schemas.keys.toSeq.sorted.map { s =>
+      s -> Future(Try(createTable(spark, warehouse, s)))
+    }
+    val failures = attempts.flatMap { case (s, f) =>
+      Await.result(f, 5.minutes) match {
+        case Failure(e) => Some(s -> e)
+        case _ => None
+      }
+    }
+    failures.headOption.foreach { case (s, e) =>
+      failures.drop(1).foreach { case (s2, e2) =>
+        System.err.println(s"createAllTables: '$s2' also failed: ${e2.getMessage}")
+      }
+      throw new java.io.IOException(s"createAllTables: '$s' failed", e)
+    }
   }
 
   /** S10: truncate with pre-count (reference database.py:910-935). */

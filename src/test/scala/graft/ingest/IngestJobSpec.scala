@@ -124,6 +124,26 @@ class IngestJobSpec extends SparkSpec {
     assert(parsed == Seq(f))
   }
 
+  test("recordMetadata restores the .old backup left by a crash between renames") {
+    val table = freshTable()
+    val meta = freshTable() + "_meta"
+    val f = write(npp(1767196019683L, "K 1", 1.0))
+    val r = IngestJob.load(spark, "npp", f, table, runId, now)
+    IngestJob.recordMetadata(spark, meta, r, now)
+    // simulate a run that died between retiring the table and
+    // publishing the new one: only .old remains
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(meta),
+      new org.apache.hadoop.fs.Path(meta + ".old")))
+    val r2 = r.copy(runId = "650e8400-e29b-41d4-a716-446655440000")
+    IngestJob.recordMetadata(spark, meta, r2, now + 1)
+    val m = spark.read.parquet(meta)
+    // both the recovered history row and the new run survive
+    assert(m.count() == 2)
+    assert(m.select("extraction_run_id").collect().map(_.getString(0)).toSet ==
+      Set(runId, r2.runId))
+  }
+
   test("P10 in the pipeline: bool created_at_ms is a type error, not corrupt/missing") {
     val f = write(
       npp(1767196019683L, "K 1", 1.0),
