@@ -116,7 +116,8 @@ object IngestJob {
   ): LoadResult = {
     val schema = Schemas.readSchemas(source)
     val raw = JsonlSource.readJsonlWithVariant(spark, jsonlPath, schema)
-    val (good, _) = JsonlSource.splitCorrupt(raw)
+    val (good, bad) = JsonlSource.splitCorrupt(raw)
+    val corrupt = bad.count()
     val enriched = enrich(source, good, runId, nowMs)
     val variant = col(JsonlSource.VariantCol)
     val allRules =
@@ -138,8 +139,9 @@ object IngestJob {
     val upsert = IdempotentAppend.appendNew(
       spark, deduped, tablePath, keys, nullSafeCols = nullSafe,
       incomingCount = Some(valid.count()))
-    val report = Validator.report(annotated, duplicates = upsert.duplicates)
+    val report = Validator.report(annotated, duplicates = upsert.duplicates, corrupt = corrupt)
     annotated.unpersist()
+    raw.unpersist() // splitCorrupt cached it for the good/bad split
     LoadResult(source, report, upsert, runId)
   }
 

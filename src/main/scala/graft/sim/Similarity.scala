@@ -128,8 +128,12 @@ object Similarity {
     * native [[graft.functions.SrpSignature]] kernel (one tight loop
     * per vector; the HOF form below re-enters the interpreter per
     * element per bit). */
-  def lshSignature(vec: Column, nBits: Int, salt: Int = 0): Column =
+  def lshSignature(vec: Column, nBits: Int, salt: Int = 0): Column = {
+    // 1 << j wraps mod 32 in the kernel — nBits > 32 would silently
+    // fold high-plane votes onto low bits and corrupt every bucket.
+    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
     call_function("graft_srp_sig", vec.cast("array<double>"), lit(nBits), lit(salt))
+  }
 
   /** Interpreted HOF formulation — kept for cross-checking the native
     * kernel in tests (must be bit-identical). */

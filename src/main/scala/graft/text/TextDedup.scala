@@ -203,6 +203,10 @@ object TextDedup {
     val rpb = numHashes / bands
     val minAgree = math.max(0, math.ceil((threshold - 0.25) * numHashes).toInt)
     val banded = hashed
+      // a NULL id would read as 0 inside the pair kernel (getLong on a
+      // null field), fabricating (0, realId) pairs; the old self-join
+      // dropped them via null-propagating comparison — keep that.
+      .filter(col(idCol).isNotNull)
       .withColumn("_sig", minhashSignature(col("sh"), numHashes))
       .select(col(idCol), col("_sig"),
         explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
@@ -246,8 +250,13 @@ object TextDedup {
       numHashes: Int = 30,
       bands: Int = 6,
   ): DataFrame = {
+    // The shingle-hash scan feeds the band explode AND the survivor-
+    // fetch joins (different shuffle keys, so no exchange reuse) —
+    // cache it once instead of recomputing the tokenize/shingle/hash
+    // chain per consumer.
     val hashed = withHashedShingles(docs, textCol, k, "sh")
       .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
+      .cache()
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
     val members = hashed.select(col("_fp"), col(idCol))
@@ -294,8 +303,10 @@ object TextDedup {
       numHashes: Int = 30,
       bands: Int = 6,
   ): DataFrame = {
+    // cached for the same multi-consumer reason as minhashNearDupPairs
     val hashed = withHashedShingles(docs, textCol, k, "sh")
       .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
+      .cache()
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
       .select(col(idCol), col("sh"))

@@ -71,7 +71,12 @@ object Validator {
 
   val SampleErrorCap = 10 // reference validator.py:54-60
 
-  def report(annotated: DataFrame, duplicates: Long = 0L): Report = {
+  /** `corrupt` = lines the JSON parser could not read at all; they
+    * never reach the rule engine but ARE part of the input, so they
+    * count as invalid (with their own histogram bucket) — otherwise a
+    * file of pure garbage reports total=0 invalid=0 and sails through
+    * the strict gate. */
+  def report(annotated: DataFrame, duplicates: Long = 0L, corrupt: Long = 0L): Report = {
     val row = summary(annotated).head()
     val counts = errorStats(annotated)
       .collect()
@@ -83,6 +88,9 @@ object Validator {
       .collect()
       .map(_.getString(0))
       .toSeq
-    Report(row.getLong(0), row.getLong(1), row.getLong(2), duplicates, counts, samples)
+    val withCorrupt =
+      if (corrupt > 0) counts + ("_corrupt: unparseable JSON line" -> corrupt) else counts
+    Report(row.getLong(0) + corrupt, row.getLong(1), row.getLong(2) + corrupt,
+      duplicates, withCorrupt, samples)
   }
 }

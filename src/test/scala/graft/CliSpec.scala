@@ -75,6 +75,14 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh2))
     assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString,
       "--warehouse", wh2)) == 0)
+    // a file of pure garbage must fail strict mode, not sail through
+    // with total=0
+    val garbage = Files.createTempDirectory("graft-cli-in3").resolve("garbage.jsonl")
+    Files.writeString(garbage, "not json\n{\"truncated\": ")
+    val wh3 = tmp("graft-cli-garbage")
+    Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh3))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", garbage.toString,
+      "--warehouse", wh3, "--strict")) == 1)
   }
 
   test("argument errors return exit 1: unknown command, missing warehouse, bad source, missing file") {

@@ -144,6 +144,20 @@ class IngestJobSpec extends SparkSpec {
       Set(runId, r2.runId))
   }
 
+  test("unparseable JSON lines count as invalid in the report (strict-gate input)") {
+    val f = write(
+      npp(1767196019683L, "K 1", 1.0),
+      """{"truncated": """,
+      """not json at all""",
+    )
+    val r = IngestJob.load(spark, "npp", f, freshTable(), runId, now)
+    assert(r.report.total == 3)
+    assert(r.report.valid == 1)
+    assert(r.report.invalid == 2)
+    assert(r.report.errorCounts.exists(_._1.startsWith("_corrupt")))
+    assert(r.upsert.inserted == 1)
+  }
+
   test("P10 in the pipeline: bool created_at_ms is a type error, not corrupt/missing") {
     val f = write(
       npp(1767196019683L, "K 1", 1.0),
