@@ -372,7 +372,7 @@ object SparkEntry {
     "s2_ingest_roundtrip" -> ((s, dir) => {
       val src = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val lines = src.select(to_json(struct(src.columns.map(col): _*)).as("line"))
+      val lines = src.select(to_json(struct(src.columns.toIndexedSeq.map(col): _*)).as("line"))
       graft.ingest.JsonlSource.parseJsonLines(lines, "line", src.schema)
     }),
 

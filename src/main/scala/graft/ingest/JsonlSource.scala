@@ -71,7 +71,7 @@ object JsonlSource {
       .withColumn(VariantCol, try_parse_json(col("value")))
       .withColumn("_parsed", from_json(col("value"), schema, Map("mode" -> "PERMISSIVE")))
     parsed.select(
-      schema.fieldNames.map(f => col(s"_parsed.$f").as(f)) ++ Seq(
+      schema.fieldNames.toIndexedSeq.map(f => col(s"_parsed.$f").as(f)) ++ Seq(
         when(col(VariantCol).isNull, col("value")).as(CorruptCol),
         col(VariantCol),
         col(LineOrderCol),
