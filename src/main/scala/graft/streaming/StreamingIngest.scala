@@ -50,6 +50,32 @@ object StreamingIngest {
     marked.dropDuplicates(naturalKey)
   }
 
+  /** Continuous-mode variant: `dropDuplicatesWithinWatermark` expires
+    * key state once the watermark passes a key's event time, so dedup
+    * state is bounded by the watermark window instead of growing with
+    * every key ever seen — the only form that survives an unbounded
+    * stream. (Plain `dropDuplicates` keeps all keys forever unless the
+    * event-time column is part of the key; AvailableNow drains don't
+    * care, a 24/7 stream does.) */
+  def pipelineWithinWatermark(
+      stream: DataFrame,
+      runId: String,
+      nowMs: Long,
+      naturalKey: Seq[String],
+      tsMsCol: String,
+      delay: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val good = stream
+      .filter(col(JsonlSource.CorruptCol).isNull)
+      .drop(JsonlSource.CorruptCol)
+    Enrich.ensureRunMetadata(good, runId, nowMs)
+      .withColumn("_event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("_event_time", delay)
+      .dropDuplicatesWithinWatermark(naturalKey)
+      .drop("_event_time")
+  }
+
   /** Drain all available input into a parquet table and stop —
     * the incremental-batch run (Trigger.AvailableNow). */
   def drainToParquet(

@@ -38,4 +38,23 @@ class StreamingIngestSpec extends SparkSpec {
 
     assert(spark.read.parquet(out).count() == 3) // checkpoint skipped a.jsonl
   }
+
+  test("watermark-bounded dedup: duplicates inside the window collapse, state is expirable") {
+    val in = Files.createTempDirectory("graft-stream-wm-in")
+    val out = Files.createTempDirectory("graft-stream-wm-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-wm-ckpt").toString
+    val h = 3600000L
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"timestamp_ms":$h,"plant":"P","plant_and_unit":"P 1","generation_mwh":10.0}
+         |{"timestamp_ms":$h,"plant":"P","plant_and_unit":"P 1","generation_mwh":99.0}
+         |{"timestamp_ms":${2 * h},"plant":"P","plant_and_unit":"P 1","generation_mwh":20.0}
+         |""".stripMargin)
+    val stream = StreamingIngest.readStream(spark, in.toString, Schemas.npp)
+    val piped = StreamingIngest.pipelineWithinWatermark(
+      stream, runId, 1000L, Schemas.naturalKeys("npp"), "timestamp_ms", "1 hour")
+    StreamingIngest.drainToParquet(piped, out, ckpt).awaitTermination()
+    val t = spark.read.parquet(out)
+    assert(t.count() == 2) // same-key same-window dup collapsed
+    assert(!t.columns.contains("_event_time")) // derived watermark col dropped
+  }
 }
