@@ -563,6 +563,15 @@ object SparkEntry {
         .cosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.3)
         .select("vec_id", "label")),
 
+    // Linear-per-bucket MinHash dedup: each doc verifies against only
+    // its bucket's min-id representative per band — the O(B)-per-bucket
+    // form that survives pathological buckets at 100 TB. Rows-only
+    // (probabilistic recall, like td3/td4).
+    "td6_minhash_dedup_linear" -> ((s, dir) =>
+      TextDedup
+        .minhashDedupLinear(tbl(s, dir, "documents"), "doc_id", "text", 0.9)
+        .select("doc_id", "source")),
+
     // IVF with a REAL index build: centroids from spark.ml KMeans over
     // a half-sample of the corpus (driver holds k×dim doubles,
     // bounded), then the same assign → probe → top-k pipeline as v4.

@@ -317,6 +317,56 @@ object TextDedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Linear-per-bucket near-dup dedup: each document is verified
+    * against at most ONE candidate per band — the min-id member of its
+    * (band, bucket) — instead of enumerating all in-bucket pairs. The
+    * same representative trick as the embedding dedup's scale path:
+    * per-bucket cost O(B), not O(B²), which is the form that survives
+    * pathological buckets at 100 TB. The trade: a doc is dropped only
+    * when over-threshold similar to a bucket representative (tight
+    * near-dup clusters share buckets and collapse onto the cluster
+    * min-id), so recall is slightly below the all-pairs form —
+    * [[minhashDedup]] keeps exact all-pairs semantics where that
+    * matters more than the worst-case bound. Identical shingle sets
+    * are still collapsed first, so both forms agree on exact-dup-heavy
+    * corpora. */
+  def minhashDedupLinear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 1,
+      numHashes: Int = 30,
+      bands: Int = 6,
+  ): DataFrame = {
+    val rpb = numHashes / bands
+    val hashed = withHashedShingles(docs, textCol, k, "sh")
+      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
+      .cache()
+    val reps = hashed.groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+      .filter(col(idCol).isNotNull)
+    val banded = reps
+      .withColumn("_sig", minhashSignature(col("sh"), numHashes))
+      .select(col(idCol), col("sh"),
+        explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
+      .select(col(idCol), col("sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // min-id representative per (band, bucket): the one candidate each
+    // member verifies against
+    val bucketReps = banded.groupBy(col("band"), col("bucket"))
+      .agg(min_by(struct(col(idCol), col("sh")), col(idCol)).as("_rep"))
+      .select(col("band"), col("bucket"),
+        col(s"_rep.$idCol").as("_rep_id"), col(s"_rep.sh").as("_rep_sh"))
+    val repLosers = banded.join(bucketReps, Seq("band", "bucket"))
+      .filter(col(idCol) > col("_rep_id"))
+      .filter(jaccardSorted(col("sh"), col("_rep_sh")) >= threshold)
+      .select(col(idCol))
+      .distinct()
+    val survivors = reps.select(col(idCol)).join(repLosers, Seq(idCol), "left_anti")
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -42,6 +42,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("minhashDedupLinear: exact dups and rep-similar near-dups drop; drops ⊆ all-pairs drops") {
+    val linear = TextDedup.minhashDedupLinear(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // identical word sets collapse regardless of path; unrelated doc survives
+    assert(!linear.contains(2L))
+    assert(linear.contains(1L) && linear.contains(4L))
+    // rep-verify can only drop a subset of what all-pairs drops
+    val allPairs = TextDedup.minhashDedup(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(allPairs.subsetOf(linear))
+  }
+
   test("verifyJaccard computes exact jaccard on candidate pairs") {
     val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
     val j = TextDedup.verifyJaccard(pairs, docs, "doc_id", "text", k = 1)
