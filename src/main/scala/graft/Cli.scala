@@ -78,10 +78,13 @@ object Cli {
             granularity = flags.getOrElse("granularity", "plant"))
         case Seq("clear-table", source) =>
           clearTable(spark, warehouse, source, confirm = flags.contains("confirm"))
+        case Seq("refresh-views", source) => refreshViews(spark, warehouse, source)
+        case Seq("backfill", source) => backfill(spark, warehouse, source)
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
-            "commands: setup | load-data | stats | aggregate-export | clear-table | update-schema")
+            "commands: setup | load-data | stats | aggregate-export | clear-table | " +
+              "refresh-views | backfill | update-schema")
           1
       }
     } catch {
@@ -216,6 +219,53 @@ object Cli {
     Warehouse.exportCsvByYear(monthly, "year", outputDir,
       sortCols = "month" +: dims)
     println(s"aggregate-export $source ($granularity) -> $outputDir")
+    0
+  }
+
+  /** Refresh the registered materialized views for one source —
+    * reference refresh_views.py:50-67 (post-load hook). */
+  private def refreshViews(spark: SparkSession, warehouse: String, source: String): Int = {
+    if (!Schemas.schemas.contains(source)) {
+      System.err.println(s"unknown data source: $source")
+      return 1
+    }
+    val counts = graft.views.Refresh.refreshForSources(
+      spark, warehouse, graft.views.GenerationViews.registry(warehouse), Seq(source))
+    if (counts.isEmpty) println(s"refresh-views $source: no views registered")
+    else counts.toSeq.sortBy(_._1).foreach { case (v, n) => println(s"  $v: $n rows") }
+    0
+  }
+
+  /** Fill NULL start_date/end_date in extraction metadata from the
+    * fact table's actual per-run date range — reference
+    * backfill_extraction_dates.py:47-103. Atomic-swap republish, same
+    * protocol as recordMetadata. */
+  private def backfill(spark: SparkSession, warehouse: String, source: String): Int = {
+    if (!Schemas.schemas.contains(source)) {
+      System.err.println(s"unknown data source: $source")
+      return 1
+    }
+    val metaPath = s"${warehouse.stripSuffix("/")}/extraction_metadata"
+    val meta = spark.read.parquet(metaPath)
+    val fact = spark.read.parquet(Warehouse.tablePath(warehouse, source))
+    val filled = graft.incr.Backfill.backfillDates(meta, fact)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (tmpP, oldP, tgtP) = (
+      new org.apache.hadoop.fs.Path(metaPath + ".new"),
+      new org.apache.hadoop.fs.Path(metaPath + ".old"),
+      new org.apache.hadoop.fs.Path(metaPath))
+    filled.write.mode("overwrite").parquet(metaPath + ".new")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (!fs.rename(tgtP, oldP)) {
+      System.err.println(s"backfill: cannot retire $tgtP"); return 1
+    }
+    if (!fs.rename(tmpP, tgtP)) {
+      System.err.println(s"backfill: cannot publish $tmpP"); return 1
+    }
+    fs.delete(oldP, true)
+    val published = spark.read.parquet(metaPath)
+    val remaining = published.filter(col("start_date").isNull).count()
+    println(s"backfill $source: ${published.count()} metadata rows, $remaining still missing dates")
     0
   }
 

@@ -140,9 +140,18 @@ object IngestJob {
       spark, deduped, tablePath, keys, nullSafeCols = nullSafe,
       incomingCount = Some(valid.count()))
     val report = Validator.report(annotated, duplicates = upsert.duplicates, corrupt = corrupt)
+    // The metadata row must carry the run id that is actually ON the
+    // loaded rows, or downstream per-run joins (date backfill, A7)
+    // match nothing: records that arrived with their own
+    // extraction_run_id keep it through enrichment (reference: the
+    // extraction process stamps rows and the metadata row alike).
+    val effectiveRunId = valid
+      .select(col("extraction_run_id"))
+      .filter(col("extraction_run_id").isNotNull)
+      .head(1).headOption.map(_.getString(0)).getOrElse(runId)
     annotated.unpersist()
     raw.unpersist() // splitCorrupt cached it for the good/bad split
-    LoadResult(source, report, upsert, runId)
+    LoadResult(source, report, upsert, effectiveRunId)
   }
 
   /** I8: one extraction-metadata row per load (reference
@@ -165,15 +174,17 @@ object IngestJob {
       nowMs: Long,
       sourceUrls: Seq[String] = Seq.empty,
       configSnapshot: Map[String, String] = Map.empty,
+      startDate: Option[String] = None,
+      endDate: Option[String] = None,
   ): Unit = {
     import spark.implicits._
     val row = Seq((
       result.runId, result.source, result.report.total,
       result.upsert.inserted, result.report.invalid, result.upsert.duplicates,
-      result.report.invalid == 0L, nowMs,
+      result.report.invalid == 0L, nowMs, startDate, endDate,
     )).toDF("extraction_run_id", "source", "total_records",
       "inserted_records", "invalid_records", "duplicate_records",
-      "success", "extraction_timestamp_ms")
+      "success", "extraction_timestamp_ms", "start_date", "end_date")
       .withColumn("failed_details", to_json(struct(
         typedlit(result.report.errorCounts).as("error_counts"),
         typedlit(result.report.sampleErrors).as("sample_errors"))))

@@ -58,6 +58,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/entsoe_generation_data").isEmpty)
   }
 
+  test("refresh-views and backfill round out the operational surface") {
+    val wh = tmp("graft-cli-rv")
+    val jsonl = Files.createTempDirectory("graft-cli-rv-in").resolve("in.jsonl")
+    Files.writeString(jsonl, Seq(
+      entsoe(1577836800000L, "Plant A", 100.0),
+      entsoe(1609459200000L, "Plant B", 50.0),
+    ).mkString("\n"))
+    Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString, "--warehouse", wh)) == 0)
+
+    assert(Cli.run(spark, Seq("refresh-views", "entsoe", "--warehouse", wh)) == 0)
+    val mv = spark.read.parquet(s"$wh/mv_entsoe_monthly")
+    assert(mv.count() == 2) // one row per (month, fuel)
+
+    // metadata row has NULL dates until backfilled from the fact table
+    val before = spark.read.parquet(s"$wh/extraction_metadata")
+    assert(before.filter(col("start_date").isNull).count() == 1)
+    assert(Cli.run(spark, Seq("backfill", "entsoe", "--warehouse", wh)) == 0)
+    val after = spark.read.parquet(s"$wh/extraction_metadata").head()
+    assert(after.getAs[String]("start_date") == "2020-01-01")
+    assert(after.getAs[String]("end_date") == "2021-01-01")
+  }
+
   test("strict mode fails the load on invalid records, lax mode passes (database_management.py:172-175)") {
     val wh = tmp("graft-cli-strict")
     val jsonl = Files.createTempDirectory("graft-cli-in2").resolve("bad.jsonl")
