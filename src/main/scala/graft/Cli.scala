@@ -246,6 +246,14 @@ object Cli {
       return 1
     }
     val metaPath = s"${warehouse.stripSuffix("/")}/extraction_metadata"
+    // same crash recovery as recordMetadata: a prior run that died
+    // between the two swap renames leaves the only copy at .old
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (t0, o0) = (new org.apache.hadoop.fs.Path(metaPath),
+      new org.apache.hadoop.fs.Path(metaPath + ".old"))
+    if (!fs0.exists(t0) && fs0.exists(o0) && !fs0.rename(o0, t0)) {
+      System.err.println(s"backfill: cannot restore $o0"); return 1
+    }
     val meta = spark.read.parquet(metaPath)
     val fact = spark.read.parquet(Warehouse.tablePath(warehouse, source))
     val filled = graft.incr.Backfill.backfillDates(meta, fact)

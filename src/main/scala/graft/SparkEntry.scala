@@ -1270,10 +1270,13 @@ object SparkEntry {
         |  SELECT *, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp FROM documents)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
 
+    // list_filter drops the [''] that DuckDB's split yields for an
+    // empty/whitespace-only doc — Spark's tokenizer returns an empty
+    // array there, and two empty docs must NOT pair at jaccard 1.0.
     "td2_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT source AS block, doc_id,
-        |    list_distinct(string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+')) AS s
+        |    list_filter(list_distinct(string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+')), x -> x <> '') AS s
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -287,43 +287,6 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** first_colliding_band(sig_a, sig_b, rowsPerBand) → index of the
-  * first band (0-based) where the two minhash signatures agree on all
-  * rows, or -1. Used to emit each LSH candidate pair from exactly one
-  * band — `band == first_colliding_band` — which replaces the
-  * multi-million-row DISTINCT shuffle over candidate pairs with a
-  * per-row predicate. */
-case class FirstCollidingBand(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
-
-  override def inputTypes =
-    Seq(ArrayType(IntegerType), ArrayType(IntegerType), IntegerType)
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_first_band"
-
-  override def nullSafeEval(a: Any, b: Any, r: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val rpb = r.asInstanceOf[Int]
-    val n = math.min(x.numElements(), y.numElements())
-    var band = 0
-    while ((band + 1) * rpb <= n) {
-      var i = band * rpb
-      var all = true
-      while (all && i < (band + 1) * rpb) {
-        if (x.getInt(i) != y.getInt(i)) all = false
-        i += 1
-      }
-      if (all) return band
-      band += 1
-    }
-    -1
-  }
-
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
-    copy(first = f, second = s, third = t)
-}
-
 /** bucket_pairs(members, rowsPerBand, band, minAgree) — in-bucket LSH
   * candidate enumeration. `members` is the collect_list of
   * struct(id: long, sig: array<int>) for one (band, bucket) group;
@@ -485,8 +448,6 @@ object GraftFunctions {
       args => HashShingles(args(0))),
     desc("graft_jaccard_sorted", "jaccard of two sorted distinct long arrays",
       args => JaccardSortedLong(args(0), args(1))),
-    desc("graft_first_band", "first band index where two minhash signatures collide",
-      args => FirstCollidingBand(args(0), args(1), args(2))),
     desc("graft_bucket_pairs", "LSH candidate pairs within one (band,bucket) member list",
       args => BucketPairs(args(0), args(1), args(2), args(3))),
     desc("graft_srp_sig", "sign-random-projection LSH signature of a numeric array",

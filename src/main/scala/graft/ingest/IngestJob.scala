@@ -83,7 +83,14 @@ object IngestJob {
       case "entsoe" =>
         Seq("country_code", "psr_type", "plant_name", "fuel_type", "data_type").flatMap(f =>
           req(f, Rules.isNonEmptyString, "must be non-empty string")) ++
-          req("resolution_minutes", Rules.isPositive, "must be a positive number")
+          req("resolution_minutes", Rules.isPositive, "must be a positive number") ++
+          // P5 coercion can null a PRESENT-but-unparseable timestamp
+          // token; without this rule such a row validates with a NULL
+          // natural-key timestamp and re-inserts on every run (the
+          // anti-join NULL never matches). The reference skips these
+          // records with a warning (database.py:633-665).
+          Seq(Rules.Rule("timestamp_ms: unparseable timestamp",
+            col("timestamp_ms").isNull && !isMissing("timestamp_ms")))
       case "ons" | "occto" | "chile" =>
         req("plant", Rules.isNonEmptyString, "must be non-empty string")
       case "oe" =>
@@ -146,9 +153,11 @@ object IngestJob {
     // extraction_run_id keep it through enrichment (reference: the
     // extraction process stamps rows and the metadata row alike).
     val effectiveRunId = valid
-      .select(col("extraction_run_id"))
-      .filter(col("extraction_run_id").isNotNull)
-      .head(1).headOption.map(_.getString(0)).getOrElse(runId)
+      .agg(min(col("extraction_run_id")))
+      .head().getString(0) match {
+      case null => runId
+      case id => id // min() = deterministic pick if a file mixes runs
+    }
     annotated.unpersist()
     raw.unpersist() // splitCorrupt cached it for the good/bad split
     LoadResult(source, report, upsert, effectiveRunId)

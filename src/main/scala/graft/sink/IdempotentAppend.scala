@@ -96,8 +96,13 @@ object IdempotentAppend {
       if (!fs.exists(target)) cached
       else {
         val existing = spark.read.parquet(tablePath)
+        // Pruning the existing side to the batch's [min, max] window is
+        // only sound when the window column is part of the natural key:
+        // otherwise an existing row with the same key but a timestamp
+        // outside the window escapes the anti-join and the key is
+        // appended twice.
         val pruned = timeCol match {
-          case Some(tc) if cached.columns.contains(tc) =>
+          case Some(tc) if cached.columns.contains(tc) && keys.contains(tc) =>
             val Array(lo, hi) = cached.agg(min(col(tc)), max(col(tc))).head() match {
               case r if r.isNullAt(0) => Array[Any](null, null)
               case r => Array[Any](r.get(0), r.get(1))

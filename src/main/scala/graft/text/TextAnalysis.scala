@@ -53,8 +53,12 @@ object TextAnalysis {
   def langScore(text: Column, pattern: String): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit(pattern), lit(0)))
 
-  /** Predicted language = argmax over marker-hit counts; ties resolve
-    * by list order (en first), no hits → 'und'. */
+  /** Predicted language = argmax over marker-hit counts; no hits →
+    * 'und'. Tie-break: `greatest` over (score, lang) structs picks the
+    * lexicographically LARGEST language code on a score tie (zh > fr >
+    * es > en > de) — the t2 oracle's CASE chain mirrors exactly this
+    * order, so any change here (or a new language) must be mirrored
+    * there. */
   def langId(text: Column): Column = {
     val zh = langScore(text, ZhPattern) * 3 // ideograms are strong signal
     val scored = ("zh", zh) +: LangMarkers.map { case (l, p) => (l, langScore(text, p)) }

@@ -253,7 +253,10 @@ object TextDedup {
     // The shingle-hash scan feeds the band explode AND the survivor-
     // fetch joins (different shuffle keys, so no exchange reuse) —
     // cache it once instead of recomputing the tokenize/shingle/hash
-    // chain per consumer.
+    // chain per consumer. Lifetime note: the returned DataFrame is
+    // lazy, so this method cannot unpersist; long-lived sessions
+    // running many dedups should spark.catalog.clearCache() between
+    // corpora (Bench does exactly that between timed queries).
     val hashed = withHashedShingles(docs, textCol, k, "sh")
       .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
       .cache()

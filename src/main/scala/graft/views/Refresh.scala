@@ -35,16 +35,26 @@ object Refresh {
   def viewPath(warehouse: String, name: String): String =
     s"${warehouse.stripSuffix("/")}/$name"
 
-  /** M2: recompute one view and atomically swap it into place. */
+  /** M2: recompute one view and swap it into place. The two renames
+    * leave a sub-millisecond window where the published path is absent
+    * (a plain filesystem has no true atomic directory swap); a reader
+    * racing exactly into it should retry — and a crash inside it
+    * leaves the previous view at `.old`, which the next refresh (or
+    * this preamble) restores before rebuilding. */
   def refreshView(spark: SparkSession, warehouse: String, job: ViewJob): Long = {
     val target = viewPath(warehouse, job.name)
     val tmp = target + ".new"
     val old = target + ".old"
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (tgtP, tmpP, oldP) = (new Path(target), new Path(tmp), new Path(old))
+    // crash recovery: republish the retired copy so readers see the
+    // stale view (not nothing) while this refresh rebuilds
+    if (!fs.exists(tgtP) && fs.exists(oldP) && !fs.rename(oldP, tgtP)) {
+      throw new java.io.IOException(s"refreshView: cannot restore $oldP -> $tgtP")
+    }
     val df = job.build(spark)
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val (tgtP, tmpP, oldP) = (new Path(target), new Path(tmp), new Path(old))
     if (fs.exists(oldP)) fs.delete(oldP, true)
     // Hadoop rename reports most failures by returning false — an
     // unchecked rename here silently publishes nothing.

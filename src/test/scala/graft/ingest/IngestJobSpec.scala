@@ -144,6 +144,22 @@ class IngestJobSpec extends SparkSpec {
       Set(runId, r2.runId))
   }
 
+  test("entsoe: present-but-unparseable timestamp is invalid, not inserted with NULL key") {
+    val f = write(
+      s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":"garbage","country_code":"DE","psr_type":"B04","plant_name":"P","fuel_type":"Fossil Gas","data_type":"Actual","generation_mw":1.0,"resolution_minutes":60}""",
+      s"""{"extraction_run_id":"$runId","created_at_ms":$now,"timestamp_ms":"2020-01-01 00:00:00","country_code":"DE","psr_type":"B04","plant_name":"Q","fuel_type":"Fossil Gas","data_type":"Actual","generation_mw":2.0,"resolution_minutes":60}""",
+    )
+    val table = freshTable()
+    val r1 = IngestJob.load(spark, "entsoe", f, table, runId, now)
+    assert(r1.report.valid == 1 && r1.report.invalid == 1)
+    assert(r1.report.errorCounts.keySet.contains("timestamp_ms"))
+    assert(spark.read.parquet(table).count() == 1)
+    // idempotence holds: no NULL-keyed row to re-insert forever
+    val r2 = IngestJob.load(spark, "entsoe", f, table, runId, now)
+    assert(r2.upsert.inserted == 0)
+    assert(spark.read.parquet(table).count() == 1)
+  }
+
   test("unparseable JSON lines count as invalid in the report (strict-gate input)") {
     val f = write(
       npp(1767196019683L, "K 1", 1.0),
