@@ -115,8 +115,13 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          // round(2): the per-row double→decimal(24,8) conversion
+          // rounds half-cases differently across engines; over 600k
+          // rows the exact decimal sums drift ~1e-7 apart (caught at
+          // sf0.1 — invisible at sf0.01). 2 dp is far above the drift
+          // and is the money semantic anyway.
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,8)")).cast("double"), 2).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"),
         )
@@ -905,7 +910,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_disc_price,
         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
