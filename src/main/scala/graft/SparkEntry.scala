@@ -532,6 +532,13 @@ object SparkEntry {
         .select(col("doc_id"),
           TextDedup.simhash64(col("text")).as("simhash64"))),
 
+    // Banded SimHash near-dup pairs: 16-bit-band bucket join (any pair
+    // within hamming ≤ 3 of 64 bits shares ≥ 1 exact band), verified
+    // by codegen'd bit_count(xor). Rows-only (murmur3-based sigs).
+    "td7_simhash_pairs" -> ((s, dir) =>
+      TextDedup
+        .simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
     // --- Similarity search (beyond-reference) --------------------------
 
     "v1_cosine_topk" -> ((s, dir) => {
