@@ -37,9 +37,11 @@ object IngestBench {
     var i = 0
     while (i < n) {
       // unique (timestamp, country, psr, plant) natural key per line:
-      // 40 plants × one hourly series each
-      val ts = 1672531200000L + (i.toLong / 40) * 3600000L
-      val plant = s"Plant ${i % 40}"
+      // one 2023 hourly series per plant, plant count grows with n so
+      // timestamps never leave the past (the validator rejects future
+      // event times, correctly)
+      val ts = 1672531200000L + (i.toLong % 8760) * 3600000L
+      val plant = s"Plant ${i / 8760}"
       val psr = s"B0${i % 3 + 1}"
       val cc = if (i % 2 == 0) "DE" else "FR"
       w.write(
