@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (Measured, not assumed: adaptive.coalescePartitions.
+      // parallelismFirst=false — the production-recommended setting —
+      // was tried here and cost ~18% wall: at bench scale the shuffles
+      // are small enough that losing parallelism hurts more than task
+      // overhead. Keep Spark's default.)
       // The periodic full GC that drives ContextCleaner reclamation
       // must NOT fire inside the timed phase: a System.gc() on this
       // heap pauses multi-seconds and lands on whichever query is
