@@ -53,6 +53,17 @@ class CliSpec extends SparkSpec {
     // per-year file layout: year= Hive partitions
     assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("year=")) == 2)
 
+    // other granularities: plant carries plant_name; country collapses psr
+    val outPlant = tmp("graft-cli-export-plant")
+    assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
+      "--output-dir", outPlant, "--granularity", "plant")) == 0)
+    assert(spark.read.option("header", "true").csv(outPlant).columns.contains("plant_name"))
+    val outCountry = tmp("graft-cli-export-country")
+    assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
+      "--output-dir", outCountry, "--granularity", "country")) == 0)
+    val cc = spark.read.option("header", "true").csv(outCountry)
+    assert(!cc.columns.contains("psr_type") && cc.columns.contains("country_code"))
+
     assert(Cli.run(spark, Seq("clear-table", "entsoe", "--warehouse", wh)) == 1) // no --confirm
     assert(Cli.run(spark, Seq("clear-table", "entsoe", "--confirm", "--warehouse", wh)) == 0)
     assert(spark.read.parquet(s"$wh/entsoe_generation_data").isEmpty)
