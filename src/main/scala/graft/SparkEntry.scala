@@ -115,13 +115,16 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          // round(2): the per-row double→decimal(24,8) conversion
-          // rounds half-cases differently across engines; over 600k
-          // rows the exact decimal sums drift ~1e-7 apart (caught at
-          // sf0.1 — invisible at sf0.01). 2 dp is far above the drift
-          // and is the money semantic anyway.
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(24,8)")).cast("double"), 2).as("sum_disc_price"),
+          // Decimal-exact end to end: price and discount are exact
+          // 2-dp values, so casting them to decimal BEFORE the multiply
+          // makes every per-row product and the sum identical rational
+          // numbers on any engine. (Multiplying in double first and
+          // converting the product to decimal rounds half-cases
+          // differently across engines — observed ~1e-7 sum drift at
+          // sf0.1.) round(2) = the money rendering.
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(8,2)") - col("l_discount").cast("decimal(8,2)")))
+            .cast("double"), 2).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"),
         )
@@ -649,7 +652,7 @@ object SparkEntry {
     // round-trip through the storage layer.
     "s5_create_tables" -> ((s, dir) => {
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-s5").toString
+      val wh = Defaults.scratchDir("graft-s5")
       Warehouse.createWarehouse(s, wh)
       Warehouse.createAllTables(s, wh)
       Schemas.schemas.keys.toSeq.sorted
@@ -660,7 +663,7 @@ object SparkEntry {
     // S6: warehouse bootstrap — dir exists, all 8 tables registered.
     "s6_bootstrap" -> ((s, dir) => {
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-s6").toString
+      val wh = Defaults.scratchDir("graft-s6")
       Warehouse.createWarehouse(s, wh)
       Warehouse.createAllTables(s, wh)
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -673,7 +676,7 @@ object SparkEntry {
     // S8: per-year CSV export round-trip — counts by year must survive
     // the partitioned CSV write + read (reference database.py:893-898).
     "s8_csv_export" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-s8").toString
+      val out = Defaults.scratchDir("graft-s8")
       val src = events(s, dir).select(col("event_id"), col("value"), year(col("ts")).as("yr"))
       Warehouse.exportCsvByYear(src, "yr", out)
       s.read.option("header", "true")
@@ -685,7 +688,7 @@ object SparkEntry {
     // S9: validation-report JSON sink round-trip — the counts written
     // by the report sink must read back equal to the direct aggregate.
     "s9_report_json" -> ((s, dir) => {
-      val p = java.nio.file.Files.createTempDirectory("graft-s9").resolve("report.json").toString
+      val p = java.nio.file.Paths.get(Defaults.scratchDir("graft-s9")).resolve("report.json").toString
       val row = Validator.summary(annotatedEvents(s, dir)).head()
       Warehouse.saveJsonReport(p, Seq(
         "total_records" -> row.getLong(0),
@@ -698,7 +701,7 @@ object SparkEntry {
     // events, truncate, re-read (reference database.py:910-935).
     "s10_truncate" -> ((s, dir) => {
       import s.implicits._
-      val wh = java.nio.file.Files.createTempDirectory("graft-s10").toString
+      val wh = Defaults.scratchDir("graft-s10")
       val fact = events(s, dir).select(
         lit(RunId).as("extraction_run_id"),
         lit(NowMs).as("created_at_ms"),
@@ -716,7 +719,7 @@ object SparkEntry {
 
     // S11: drift-report JSON sink round-trip (missing-key count).
     "s11_drift_report" -> ((s, dir) => {
-      val p = java.nio.file.Files.createTempDirectory("graft-s11").resolve("drift.json").toString
+      val p = java.nio.file.Paths.get(Defaults.scratchDir("graft-s11")).resolve("drift.json").toString
       val missing = Drift.missingFromCrosswalk(
         tbl(s, dir, "customer"), col("c_nationkey"),
         tbl(s, dir, "nation"), col("n_nationkey"), col("n_regionkey") <= 2).count()
@@ -736,7 +739,7 @@ object SparkEntry {
     // P20: empty-input guard — 0-record file is a success no-op.
     "p20_empty_guard" -> ((s, dir) => {
       import s.implicits._
-      val f = java.nio.file.Files.createTempDirectory("graft-p20").resolve("empty.jsonl")
+      val f = java.nio.file.Paths.get(Defaults.scratchDir("graft-p20")).resolve("empty.jsonl")
       java.nio.file.Files.writeString(f, "")
       val df = JsonlSource.readJsonlWithVariant(s, f.toString, Schemas.readSchemas("npp"))
       Seq((Warehouse.isEmptyInput(df), df.count())).toDF("is_empty", "record_count")
@@ -832,7 +835,7 @@ object SparkEntry {
 
     // M2: refresh a view through the atomic swap and read it back.
     "m2_view_refresh" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-m2").toString
+      val wh = Defaults.scratchDir("graft-m2")
       val fact = events(s, dir).select(
         lit(RunId).as("extraction_run_id"),
         lit(NowMs).as("created_at_ms"),
@@ -879,7 +882,7 @@ object SparkEntry {
     // I8: extraction-metadata row through the full load pipeline
     // (valid + in-file dup + invalid record → pinned accounting).
     "i8_metadata_row" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-i8")
+      val tmp = java.nio.file.Paths.get(Defaults.scratchDir("graft-i8"))
       val jsonl = tmp.resolve("in.jsonl")
       val ts = 1704067200000L // 2024-01-01, inside the frozen "now" window
       java.nio.file.Files.writeString(jsonl, Seq(
@@ -917,7 +920,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE), 2) AS sum_disc_price,
         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem

@@ -57,12 +57,21 @@ class CliSpec extends SparkSpec {
     val outPlant = tmp("graft-cli-export-plant")
     assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
       "--output-dir", outPlant, "--granularity", "plant")) == 0)
-    assert(spark.read.option("header", "true").csv(outPlant).columns.contains("plant_name"))
+    val pp = spark.read.option("header", "true").csv(outPlant)
+    assert(pp.columns.contains("plant_name"))
+    // Plant A's two 2020-01 hours roll into one per-plant row
+    val pJan = pp.filter(col("month") === "2020-01-01" && col("plant_name") === "Plant A")
+    assert(pJan.count() == 1)
+    assert(pJan.select("total_generation_mwh").head().getString(0).toDouble == 400.0)
+    assert(pJan.select("hours_of_data").head().getString(0).toLong == 2)
     val outCountry = tmp("graft-cli-export-country")
     assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
       "--output-dir", outCountry, "--granularity", "country")) == 0)
     val cc = spark.read.option("header", "true").csv(outCountry)
     assert(!cc.columns.contains("psr_type") && cc.columns.contains("country_code"))
+    val cJan = cc.filter(col("month") === "2020-01-01")
+    assert(cJan.count() == 1) // one DE row, no double counting
+    assert(cJan.select("total_generation_mwh").head().getString(0).toDouble == 400.0)
 
     assert(Cli.run(spark, Seq("clear-table", "entsoe", "--warehouse", wh)) == 1) // no --confirm
     assert(Cli.run(spark, Seq("clear-table", "entsoe", "--confirm", "--warehouse", wh)) == 0)
