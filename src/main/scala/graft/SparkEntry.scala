@@ -645,6 +645,30 @@ object SparkEntry {
           "mean_r", "mean_g", "mean_b")
     }),
 
+    // Real javax.sound.sampled decode over synthesized WAV payloads:
+    // square-wave PCM makes RMS/peak exact integers, so every feature
+    // is oracle-reproducible from the id arithmetic in
+    // WavCodec.synthWav.
+    "mm4_audio_features" -> ((s, dir) => {
+      val media = Multimodal.asSyntheticAudioTable(s, tbl(s, dir, "documents"), "doc_id")
+      Multimodal
+        .extractAudioFeatures(s, media)
+        .select("media_id", "media_type", "decoded", "sample_rate",
+          "channels", "bit_depth", "n_frames", "duration_ms", "rms", "peak")
+    }),
+
+    // Real multi-frame GIF demux + decode, keep every 2nd frame — one
+    // row per sampled frame; geometry and per-frame gray level are
+    // oracle-reproducible from the id arithmetic in
+    // GifFrameCodec.synthGif.
+    "mm5_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asSyntheticVideoTable(s, tbl(s, dir, "documents"), "doc_id")
+      Multimodal
+        .sampleFrameFeatures(s, media, every = 2)
+        .select("media_id", "frame_no", "decoded", "width", "height",
+          "mean_r", "mean_g", "mean_b")
+    }),
+
     // --- Warehouse lifecycle / sinks (S5, S6, S8–S11, S10, P19, P20, I5) ---
 
     // S5: create every declared table, then read each one's schema back
@@ -1324,6 +1348,32 @@ object SparkEntry {
         |  CAST((doc_id // 256) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id // 65536) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
+
+    // Mirrors WavCodec.synthWav's id arithmetic: the Spark side decodes
+    // real RIFF/WAV bytes; the oracle recomputes what the decode must
+    // yield (square wave → rms = peak = amplitude exactly).
+    "mm4_audio_features" ->
+      """SELECT doc_id AS media_id, 'audio' AS media_type, TRUE AS decoded,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bit_depth,
+        |  CAST(400 + 2 * (doc_id % 50) AS BIGINT) AS n_frames,
+        |  CAST(400 + 2 * (doc_id % 50) AS DOUBLE) / 8 AS duration_ms,
+        |  CAST(((doc_id % 1000) + 1) * 16 AS DOUBLE) AS rms,
+        |  CAST(((doc_id % 1000) + 1) * 16 AS INT) AS peak
+        |FROM documents""".stripMargin,
+
+    // Mirrors GifFrameCodec.synthGif's id arithmetic; the sampled
+    // frame numbers are 0, 2, ... below n_frames = 4 + id % 4.
+    "mm5_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_no,
+        |  TRUE AS decoded,
+        |  CAST(8 + doc_id % 8 AS INT) AS width,
+        |  CAST(8 + (doc_id // 8) % 8 AS INT) AS height,
+        |  CAST((doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_b
+        |FROM documents, UNNEST(range(0, CAST(4 + doc_id % 4 AS BIGINT), 2)) AS u(f)""".stripMargin,
 
     // --- Warehouse lifecycle / sinks -----------------------------------
 

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * implemented as partition-local batch transforms.
   *
   * The Spark-side plumbing — schema, binary payload column,
-  * partition-batched processing, typed output — is real. The IMAGE
-  * modality uses a real codec ([[ImageIoCodec]], `javax.imageio`
-  * PNG/JPEG decode + rescale) behind the pluggable [[ImageCodec]]
-  * trait; audio/video decode remains STUBBED with a deterministic
-  * fake (no codec libraries in this environment). Swap in another
-  * [[ImageCodec]] (JNI/FFI per partition) without touching any other
-  * layer.
+  * partition-batched processing, typed output — is real. Each modality
+  * sits behind a pluggable codec trait with a real JDK-built-in
+  * implementation: IMAGE = [[ImageIoCodec]] (`javax.imageio` PNG/JPEG
+  * decode + rescale), AUDIO = [[WavCodec]] (`javax.sound.sampled`
+  * RIFF/WAV PCM), FRAMES = [[GifFrameCodec]] (multi-frame GIF demux).
+  * Only compressed audio/video (mp3/mp4/h264) remains on the
+  * deterministic stub fallback — no such codec libraries exist in this
+  * environment; swap one in (JNI/FFI per partition) without touching
+  * any other layer.
   *
   * Scale notes: payloads stay distributed (no collect); decode runs
   * once per partition batch via `mapPartitions` so per-record library
@@ -107,6 +109,127 @@ object Multimodal {
             ImageFeatures(r.media_id, r.media_type, r.n_bytes,
               decoded = false, s.width, s.height,
               s.features(0).toDouble, s.features(1).toDouble, s.features(2).toDouble)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Decoded-audio features from the real codec path. `decoded` is
+    * false when the payload was not decodable audio and the
+    * deterministic stub supplied placeholder values instead. */
+  final case class AudioFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      decoded: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      bit_depth: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      rms: Double,
+      peak: Int,
+  )
+
+  /** Media table of REAL WAV payloads synthesized deterministically
+    * from the id column ([[WavCodec.synthWav]]) — decode exercises the
+    * actual `javax.sound.sampled` parser and the outputs remain
+    * oracle-reproducible by arithmetic on the id. */
+  def asSyntheticAudioTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wav = WavCodec.synthWav(id)
+          MediaRecord(id, "audio", wav, wav.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Real audio decode / feature-extract: partition-batched, one codec
+    * instance per partition, stub fallback for non-audio payloads so
+    * mixed-modality tables still flow. */
+  def extractAudioFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      codecFactory: () => AudioCodec = () => new WavCodec,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val codec = codecFactory()
+      it.map { r =>
+        codec.decode(r.payload) match {
+          case Some(d) =>
+            AudioFeatures(r.media_id, r.media_type, r.n_bytes,
+              decoded = true, d.sampleRate, d.channels, d.bitDepth,
+              d.nFrames, d.durationMs, d.rms, d.peak)
+          case None =>
+            val s = decodeStub(r)
+            AudioFeatures(r.media_id, r.media_type, r.n_bytes,
+              decoded = false, 0, 0, 0, s.checksum, 0.0, 0.0, 0)
+        }
+      }
+    }.toDF()
+  }
+
+  /** One sampled frame with its decoded features. `decoded` is false
+    * for the stub fallback (payload chunks standing in for frames). */
+  final case class FrameFeatures(
+      media_id: Long,
+      frame_no: Int,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+  )
+
+  /** Media table of REAL animated-GIF payloads synthesized
+    * deterministically from the id column ([[GifFrameCodec.synthGif]]).
+    */
+  def asSyntheticVideoTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gif = GifFrameCodec.synthGif(id)
+          MediaRecord(id, "video", gif, gif.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Real frame sampling: demux + decode every frame via the codec,
+    * keep every Nth, one output row per kept frame (the
+    * generator/explode shape). Payloads that don't decode fall back to
+    * fixed-size payload chunks so mixed tables still flow — flagged
+    * `decoded = false`. */
+  def sampleFrameFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      every: Int = 2,
+      codecFactory: () => FrameCodec = () => new GifFrameCodec,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val codec = codecFactory()
+      it.flatMap { r =>
+        codec.frames(r.payload) match {
+          case Some(fs) =>
+            fs.zipWithIndex.collect {
+              case (d, i) if i % every == 0 =>
+                FrameFeatures(r.media_id, i, decoded = true,
+                  d.width, d.height, d.meanR, d.meanG, d.meanB)
+            }
+          case None =>
+            r.payload.grouped(32).zipWithIndex.collect {
+              case (chunk, i) if i % every == 0 =>
+                val s = chunk.foldLeft(0L)((a, b) => a + (b & 0xff))
+                FrameFeatures(r.media_id, i, decoded = false,
+                  chunk.length, 1, (s % 256).toDouble, 0.0, 0.0)
+            }
         }
       }
     }.toDF()

@@ -85,6 +85,65 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getAs[Double]("mean_g") == (300 / 256 % 256).toDouble)
   }
 
+  test("WavCodec: synthWav round-trips format and amplitude features exactly") {
+    val codec = new WavCodec
+    for (id <- Seq(0L, 1L, 49L, 50L, 999L, 1000L, 123456L)) {
+      val d = codec.decode(WavCodec.synthWav(id)).get
+      val amp = (((id % 1000) + 1) * 16).toInt
+      assert(d.sampleRate == 8000, s"id=$id")
+      assert(d.channels == 1 + (id % 2).toInt, s"id=$id")
+      assert(d.bitDepth == 16, s"id=$id")
+      assert(d.nFrames == 400 + 2 * (id % 50), s"id=$id")
+      assert(d.durationMs == (400 + 2 * (id % 50)) / 8.0, s"id=$id")
+      assert(d.rms == amp.toDouble, s"id=$id") // square wave: RMS exact
+      assert(d.peak == amp, s"id=$id")
+    }
+    assert(codec.decode("not audio".getBytes).isEmpty)
+  }
+
+  test("extractAudioFeatures: real WAV decode distributed, stub fallback flagged") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val synth = Multimodal.asSyntheticAudioTable(spark, docs, "doc_id")
+    val f = Multimodal.extractAudioFeatures(spark, synth).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(f(1L).getAs[Boolean]("decoded"))
+    assert(f(1L).getAs[Int]("channels") == 2 && f(2L).getAs[Int]("channels") == 1)
+    assert(f(1L).getAs[Double]("rms") == 32.0) // (1%1000+1)*16
+    val textMedia = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val g = Multimodal.extractAudioFeatures(spark, textMedia).collect()
+    assert(g.forall(!_.getAs[Boolean]("decoded")))
+  }
+
+  test("GifFrameCodec: synthGif round-trips per-frame geometry and gray exactly") {
+    val codec = new GifFrameCodec
+    for (id <- Seq(0L, 3L, 7L, 63L, 64L, 255L, 12345L)) {
+      val fs = codec.frames(GifFrameCodec.synthGif(id)).get
+      assert(fs.length == 4 + (id % 4).toInt, s"id=$id")
+      fs.zipWithIndex.foreach { case (d, f) =>
+        val gray = ((id + 37L * f) % 256).toDouble
+        assert(d.width == 8 + (id % 8).toInt, s"id=$id f=$f")
+        assert(d.height == 8 + ((id / 8) % 8).toInt, s"id=$id f=$f")
+        assert(d.meanR == gray && d.meanG == gray && d.meanB == gray, s"id=$id f=$f")
+      }
+    }
+    assert(codec.frames("not a gif".getBytes).isEmpty)
+  }
+
+  test("sampleFrameFeatures: real demux keeps every Nth frame; chunk fallback flagged") {
+    val docs = Seq((5L, "v")).toDF("doc_id", "text") // 4 + 5%4 = 5 frames
+    val synth = Multimodal.asSyntheticVideoTable(spark, docs, "doc_id")
+    val fs = Multimodal.sampleFrameFeatures(spark, synth, every = 2).collect()
+      .sortBy(_.getAs[Int]("frame_no"))
+    assert(fs.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2, 4))
+    assert(fs.forall(_.getAs[Boolean]("decoded")))
+    assert(fs.map(_.getAs[Double]("mean_r")).toSeq ==
+      Seq(5.0, (5 + 74) % 256.0, (5 + 148) % 256.0))
+    val textMedia = Multimodal.asMediaTable(
+      Seq((1L, "a" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+    val g = Multimodal.sampleFrameFeatures(spark, textMedia, every = 2).collect()
+    assert(g.nonEmpty && g.forall(!_.getAs[Boolean]("decoded")))
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
