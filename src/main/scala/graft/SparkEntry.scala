@@ -1275,6 +1275,30 @@ object SparkEntry {
       """SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // Reproduces TextAnalysis.rollingHash64's wrapping-Long base-31
+    // fold in HUGEINT-mod-2^64 arithmetic, folded via list_reduce with
+    // the seed prepended (DuckDB 1.0 list_reduce takes no initial
+    // value). greatest(unicode(c),0) maps DuckDB's unicode('') = -1 to
+    // Spark's ascii('') = 0. Caveat: for non-BMP characters Spark
+    // splits into UTF-16 surrogates while DuckDB splits by codepoint —
+    // equal here because the corpus is ASCII; a production oracle
+    // would normalize to codepoints on both sides.
+    "t5_rolling_hash" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(
+        |      trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')), ''),
+        |      c -> CAST(greatest(unicode(c), 0) AS HUGEINT)) AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rhash
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
+        |      (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM codes)""".stripMargin,
+
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
         |sims AS (SELECT q.query_id, e.vec_id,
