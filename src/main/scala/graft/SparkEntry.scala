@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{TextAnalysis, TextDedup}
+import graft.text.{Curation, TextAnalysis, TextDedup}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -503,6 +503,28 @@ object SparkEntry {
     "t5_rolling_hash" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash64(col("text")).as("rhash"))),
+
+    // Composed curation pipeline, deterministic prefix: annotate
+    // (lang/quality/tokens) → filter → exact dedup keep-min-id, all
+    // one plan — the narrow annotate+filter fuses into the scan, the
+    // dedup is the single shuffle. Oracle reproduces every stage.
+    "tp1_curation_filters" -> ((s, dir) =>
+      Curation
+        .filterAndExactDedup(tbl(s, dir, "documents"), "doc_id", "text",
+          Curation.Config(minQuality = 0.6, langs = Seq("en"), minTokens = 20,
+            maxTokens = 1 << 20, nearDupThreshold = None))
+        .select("doc_id", "curation_lang", "curation_quality", "curation_tokens")),
+
+    // Full curation: + MinHash near-dup stage (linear representative
+    // form) over the deterministic survivors. Rows-only: the near-dup
+    // stage is probabilistic; CurationSpec pins the containment and
+    // idempotence laws.
+    "tp2_curation_full" -> ((s, dir) =>
+      Curation
+        .curate(tbl(s, dir, "documents"), "doc_id", "text",
+          Curation.Config(minQuality = 0.6, langs = Seq("en"), minTokens = 20,
+            maxTokens = 1 << 20, nearDupThreshold = Some(0.9)))
+        .select("doc_id", "curation_lang", "curation_quality", "curation_tokens")),
 
     // --- Text dedup (beyond-reference) ---------------------------------
 
@@ -1298,6 +1320,45 @@ object SparkEntry {
         |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
         |      (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT) AS h
         |  FROM codes)""".stripMargin,
+
+    // Composes the t1/t2/t3/td1 oracle expressions end-to-end:
+    // annotations, then the curation filters, then keep-min-id per
+    // fingerprint (QUALIFY runs after WHERE, matching the pipeline's
+    // filter-before-dedup order).
+    "tp1_curation_filters" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |    CASE WHEN TRIM(text) = '' THEN 0.0
+        |      ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) END AS toks,
+        |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+        |    CASE WHEN TRIM(text) = '' THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
+        |        / len(string_split_regex(TRIM(text), '\s+')) END AS mwl,
+        |    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS en,
+        |    len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')) AS de,
+        |    len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS fr,
+        |    len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|para|con|por|del|como)\b')) AS es,
+        |    3 * len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+        |    md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |m AS (SELECT *, GREATEST(en, de, fr, es, zh) AS mx FROM raw),
+        |ann AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN mx <= 0 THEN 'und'
+        |      WHEN zh = mx THEN 'zh' WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+        |      WHEN en = mx THEN 'en' ELSE 'de' END AS curation_lang,
+        |    ROUND(0.4 * LEAST(chars / 200.0, 1.0)
+        |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(en / toks, 0.5) * 2.0 END)
+        |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
+        |      + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS curation_quality,
+        |    CAST(toks AS INT) AS curation_tokens
+        |  FROM m)
+        |SELECT doc_id, curation_lang, curation_quality, curation_tokens
+        |FROM ann
+        |WHERE curation_quality >= 0.6 AND curation_lang = 'en'
+        |  AND curation_tokens BETWEEN 20 AND 1048576
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
