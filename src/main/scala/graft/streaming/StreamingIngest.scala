@@ -90,6 +90,32 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream → idempotent table: every micro-batch flows through the
+    * SAME anti-join append as the batch engine
+    * ([[graft.sink.IdempotentAppend.appendNew]] inside `foreachBatch`),
+    * so checkpoint replay after a crash, overlapping re-extraction,
+    * and cross-run duplicates are all neutralized exactly as the
+    * reference's ON CONFLICT DO NOTHING — the parquet sink above gives
+    * per-file exactly-once, this gives per-KEY exactly-once across
+    * arbitrary redelivery. The streaming face of S7/D2. */
+  def drainUpsert(
+      df: DataFrame,
+      tablePath: String,
+      checkpointPath: String,
+      keys: Seq[String],
+      nullSafeCols: Set[String] = Set.empty,
+      timeCol: Option[String] = Some("timestamp_ms"),
+  ): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.IdempotentAppend.appendNew(
+          batch.sparkSession, batch, tablePath, keys, nullSafeCols, timeCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed rollup with a watermark: the streaming form
     * of the monthly MV (daily tumbling windows here — month windows
     * are calendar-irregular, so the batch refresh stays the monthly
