@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, TextAnalysis, TextDedup}
+import graft.text.{Curation, Packing, Sampling, TextAnalysis, TextDedup}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -456,6 +456,9 @@ object SparkEntry {
       val monthly = tbl(s, dir, "orders")
         .groupBy(Rollups.monthStr(col("o_orderdate")).as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"))
+      // unpartitioned window is safe here: the frame is the already-
+      // aggregated monthly series (bounded by calendar cardinality,
+      // ~100s of rows at any corpus scale), not the fact table
       val w = Window.orderBy(col("month"))
       monthly.select(col("month"), col("revenue"),
         round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), lit(0.0)), 2)
@@ -525,6 +528,25 @@ object SparkEntry {
           Curation.Config(minQuality = 0.6, langs = Seq("en"), minTokens = 20,
             maxTokens = 1 << 20, nearDupThreshold = Some(0.9)))
         .select("doc_id", "curation_lang", "curation_quality", "curation_tokens")),
+
+    // Budgeted sequence packing: running token total per source (one
+    // partitioned window — never a global-order window) and
+    // pack_no = floor(exclusive_cumsum / budget). Contiguous bin-fill,
+    // SQL-exact.
+    "tp3_pack_by_budget" -> ((s, dir) =>
+      Packing
+        .packByBudget(tbl(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), Seq("source"), budgetTokens = 2000L)
+        .select("doc_id", "source", "pack_no", "pack_cum_tokens")),
+
+    // Deterministic stratified sampling for corpus mixing: keep iff
+    // md5(salt:key) < per-stratum hex threshold — pure function of the
+    // key, so re-runs and other engines agree row-for-row.
+    "tp4_stratified_sample" -> ((s, dir) =>
+      Sampling
+        .stratifiedSample(tbl(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
+        .select("doc_id", "lang", "source")),
 
     // --- Text dedup (beyond-reference) ---------------------------------
 
@@ -1359,6 +1381,28 @@ object SparkEntry {
         |WHERE curation_quality >= 0.6 AND curation_lang = 'en'
         |  AND curation_tokens BETWEEN 20 AND 1048576
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1""".stripMargin,
+
+    "tp3_pack_by_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN TRIM(text) = '' THEN 0
+        |    ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS toks
+        |FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(FLOOR((SUM(toks) OVER w - toks) / 2000.0) AS INT) AS pack_no,
+        |  CAST(SUM(toks) OVER w AS BIGINT) AS pack_cum_tokens
+        |FROM t
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Thresholds come from the same Sampling.hexThreshold the engine
+    // uses — lowercase-hex md5 compares identically in both engines.
+    "tp4_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE md5(concat_ws(':', '', CAST(doc_id AS VARCHAR))) <
+         |  CASE WHEN lang = 'en' THEN '${Sampling.hexThreshold(1.0)}'
+         |       WHEN lang = 'de' THEN '${Sampling.hexThreshold(0.5)}'
+         |       WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.25)}'
+         |       ELSE '${Sampling.hexThreshold(0.1)}' END""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (seedless-reproducible) sampling for corpus mixing:
+  * keep a document iff the md5 of its key falls below a hex threshold
+  * derived from the target fraction. Unlike `df.sample`, the decision
+  * is a pure function of the key — re-runs, retries, and other engines
+  * agree row-for-row (lowercase-hex strings compare identically
+  * everywhere), which is what makes mixing ratios auditable. Salt the
+  * key to draw a different deterministic sample.
+  *
+  * Scale shape: a narrow filter fused into the scan — no shuffle, no
+  * state, and the kept fraction of each partition is i.i.d., so
+  * downstream partition sizing is unaffected.
+  */
+object Sampling {
+
+  /** 32-hex-digit threshold such that P[md5 < threshold] = fraction.
+    * The comparison is lexicographic over equal-length lowercase hex,
+    * which equals numeric order; fraction 1.0 needs a string above
+    * every hex digit — "g" — because a 33-digit "10…0" would compare
+    * by first character and sort BELOW almost every md5. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val full = BigInt(1) << 128
+    val cut = (BigDecimal(full) * BigDecimal(fraction)).toBigInt
+    if (cut >= full) "g"
+    else {
+      val hex = cut.toString(16)
+      "0" * (32 - hex.length) + hex
+    }
+  }
+
+  private def keyHash(keyCol: Column, salt: String): Column =
+    md5(concat_ws(":", lit(salt), keyCol.cast("string")))
+
+  /** Uniform deterministic sample at `fraction`. */
+  def deterministicSample(
+      docs: DataFrame,
+      keyCol: Column,
+      fraction: Double,
+      salt: String = "",
+  ): DataFrame =
+    docs.filter(keyHash(keyCol, salt) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum deterministic sample: each stratum keeps its own
+    * fraction (corpus-mixing ratios). Strata absent from the map keep
+    * `defaultFraction`. */
+  def stratifiedSample(
+      docs: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "",
+  ): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(stratumCol === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    docs.filter(keyHash(keyCol, salt) < threshold)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PackingSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "s1", 800L), (2L, "s1", 800L), (3L, "s1", 800L), (4L, "s1", 100L),
+    (10L, "s2", 2500L), (11L, "s2", 10L),
+  ).toDF("doc_id", "source", "toks")
+
+  test("packByBudget: contiguous fill, pack advances when the budget is crossed") {
+    val out = Packing.packByBudget(docs, "doc_id", col("toks"), Seq("source"), 2000L)
+      .select("doc_id", "pack_no", "pack_cum_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // s1: cum 800,1600,2400,2500 → exclusive starts 0,800,1600,2400 → packs 0,0,0,1
+    assert(out(1L) == ((0, 800L)) && out(2L) == ((0, 1600L)))
+    assert(out(3L) == ((0, 2400L))) // straddler stays in the pack it started
+    assert(out(4L) == ((1, 2500L)))
+    // s2: an oversized doc owns pack 0; the next doc starts pack 1
+    assert(out(10L) == ((0, 2500L)) && out(11L) == ((1, 2510L)))
+  }
+
+  test("packByBudget: pack_no is nondecreasing in id order within each group") {
+    val out = Packing.packByBudget(docs, "doc_id", col("toks"), Seq("source"), 1000L)
+    val bySource = out.select("source", "doc_id", "pack_no").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getInt(2)).toSeq)
+    bySource.foreach { case (src, packs) =>
+      assert(packs == packs.sorted, s"source=$src packs=$packs")
+    }
+  }
+
+  test("hexThreshold endpoints and ordering") {
+    assert(Sampling.hexThreshold(0.0) == "0" * 32)
+    assert(Sampling.hexThreshold(1.0) == "g") // above every hex md5
+    assert(Sampling.hexThreshold(0.25) == "4" + "0" * 31)
+    assert(Sampling.hexThreshold(0.1) < Sampling.hexThreshold(0.5))
+  }
+
+  test("deterministicSample: endpoints, determinism, monotone nesting") {
+    val ids = (1L to 400L).toDF("doc_id")
+    assert(Sampling.deterministicSample(ids, col("doc_id"), 1.0).count() == 400)
+    assert(Sampling.deterministicSample(ids, col("doc_id"), 0.0).count() == 0)
+    val half = Sampling.deterministicSample(ids, col("doc_id"), 0.5)
+      .as[Long].collect().toSet
+    assert(Sampling.deterministicSample(ids, col("doc_id"), 0.5)
+      .as[Long].collect().toSet == half) // pure function of the key
+    val quarter = Sampling.deterministicSample(ids, col("doc_id"), 0.25)
+      .as[Long].collect().toSet
+    assert(quarter.subsetOf(half)) // nested thresholds → nested samples
+    assert(math.abs(half.size - 200) < 60) // ~Binomial(400, .5)
+    // a different salt draws a different (deterministic) sample
+    val salted = Sampling.deterministicSample(ids, col("doc_id"), 0.5, salt = "s")
+      .as[Long].collect().toSet
+    assert(salted != half)
+  }
+
+  test("stratifiedSample: per-stratum fractions, default for unlisted strata") {
+    val rows = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("en" -> 1.0, "de" -> 0.5), defaultFraction = 0.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 100) // fraction 1.0 keeps the whole stratum
+    assert(byLang.getOrElse("xx", 0L) == 0) // default 0 drops unlisted
+    assert(byLang("de") > 20 && byLang("de") < 80)
+  }
+}
