@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, Packing, Sampling, TextAnalysis, TextDedup}
+import graft.text.{Curation, Decontamination, Packing, Sampling, Scrub, TextAnalysis, TextDedup}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -547,6 +547,36 @@ object SparkEntry {
         .stratifiedSample(tbl(s, dir, "documents"), col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang", "source")),
+
+    // PII hygiene pass: email → IP → phone redaction (order matters),
+    // over text with deterministically injected PII so the transform
+    // provably fires; output the scrubbed hash + per-kind redaction
+    // counts. Patterns stay in the Java-regex ∩ RE2 subset, which is
+    // what makes the oracle reproducible.
+    "tp5_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+        col("doc_id") % 256, lit("."), col("doc_id") % 100,
+        lit(" tel +1 555 867-53"), col("doc_id") % 100)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Scrub.redact(injected).as("_scrubbed"))
+        .select(col("doc_id"),
+          md5(col("_scrubbed")).as("scrubbed_md5"),
+          Scrub.redactionCount(col("_scrubbed"), "<EMAIL>").as("n_emails"),
+          Scrub.redactionCount(col("_scrubbed"), "<IP>").as("n_ips"),
+          Scrub.redactionCount(col("_scrubbed"), "<PHONE>").as("n_phones"))
+    }),
+
+    // Benchmark decontamination: containment of each benchmark doc's
+    // 3-gram set inside every other corpus doc, via inverted-index
+    // broadcast join (never corpus × benchmark). Benchmark analog =
+    // every 97th document.
+    "tp6_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Decontamination.containmentScores(
+        docs, bench, "doc_id", "doc_id", "text", k = 2, threshold = 0.2)
+    }),
 
     // --- Text dedup (beyond-reference) ---------------------------------
 
@@ -1403,6 +1433,46 @@ object SparkEntry {
          |       WHEN lang = 'de' THEN '${Sampling.hexThreshold(0.5)}'
          |       WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.25)}'
          |       ELSE '${Sampling.hexThreshold(0.1)}' END""".stripMargin,
+
+    // Same injection + redaction chain in RE2; len() counts are
+    // BIGINT-cast to INT to match Spark's size().
+    "tp5_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |    || ' tel +1 555 867-53' || CAST(doc_id % 100 AS VARCHAR) AS t
+        |FROM documents),
+        |scrub AS (SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS sc
+        |FROM inj)
+        |SELECT doc_id, md5(sc) AS scrubbed_md5,
+        |  CAST(len(regexp_extract_all(sc, '<EMAIL>')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(sc, '<IP>')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(sc, '<PHONE>')) AS INT) AS n_phones
+        |FROM scrub""".stripMargin,
+
+    // Exact containment over distinct 2-gram lists (the corpus's
+    // near-dups are word-order-shuffled, so longer grams never
+    // overlap); DuckDB slices are 1-based inclusive and clamp like
+    // Spark's slice().
+    "tp6_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+        |      i -> array_to_string(tk[(i+1):(i+2)], ' '))) AS grams
+        |  FROM toks),
+        |bench AS (SELECT doc_id AS bench_id, grams AS bgrams FROM sh WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, b.bench_id,
+        |  ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) AS containment
+        |FROM sh c CROSS JOIN bench b
+        |WHERE c.doc_id <> b.bench_id
+        |  AND ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) >= 0.2""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),

@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that contain a
+  * benchmark document's n-grams, scored by containment =
+  * |corpus ∩ bench shingles| / |bench shingles| — the metric that
+  * answers "how much of this eval item leaked into training data".
+  *
+  * Scale shape: the benchmark set is small by nature (eval suites are
+  * thousands of items, the corpus is billions), so this is an
+  * inverted-index join, never a cross product — benchmark shingles
+  * explode into a broadcast table, corpus shingles explode and hash-
+  * join against it (map-side, no shuffle of the corpus), and the only
+  * exchange is the partial/final count aggregation over MATCHED
+  * (doc, bench) pairs, whose cardinality is bounded by actual overlap
+  * rather than corpus × benchmark.
+  */
+object Decontamination {
+
+  /** (doc, bench_id, containment) for every corpus document whose
+    * containment of a benchmark document reaches `threshold`.
+    * Self-pairs (same id) are excluded: the benchmark is typically
+    * drawn from, or keyed like, the corpus under test. */
+  def containmentScores(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.3,
+  ): DataFrame = {
+    val cGrams = TextDedup.withShingles(corpus, textCol, k, "_sh")
+      .select(col(idCol), explode(col("_sh")).as("_gram"))
+    val bGrams = TextDedup.withShingles(benchmark, textCol, k, "_sh")
+      .select(col(benchIdCol).as("bench_id"),
+        size(col("_sh")).as("_bench_size"), explode(col("_sh")).as("_gram"))
+    cGrams
+      .join(broadcast(bGrams), "_gram")
+      .filter(col(idCol) =!= col("bench_id"))
+      // shingle lists are distinct per document, so matched row count
+      // per (doc, bench) = |intersection|
+      .groupBy(col(idCol), col("bench_id"), col("_bench_size"))
+      .agg(count(lit(1)).as("_matched"))
+      .withColumn("containment", round(col("_matched") / col("_bench_size"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col(idCol), col("bench_id"), col("containment"))
+  }
+}
