@@ -32,11 +32,17 @@ object Decontamination {
       k: Int = 3,
       threshold: Double = 0.3,
   ): DataFrame = {
+    // explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    // size(shingles) > 0 pre-filter to a plain explode and inlines the
+    // whole tokenization chain inside the slice lambda — a full-text
+    // regex split PER GRAM (measured 7.1 s → 1.4 s at sf0.1). The rule
+    // skips outer generates; the null rows an empty array produces
+    // self-eliminate in the inner join below.
     val cGrams = TextDedup.withShingles(corpus, textCol, k, "_sh")
-      .select(col(idCol), explode(col("_sh")).as("_gram"))
+      .select(col(idCol), explode_outer(col("_sh")).as("_gram"))
     val bGrams = TextDedup.withShingles(benchmark, textCol, k, "_sh")
       .select(col(benchIdCol).as("bench_id"),
-        size(col("_sh")).as("_bench_size"), explode(col("_sh")).as("_gram"))
+        size(col("_sh")).as("_bench_size"), explode_outer(col("_sh")).as("_gram"))
     cGrams
       .join(broadcast(bGrams), "_gram")
       .filter(col(idCol) =!= col("bench_id"))
