@@ -548,6 +548,23 @@ object SparkEntry {
           Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang", "source")),
 
+    // Per-language corpus length distribution: exact interpolated
+    // percentiles (Spark `percentile` ≡ DuckDB quantile_cont linear
+    // interpolation) — the length-histogram probe a curation run
+    // reports. Exact percentile needs a per-group sort, which is fine
+    // for a stats probe over grouped metadata; the streaming-friendly
+    // approximation is percentile_approx (not oracle-matchable across
+    // engines by construction).
+    "t6_corpus_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
     // provably fires; output the scrubbed hash + per-kind redaction
@@ -1433,6 +1450,14 @@ object SparkEntry {
          |       WHEN lang = 'de' THEN '${Sampling.hexThreshold(0.5)}'
          |       WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.25)}'
          |       ELSE '${Sampling.hexThreshold(0.1)}' END""".stripMargin,
+
+    "t6_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // Same injection + redaction chain in RE2; len() counts are
     // BIGINT-cast to INT to match Spark's size().
