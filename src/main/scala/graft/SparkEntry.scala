@@ -748,6 +748,19 @@ object SparkEntry {
           "channels", "bit_depth", "n_frames", "duration_ms", "rms", "peak")
     }),
 
+    // Real audio resample: decode → decimate by 2 → re-encode →
+    // decode. Keeping even frames of the ±amp square wave leaves a
+    // constant +amp signal, so RMS and peak stay exactly amplitude at
+    // half the rate and frame count.
+    "mm6_audio_resample" -> ((s, dir) => {
+      val media = Multimodal.asSyntheticAudioTable(s, tbl(s, dir, "documents"), "doc_id")
+      val resampled = Multimodal.resampleAudio(s, media, factor = 2)
+      Multimodal
+        .extractAudioFeatures(s, resampled)
+        .select("media_id", "decoded", "sample_rate", "channels",
+          "n_frames", "duration_ms", "rms", "peak")
+    }),
+
     // Real multi-frame GIF demux + decode, keep every 2nd frame — one
     // row per sampled frame; geometry and per-frame gray level are
     // oracle-reproducible from the id arithmetic in
@@ -1583,6 +1596,18 @@ object SparkEntry {
         |  CAST(16 AS INT) AS bit_depth,
         |  CAST(400 + 2 * (doc_id % 50) AS BIGINT) AS n_frames,
         |  CAST(400 + 2 * (doc_id % 50) AS DOUBLE) / 8 AS duration_ms,
+        |  CAST(((doc_id % 1000) + 1) * 16 AS DOUBLE) AS rms,
+        |  CAST(((doc_id % 1000) + 1) * 16 AS INT) AS peak
+        |FROM documents""".stripMargin,
+
+    // Half the rate and frames of mm4; duration unchanged
+    // ((n/2) / 4 kHz = n / 8 kHz); constant-signal RMS = peak = amp.
+    "mm6_audio_resample" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded,
+        |  CAST(4000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(200 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST(200 + doc_id % 50 AS DOUBLE) / 4 AS duration_ms,
         |  CAST(((doc_id % 1000) + 1) * 16 AS DOUBLE) AS rms,
         |  CAST(((doc_id % 1000) + 1) * 16 AS INT) AS peak
         |FROM documents""".stripMargin,

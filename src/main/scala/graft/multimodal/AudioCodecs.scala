@@ -15,6 +15,11 @@ trait AudioCodec extends Serializable {
 
   /** Decode a payload; None if the bytes are not decodable audio. */
   def decode(payload: Array[Byte]): Option[AudioCodec.Decoded]
+
+  /** Re-encode at sampleRate / factor by integer decimation (keep
+    * every factor-th frame); None if not decodable. The audio analog
+    * of [[ImageCodec.resize]]. */
+  def decimate(payload: Array[Byte], factor: Int): Option[Array[Byte]]
 }
 
 object AudioCodec {
@@ -84,6 +89,31 @@ final class WavCodec extends AudioCodec {
       case _: UnsupportedAudioFileException => None
       case _: java.io.IOException           => None
     }
+
+  override def decimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor > 0, s"decimation factor must be positive: $factor")
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val channels = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length / frameSize
+          val kept = (nFrames + factor - 1) / factor
+          val outRate = fmt.getSampleRate.toInt / factor
+          Some(WavCodec.writeWav(outRate, channels, kept, (f, buf, off) =>
+            System.arraycopy(bytes, f * factor * frameSize, buf, off, frameSize)))
+        }
+      } finally ais.close()
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case _: java.io.IOException           => None
+    }
+  }
 }
 
 object WavCodec {
@@ -113,7 +143,28 @@ object WavCodec {
     val channels = (1 + id % 2).toInt
     val nFrames = (400 + 2 * (id % 50)).toInt
     val amp = (((id % 1000) + 1) * 16).toInt
-    val dataLen = nFrames * channels * 2
+    writeWav(SampleRate, channels, nFrames, (f, buf, off) => {
+      val v = if (f % 2 == 0) amp else -amp
+      var c = 0
+      while (c < channels) {
+        buf(off + 2 * c) = (v & 0xff).toByte
+        buf(off + 2 * c + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+    })
+  }
+
+  /** Canonical 44-byte-header little-endian 16-bit PCM writer;
+    * `frameWriter(frameIndex, buf, byteOffset)` fills one frame
+    * (channels × 2 bytes). */
+  private[multimodal] def writeWav(
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Int,
+      frameWriter: (Int, Array[Byte], Int) => Unit,
+  ): Array[Byte] = {
+    val frameSize = channels * 2
+    val dataLen = nFrames * frameSize
     val out = new Array[Byte](44 + dataLen)
     def w32(off: Int, v: Int): Unit = {
       out(off) = (v & 0xff).toByte
@@ -127,20 +178,14 @@ object WavCodec {
     }
     def tag(off: Int, s: String): Unit =
       s.getBytes("US-ASCII").copyToArray(out, off)
-    // canonical 44-byte RIFF/WAVE header, little-endian PCM
     tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
     tag(12, "fmt "); w32(16, 16); w16(20, 1 /* PCM */)
-    w16(22, channels); w32(24, SampleRate)
-    w32(28, SampleRate * channels * 2); w16(32, channels * 2); w16(34, 16)
+    w16(22, channels); w32(24, sampleRate)
+    w32(28, sampleRate * frameSize); w16(32, frameSize); w16(34, 16)
     tag(36, "data"); w32(40, dataLen)
     var f = 0
     while (f < nFrames) {
-      val v = if (f % 2 == 0) amp else -amp
-      var c = 0
-      while (c < channels) {
-        w16(44 + 2 * (f * channels + c), v & 0xffff)
-        c += 1
-      }
+      frameWriter(f, out, 44 + f * frameSize)
       f += 1
     }
     out

@@ -173,6 +173,27 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Real audio resample (integer decimation): decode → keep every
+    * factor-th frame → re-encode, the audio analog of
+    * [[resizeImages]]. Non-audio payloads fall back to the
+    * deterministic byte resample. */
+  def resampleAudio(
+      spark: SparkSession,
+      media: DataFrame,
+      factor: Int,
+      codecFactory: () => AudioCodec = () => new WavCodec,
+  ): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      val codec = codecFactory()
+      it.map { r =>
+        val out = codec.decimate(r.payload, factor)
+          .getOrElse(resampleStub(r.payload, math.max(1, r.payload.length / factor)))
+        r.copy(payload = out, n_bytes = out.length.toLong)
+      }
+    }.toDF()
+  }
+
   /** One sampled frame with its decoded features. `decoded` is false
     * for the stub fallback (payload chunks standing in for frames). */
   final case class FrameFeatures(

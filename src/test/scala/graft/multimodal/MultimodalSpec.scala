@@ -114,6 +114,31 @@ class MultimodalSpec extends SparkSpec {
     assert(g.forall(!_.getAs[Boolean]("decoded")))
   }
 
+  test("decimate: halves rate and frames; square wave becomes constant signal") {
+    val codec = new WavCodec
+    for (id <- Seq(0L, 1L, 49L, 777L)) {
+      val amp = (((id % 1000) + 1) * 16).toInt
+      val d = codec.decode(codec.decimate(WavCodec.synthWav(id), 2).get).get
+      assert(d.sampleRate == 4000, s"id=$id")
+      assert(d.nFrames == (400 + 2 * (id % 50)) / 2, s"id=$id")
+      assert(d.rms == amp.toDouble && d.peak == amp, s"id=$id")
+      // duration is rate-invariant under decimation
+      assert(d.durationMs == (400 + 2 * (id % 50)) / 8.0, s"id=$id")
+    }
+    assert(codec.decimate("not audio".getBytes, 2).isEmpty)
+  }
+
+  test("resampleAudio: distributed decimation, stub fallback for non-audio") {
+    val docs = Seq((3L, "x")).toDF("doc_id", "text")
+    val synth = Multimodal.asSyntheticAudioTable(spark, docs, "doc_id")
+    val d = Multimodal.extractAudioFeatures(
+      spark, Multimodal.resampleAudio(spark, synth, 2)).head()
+    assert(d.getAs[Boolean]("decoded") && d.getAs[Int]("sample_rate") == 4000)
+    val textMedia = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val g = Multimodal.resampleAudio(spark, textMedia, 2).head()
+    assert(g.getAs[Long]("n_bytes") < "x".length + 1) // stub shrank it
+  }
+
   test("GifFrameCodec: synthGif round-trips per-frame geometry and gray exactly") {
     val codec = new GifFrameCodec
     for (id <- Seq(0L, 3L, 7L, 63L, 64L, 255L, 12345L)) {
