@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity / dedup hot paths.
@@ -104,30 +103,37 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** minhash_sig(hashed_shingles, numHashes): signature[j] = min over
-  * the 64-bit shingle hashes of murmur3(hash, seed = j). Operates on
-  * the [[HashShingles]] representation so shingle strings are hashed
-  * once per document and never re-touched; one native pass per hash
-  * function. */
+/** minhash_sig(hashed_shingles, numHashes): signature[j] = unsigned
+  * min over the 64-bit shingle hashes x of the multiply-add
+  * permutation `permA(j)·x + permB(j) mod 2^64` ([[GHash]]). Operates
+  * on the [[HashShingles]] representation so shingle strings are
+  * hashed once per document and never re-touched; one native pass per
+  * hash function. Each permutation is a true bijection of Z_2^64
+  * (odd multiplier), and the whole computation is replayable in
+  * HUGEINT SQL — which is what flips the MinHash operators from
+  * rows-only to hash-checked in the oracle. Empty input → all
+  * elements [[GHash.EmptySigElement]] (unsigned max). */
 case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes =
     Seq(ArrayType(LongType), IntegerType)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
   override def nullSafeEval(a: Any, n: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val numHashes = n.asInstanceOf[Int]
-    val sig = new Array[Int](numHashes)
+    val sig = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) {
-      var best = Int.MaxValue
+      val pa = GHash.permA(j)
+      val pb = GHash.permB(j)
+      var best = GHash.EmptySigElement // unsigned max
       var i = 0
       while (i < arr.numElements()) {
-        val h = Murmur3_x86_32.hashLong(arr.getLong(i), j)
-        if (h < best) best = h
+        val v = pa * arr.getLong(i) + pb
+        if (java.lang.Long.compareUnsigned(v, best) < 0) best = v
         i += 1
       }
       sig(j) = best
@@ -167,20 +173,33 @@ case class SimHashBits(left: Expression, right: Expression)
 
 /** The per-token SimHash voting loop shared by [[SimHashBits]] and
   * [[SimHash64]] — one place to change the hashing scheme so the
-  * array and packed signatures can never fall out of agreement. */
+  * array and packed signatures can never fall out of agreement.
+  *
+  * Token hash = gmix64(fnv1a(token)) ([[GHash]]): the FNV fold and
+  * the xorshift-multiply finalizer are both exact HUGEINT SQL, so
+  * SimHash signatures are oracle-replayable bit-for-bit. */
 object SimHashCore {
+  /** FNV-1a 64 over a UTF8String's bytes without copying — identical
+    * to [[GHash.fnv1a]] on the string's UTF-8 encoding. */
+  def fnv1aUtf8(s: UTF8String): Long = {
+    var h = GHash.FnvOffset
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) {
+      h = (h ^ (s.getByte(i) & 0xFF)) * GHash.FnvPrime
+      i += 1
+    }
+    h
+  }
+
   def voteCounters(arr: ArrayData, nBits: Int): Array[Int] = {
     val counters = new Array[Int](nBits)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      var chunk = 0
+      val th = GHash.gmix64(fnv1aUtf8(arr.getUTF8String(i)))
       var b = 0
       while (b < nBits) {
-        if (b % 32 == 0) {
-          chunk = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), b / 32)
-        }
-        if (((chunk >>> (b % 32)) & 1) == 1) counters(b) += 1 else counters(b) -= 1
+        if (((th >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
         b += 1
       }
       i += 1
@@ -217,12 +236,13 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** hash_shingles(arr<string>) → sorted distinct arr<long> (XXH64,
-  * seed 42). Hashing once per *document* turns the per-*pair* join
-  * payload from ~5 KB of string arrays into packed longs, and lets
-  * jaccard run as a merge over sorted arrays with zero allocation —
-  * the difference between 360 µs and ~3 µs per candidate pair.
-  * 64-bit hashes make within-pair collisions (~1e-15) irrelevant. */
+/** hash_shingles(arr<string>) → sorted distinct arr<long> (FNV-1a 64
+  * over UTF-8 bytes — [[GHash.fnv1a]], SQL-replayable). Hashing once
+  * per *document* turns the per-*pair* join payload from ~5 KB of
+  * string arrays into packed longs, and lets jaccard run as a merge
+  * over sorted arrays with zero allocation — the difference between
+  * 360 µs and ~3 µs per candidate pair. 64-bit hashes make
+  * within-pair collisions (~1e-15) irrelevant. */
 case class HashShingles(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
@@ -236,9 +256,7 @@ case class HashShingles(child: Expression)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      hs(i) = SimHashCore.fnv1aUtf8(arr.getUTF8String(i))
       i += 1
     }
     java.util.Arrays.sort(hs)
@@ -346,7 +364,7 @@ case class BucketPairs(
         var firstBand = -1
         var k = 0
         while (k < h) {
-          if (x.getInt(k) == y.getInt(k)) agree += 1
+          if (x.getLong(k) == y.getLong(k)) agree += 1
           k += 1
         }
         if (agree >= minAgree) {
@@ -355,7 +373,7 @@ case class BucketPairs(
             var p = bd * rpb
             var all = true
             while (all && p < (bd + 1) * rpb) {
-              if (x.getInt(p) != y.getInt(p)) all = false
+              if (x.getLong(p) != y.getLong(p)) all = false
               p += 1
             }
             if (all) firstBand = bd
@@ -381,10 +399,10 @@ case class BucketPairs(
 
 /** srp_sig(vec, nBits, salt) — sign-random-projection LSH signature
   * as one INT (nBits ≤ 32): bit j = [vec · plane(salt, j) > 0], with
-  * plane components pseudo-random in [-0.5, 0.5) derived from
-  * murmur3 exactly like Spark SQL's `hash(salt, j, i)` (seed chain
-  * hashInt(i, hashInt(j, hashInt(salt, 42)))) so the interpreted
-  * higher-order-function formulation in
+  * plane components pseudo-random in [-0.5, 0.5) derived from the
+  * [[GHash]] multiply–gmix64 chain ([[GHash.srpPlane]]) — exact
+  * HUGEINT SQL, so SRP bucket membership is oracle-replayable. The
+  * interpreted higher-order-function formulation in
   * [[graft.sim.Similarity.lshSignatureHof]] produces bit-identical
   * signatures. The HOF form re-enters the interpreter per vector
   * element per bit; this kernel is one tight loop — the difference
@@ -403,17 +421,16 @@ case class SrpSignature(first: Expression, second: Expression, third: Expression
     val nBits = n.asInstanceOf[Int]
     val salt = s.asInstanceOf[Int]
     val dim = vec.numElements()
-    val saltSeed = Murmur3_x86_32.hashInt(salt, 42)
     var sig = 0
     var j = 0
     while (j < nBits) {
-      val seedJ = Murmur3_x86_32.hashInt(j, saltSeed)
+      val a = GHash.srpA(salt, j)
+      val b = GHash.srpB(salt, j)
       var proj = 0.0
       var i = 0
       while (i < dim) {
-        val h = Murmur3_x86_32.hashInt(i, seedJ)
-        val m = ((h % 1000) + 1000) % 1000
-        proj += vec.getDouble(i) * (m / 1000.0 - 0.5)
+        val m = (GHash.gmix64(a * (i + 1L) + b) >>> 54) / 1024.0 - 0.5
+        proj += vec.getDouble(i) * m
         i += 1
       }
       if (proj > 0.0) sig |= (1 << j)
@@ -425,6 +442,34 @@ case class SrpSignature(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** poly_fold(arr<long>, seed) — wrapping polynomial fold
+  * `acc = acc·FnvPrime + v mod 2^64` over a long array, starting from
+  * `seed`. Used for LSH band buckets (fold of a signature slice):
+  * unlike Spark's murmur3 `hash()`, the fold is exact HUGEINT SQL
+  * (`list_reduce` with `*`/`+`/`%`), so band bucket assignment — and
+  * therefore the candidate pair set — is oracle-replayable. */
+case class PolyFoldLong(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_fold"
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var acc = s.asInstanceOf[Long]
+    var i = 0
+    while (i < arr.numElements()) {
+      acc = acc * GHash.FnvPrime + arr.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object GraftFunctions {
@@ -453,5 +498,7 @@ object GraftFunctions {
     desc("graft_srp_sig", "sign-random-projection LSH signature of a numeric array",
       args => SrpSignature(args(0), args.lift(1).getOrElse(Literal(16)),
         args.lift(2).getOrElse(Literal(0)))),
+    desc("graft_poly_fold", "wrapping polynomial fold of a long array from a seed",
+      args => PolyFoldLong(args(0), args(1))),
   )
 }

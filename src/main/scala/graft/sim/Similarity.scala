@@ -122,12 +122,14 @@ object Similarity {
   }
 
   /** Sign-random-projection LSH signature: bit j = sign(v · plane_j)
-    * with pseudo-random plane components derived from
-    * murmur3(salt, j, i) — deterministic, no stored model, `salt`
-    * selects an independent hash table. nBits ≤ 32. Backed by the
-    * native [[graft.functions.SrpSignature]] kernel (one tight loop
-    * per vector; the HOF form below re-enters the interpreter per
-    * element per bit). */
+    * with pseudo-random plane components derived from the
+    * [[graft.functions.GHash]] multiply–gmix64 chain — deterministic,
+    * no stored model, SQL-replayable (the v3/v6 oracles recompute the
+    * buckets in HUGEINT arithmetic), `salt` selects an independent
+    * hash table. nBits ≤ 32. Backed by the native
+    * [[graft.functions.SrpSignature]] kernel (one tight loop per
+    * vector; the HOF form below re-enters the interpreter per element
+    * per bit). */
   def lshSignature(vec: Column, nBits: Int, salt: Int = 0): Column = {
     // 1 << j wraps mod 32 in the kernel — nBits > 32 would silently
     // fold high-plane votes onto low bits and corrupt every bucket.
@@ -136,15 +138,25 @@ object Similarity {
   }
 
   /** Interpreted HOF formulation — kept for cross-checking the native
-    * kernel in tests (must be bit-identical). */
+    * kernel in tests (must be bit-identical). Built from the same
+    * [[graft.functions.GHash]] plane chain, expressed with wrapping
+    * long arithmetic + shiftrightunsigned/bitwiseXOR builtins. */
   def lshSignatureHof(vec: Column, nBits: Int, salt: Int = 0): Column = {
+    import graft.functions.GHash
     val bits = (0 until nBits).map { j =>
+      val a = GHash.srpA(salt, j)
+      val b = GHash.srpB(salt, j)
       val proj = aggregate(
         zip_with(
           vec,
-          sequence(lit(0), size(vec) - 1),
-          // hash(salt,j,i) → uniform in [-0.5, 0.5): a fixed pseudo-random plane
-          (x, i) => x.cast("double") * (pmod(hash(lit(salt), lit(j), i), lit(1000)).cast("double") / 1000.0 - 0.5),
+          sequence(lit(1L), size(vec).cast("long")),
+          (x, i) => {
+            // u = a·i + b (wrapping); m = (gmix64(u) >>> 54)/1024 − 0.5
+            val u = lit(a) * i + lit(b)
+            val mixed = shiftrightunsigned(u, 32).bitwiseXOR(u) * lit(GHash.FnvPrime)
+            val m = shiftrightunsigned(mixed, 54).cast("double") / 1024.0 - 0.5
+            x.cast("double") * m
+          },
         ),
         lit(0.0),
         (acc, v) => acc + v,

@@ -83,14 +83,18 @@ object TextDedup {
     shinglesOfTokens(toks, k)
   }
 
-  /** MinHash signature: element j = min over shingles of
-    * murmur3(shingle, seed=j). Backed by the native
+  /** MinHash signature: element j = unsigned min over shingle hashes
+    * of the multiply-add permutation `permA(j)·x + permB(j) mod 2^64`
+    * ([[graft.functions.GHash]] — SQL-replayable, so the whole MinHash
+    * family is oracle-checked). Backed by the native
     * [[graft.functions.MinHashSignature]] expression — one JVM loop
     * per row instead of H interpreted HOF passes. Zero shuffles. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     call_function("graft_minhash_sig", shinglesCol, lit(numHashes))
 
-  /** LSH band key: hash of one signature slice of length r. With
+  /** LSH band key: polynomial fold of one signature slice of length r
+    * ([[graft.functions.PolyFoldLong]] — wrapping mod-2^64 arithmetic
+    * an oracle can replay with `list_reduce`, unlike murmur3). With
     * b bands × r rows, P(candidate | jaccard=s) = 1-(1-s^r)^b; defaults
     * b=6, r=5: 99.5% recall at s=0.9 while admitting only ~17% of s=0.5
     * pairs as candidates (r=4 would admit 40%). */
@@ -98,7 +102,9 @@ object TextDedup {
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"),
+        call_function("graft_poly_fold",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          lit(graft.functions.GHash.FnvOffset)).as("bucket"),
       )
     }: _*)
 
