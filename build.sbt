@@ -15,9 +15,10 @@ run / fork := true
 // in sbt's logger: the logger prefixes every line with "[info] ", which
 // makes the Bench JSON line unparseable for downstream tooling that
 // tails raw stdout.
+// (one task-scoped setting each; sbt scope delegation makes the
+// Compile-scoped run/runMain lookups fall back to these)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and drop the trailing "[success] Total time: ..." line so the JSON
 // really is the last thing on stdout.
 Global / showSuccess := false

@@ -43,11 +43,22 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // Two timed executions, report the min: a transient stall (CPU
-      // contention, page cache miss, GC) lands on one run, not both —
-      // min-of-k measures the workload, not the environment. State is
-      // safe: lifecycle queries use fresh temp dirs per invocation.
-      val dt = (0 until 2).map { _ =>
+      // One UNTIMED execution at the benchmark scale first: the
+      // sf0.001 warmup above covers JIT/codegen, but data-dependent
+      // state (page cache for these exact files, AQE statistics,
+      // broadcast builds, thread-pool inflation for the larger task
+      // counts) only materializes at the measured scale — round 3/4
+      // showed min-of-2 without it swinging >2x on identical code
+      // (tp2 2.37 -> 5.11 s), which is environment, not workload.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      // Then three timed executions, report the min: a transient
+      // stall (CPU contention, page cache miss, GC) lands on one run,
+      // not all — min-of-k measures the workload, not the
+      // environment. State is safe: lifecycle queries use fresh temp
+      // dirs per invocation.
+      val dt = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets Catalyst prune every
         // projected expression, so a projection-only query would
@@ -65,13 +76,25 @@ object Bench {
       }.min
       name -> dt
     }
-    // The harness that invokes this main captures only a bounded tail of
-    // stdout (~2 KB) and parses the JSON line out of it. With 80 queries
-    // at full double precision the line exceeds that window and the
-    // start of the JSON gets truncated away — so the printed line must
-    // stay short: 3-decimal times, slowest 30 queries inline, the rest
-    // folded into other_sec/other_n. The complete per-query map goes to
-    // BENCH_FULL.json on disk.
+    val (line, fullJson) = renderLines(results, sfDir)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+
+  /** (printed stdout line, BENCH_FULL.json content).
+    *
+    * The harness that invokes this main captures only a bounded tail of
+    * stdout (~2 KB) and parses the JSON line out of it. With 90 queries
+    * at full double precision the line exceeds that window and the
+    * start of the JSON gets truncated away — so the printed line must
+    * stay short: 3-decimal times, slowest 30 queries inline, the rest
+    * folded into other_sec/other_n. The complete per-query map goes to
+    * BENCH_FULL.json on disk. BenchSpec pins the size bound. */
+  def renderLines(results: Map[String, Double], sfDir: String): (String, String) = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = results.toSeq.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(30)
@@ -85,11 +108,6 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
-    println(line)
-    spark.stop()
+    (line, fullJson)
   }
 }

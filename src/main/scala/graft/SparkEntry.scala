@@ -519,9 +519,9 @@ object SparkEntry {
         .select("doc_id", "curation_lang", "curation_quality", "curation_tokens")),
 
     // Full curation: + MinHash near-dup stage (linear representative
-    // form) over the deterministic survivors. Rows-only: the near-dup
-    // stage is probabilistic; CurationSpec pins the containment and
-    // idempotence laws.
+    // form) over the deterministic survivors. Hash-checked end to end
+    // (tp1 prefix SQL composed with the GHash linear-dedup replay);
+    // CurationSpec additionally pins containment and idempotence laws.
     "tp2_curation_full" -> ((s, dir) =>
       Curation
         .curate(tbl(s, dir, "documents"), "doc_id", "text",
@@ -609,6 +609,8 @@ object SparkEntry {
 
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥0.9.
     // Identical word sets ⇒ identical signatures ⇒ recall 1 at j=1.
+    // Hash-checked: the GHash family (FNV-1a shingles, multiply-add
+    // permutations, poly-fold buckets) replays exactly in the oracle.
     "td3_minhash_pairs" -> ((s, dir) =>
       TextDedup.minhashNearDupPairs(
         tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9, k = 1)),
@@ -621,6 +623,7 @@ object SparkEntry {
 
     // SimHash signatures, packed into one BIGINT per doc so the column
     // is sortable/hashable externally (+ banded near-dup pairs in tests).
+    // Hash-checked: gmix64(fnv1a(token)) bit votes replay in the oracle.
     "td5_simhash_sigs" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -628,7 +631,7 @@ object SparkEntry {
 
     // Banded SimHash near-dup pairs: 16-bit-band bucket join (any pair
     // within hamming ≤ 3 of 64 bits shares ≥ 1 exact band), verified
-    // by codegen'd bit_count(xor). Rows-only (murmur3-based sigs).
+    // by codegen'd bit_count(xor). Hash-checked via the GHash replay.
     "td7_simhash_pairs" -> ((s, dir) =>
       TextDedup
         .simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
@@ -646,7 +649,8 @@ object SparkEntry {
       Similarity.blockedCosinePairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)),
 
-    // LSH-bucketed approximate top-k (scale path) — no oracle.
+    // LSH-bucketed approximate top-k (scale path). Hash-checked: SRP
+    // plane components replay in HUGEINT arithmetic.
     "v3_lsh_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -654,7 +658,8 @@ object SparkEntry {
       Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, nBits = 4)
     }),
 
-    // IVF approximate top-k (the other scale path) — no oracle.
+    // IVF approximate top-k (the other scale path). Hash-checked:
+    // seed-centroid selection + assignment are pure arithmetic.
     "v4_ivf_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -671,8 +676,8 @@ object SparkEntry {
 
     // Linear-per-bucket MinHash dedup: each doc verifies against only
     // its bucket's min-id representative per band — the O(B)-per-bucket
-    // form that survives pathological buckets at 100 TB. Rows-only
-    // (probabilistic recall, like td3/td4).
+    // form that survives pathological buckets at 100 TB. Hash-checked
+    // via the GHash replay (bucket folds included).
     "td6_minhash_dedup_linear" -> ((s, dir) =>
       TextDedup
         .minhashDedupLinear(tbl(s, dir, "documents"), "doc_id", "text", 0.9)
@@ -693,8 +698,8 @@ object SparkEntry {
     // Full-corpus embedding dedup with NO pre-existing blocking column
     // — multi-table sign-random-projection LSH supplies the blocks
     // (native graft_srp_sig kernel), candidates verified with the
-    // native cosine. Rows-only check: bucket membership isn't
-    // SQL-reproducible, but precision is exact by construction.
+    // native cosine. Hash-checked: bucket membership replays exactly
+    // (GHash SRP planes), and precision is exact by construction.
     // (threshold 0.35 sits in the corpus's near-dup band — see v2/v5;
     // 6-bit buckets × 8 tables ≈ 0.4 recall at that cosine with ~4×
     // fewer candidate evaluations than 4-bit buckets — candidate
@@ -1040,6 +1045,159 @@ object SparkEntry {
         .select("extraction_run_id", "start_date", "end_date")
     }),
   )
+
+  // ---------------------------------------------------------------------
+  // Oracle fragments for the replayable hash family (GHash): the same
+  // FNV-1a / multiply-add / gmix64 / poly-fold arithmetic the Catalyst
+  // kernels run, expressed in DuckDB HUGEINT mod-2^64 terms. Constants
+  // are inlined as decimal literals from GHash — the oracle engine
+  // never derives them. Same ASCII caveat as the t5 oracle: Spark
+  // hashes UTF-8 bytes, the replay hashes codepoints.
+  // ---------------------------------------------------------------------
+
+  import graft.functions.GHash
+
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private def hlist(vals: Seq[Long]): String =
+    vals.map(GHash.u64).mkString("[", ",", "]") + "::HUGEINT[]"
+
+  /** MinHash permutation constants for H=30 (the family default). */
+  private val MinhashH = 30
+  private val MinhashBands = 6
+  private val MinhashRpb = MinhashH / MinhashBands
+  private val NearDupThreshold = 0.9
+  private val MinhashMinAgree = // mirror of TextDedup.nearDupPairsOfHashed
+    math.max(0, math.ceil((NearDupThreshold - 0.25) * MinhashH).toInt)
+  private val PermASql = hlist((0 until MinhashH).map(GHash.permA))
+  private val PermBSql = hlist((0 until MinhashH).map(GHash.permB))
+  private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
+  private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
+  private val FnvOffU = GHash.u64(GHash.FnvOffset)
+  private val FnvP = GHash.FnvPrime.toString
+
+  /** Whitespace tokens of the normal form (proven by the td2 oracle). */
+  private val ToksSql =
+    """list_filter(string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '')"""
+
+  /** FNV-1a 64 fold over the codepoints of `v` (HashShingles replay). */
+  private def fnvSql(v: String): String =
+    s"list_reduce(list_prepend($FnvOffU::HUGEINT, " +
+      s"list_transform(string_split($v, ''), c -> CAST(greatest(unicode(c), 0) AS HUGEINT))), " +
+      s"(h, c) -> (xor(h, c) * $FnvP::HUGEINT) % $M64)"
+
+  /** gmix64 finalizer replay: (xor(y, y >>> 32) · FnvPrime) mod 2^64. */
+  private def gmixSql(y: String): String =
+    s"(xor($y, ($y) // 4294967296) * $FnvP::HUGEINT) % $M64"
+
+  /** Shared CTE prefix for the MinHash oracles over table `src`
+    * (must expose doc_id + text): token hash sets, identical-set
+    * groups with min-id representatives, and signatures (unsigned min
+    * of the multiply-add permutations — MinHashSignature replay). */
+  private def minhashCtes(src: String): String =
+    s"""c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
+       |toks AS (SELECT doc_id, $ToksSql AS tk FROM $src),
+       |hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(tk, t -> ${fnvSql("t")}))) AS cs FROM toks),
+       |reps AS (SELECT cs, MIN(doc_id) AS rep_id FROM hs GROUP BY cs),
+       |sigs AS (SELECT rep_id, cs,
+       |  list_transform(range(0, $MinhashH), j ->
+       |    CASE WHEN len(cs) = 0 THEN 18446744073709551615::HUGEINT
+       |         ELSE list_min(list_transform(cs, x -> (pa[j+1] * x + pb[j+1]) % $M64)) END) AS sig
+       |  FROM reps, c)""".stripMargin
+
+  /** Exact jaccard of two sorted distinct hash sets (JaccardSortedLong
+    * replay), rounded to 6 dp. */
+  private def jaccardSql(a: String, b: String): String =
+    s"ROUND(CASE WHEN len($a) + len($b) - len(list_intersect($a, $b)) = 0 THEN 0.0 " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) " +
+      s"/ (len($a) + len($b) - len(list_intersect($a, $b))) END, 6)"
+
+  /** Band rows with the raw signature slice — candidate generation for
+    * the all-pairs MinHash ops (a pair is a candidate iff some band's
+    * slices FULLY agree, which is exactly BucketPairs' first-agreeing-
+    * band emission condition). */
+  private val BandSliceCte =
+    s"""bands AS (SELECT rep_id, band, array_slice(sig, band*$MinhashRpb+1, band*$MinhashRpb+$MinhashRpb) AS bslice
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS band) b),
+       |cand AS (SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bslice = b.bslice AND a.rep_id < b.rep_id)""".stripMargin
+
+  /** Rep pairs surviving the minAgree prefilter + exact-jaccard verify
+    * — the output pair set of nearDupPairsOfHashed. */
+  private val RepPairsCte =
+    s"""verified AS (
+       |  SELECT c2.ra, c2.rb, ${jaccardSql("sa.cs", "sb.cs")} AS jaccard
+       |  FROM cand c2
+       |  JOIN sigs sa ON sa.rep_id = c2.ra
+       |  JOIN sigs sb ON sb.rep_id = c2.rb
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) >= $MinhashMinAgree),
+       |reppairs AS (SELECT ra, rb, jaccard FROM verified WHERE jaccard >= $NearDupThreshold)""".stripMargin
+
+  /** Linear-per-bucket loser set (minhashDedupLinear replay): band
+    * buckets are the PolyFoldLong of each signature slice; each member
+    * verifies only against its bucket's min-id representative. */
+  private val LinearLosersCtes =
+    s"""banded AS (SELECT rep_id, cs, band,
+       |    list_reduce(list_prepend($FnvOffU::HUGEINT, array_slice(sig, band*$MinhashRpb+1, band*$MinhashRpb+$MinhashRpb)),
+       |      (a, v) -> (a * $FnvP::HUGEINT + v) % $M64) AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS band) b),
+       |bucketreps AS (SELECT band, bucket, MIN(rep_id) AS brep FROM banded GROUP BY band, bucket),
+       |losers AS (SELECT DISTINCT m2.rep_id
+       |  FROM banded m2
+       |  JOIN bucketreps r ON m2.band = r.band AND m2.bucket = r.bucket
+       |  JOIN sigs rs ON rs.rep_id = r.brep
+       |  WHERE m2.rep_id > r.brep
+       |    AND ${jaccardSql("m2.cs", "rs.cs")} >= $NearDupThreshold)""".stripMargin
+
+  /** SimHash signature CTEs over `src` (SimHash64 replay): per-token
+    * gmix64(fnv1a(token)), bit votes, packed unsigned signature. */
+  private def simhashCtes(src: String): String =
+    s"""c AS (SELECT $Pw64Sql AS pw, $Pw16Sql AS pw16),
+       |toks AS (SELECT doc_id, $ToksSql AS tk FROM $src),
+       |hsim AS (SELECT doc_id, list_transform(tk, t -> ${gmixSql(fnvSql("t"))}) AS th FROM toks),
+       |ssigs AS (SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(range(0, 64), b ->
+       |    CASE WHEN coalesce(list_sum(list_transform(th,
+       |        h -> CASE WHEN (h // pw[b+1]) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |      THEN pw[b+1] ELSE 0::HUGEINT END)), 0) AS HUGEINT) AS usig
+       |  FROM hsim, c)""".stripMargin
+
+  /** Unsigned → signed BIGINT (two's-complement reinterpretation). */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $M64 ELSE $u END AS BIGINT)"
+
+  /** Unrounded cosine of two FLOAT[] expressions (CosineSimilarity
+    * replay — same double arithmetic as the v1/v2 oracles). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+      s" / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+
+  /** SRP plane + bucket CTEs (SrpSignature replay): plane vectors are
+    * materialized once per (table, bit) — component i (1-based) is
+    * (gmix64(srpA·i + srpB) >>> 54)/1024 − 0.5 — then each vector's
+    * bucket is the packed sign pattern of its plane projections.
+    * Requires a `c` CTE exposing flat constant lists sa/sb indexed
+    * [t*nBits + j + 1]. */
+  private def srpCtes(nBits: Int, tables: Int): String = {
+    val y = s"(sa[t*$nBits + j + 1] * CAST(i AS HUGEINT) + sb[t*$nBits + j + 1]) % $M64"
+    val m = s"(CAST((${gmixSql(y)}) // 18014398509481984 AS DOUBLE) / 1024.0 - 0.5)"
+    s"""planes AS (
+       |  SELECT t, j, list_transform(range(1, (SELECT MAX(len(embedding)) FROM embeddings) + 1), i -> $m) AS plane
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) ts
+       |  CROSS JOIN (SELECT unnest(range(0, $nBits)) AS j) js, c),
+       |bx AS (
+       |  SELECT vec_id, embedding, t,
+       |    CAST(coalesce(SUM(CASE WHEN list_sum(list_transform(list_zip(embedding, plane), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END), 0) AS INT) AS bucket
+       |  FROM embeddings CROSS JOIN planes
+       |  GROUP BY vec_id, embedding, t)""".stripMargin
+  }
+
+  private def srpConstsSql(nBits: Int, tables: Int): String = {
+    val sa = hlist(for (t <- 0 until tables; j <- 0 until nBits) yield GHash.srpA(t, j))
+    val sb = hlist(for (t <- 0 until tables; j <- 0 until nBits) yield GHash.srpB(t, j))
+    s"c AS (SELECT $sa AS sa, $sb AS sb)"
+  }
 
   // ---------------------------------------------------------------------
 
@@ -1794,5 +1952,154 @@ object SparkEntry {
         |  COALESCE(m.start_date, r.ds) AS start_date,
         |  COALESCE(m.end_date, r.de) AS end_date
         |FROM meta m LEFT JOIN ranges r USING (extraction_run_id)""".stripMargin,
+
+    // --- Replayable-hash family: MinHash / SimHash / SRP / IVF ---------
+    // Full bit-exact replays of the probabilistic operators (GHash
+    // arithmetic — see the fragment builders above). Identical-set
+    // groups are reproduced by grouping on the hash set itself rather
+    // than replaying xxhash64 of the array (same partition, no
+    // collision caveat); candidate pairs require a fully-agreeing band
+    // slice, exactly BucketPairs' emission condition.
+
+    "td3_minhash_pairs" ->
+      s"""WITH ${minhashCtes("documents")},
+         |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cs) AS rep_id FROM hs),
+         |$BandSliceCte,
+         |$RepPairsCte,
+         |cross_pairs AS (
+         |  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a, GREATEST(ma.doc_id, mb.doc_id) AS id_b, p.jaccard
+         |  FROM reppairs p JOIN mem ma ON ma.rep_id = p.ra JOIN mem mb ON mb.rep_id = p.rb),
+         |intra AS (
+         |  SELECT m1.doc_id AS id_a, m2.doc_id AS id_b, 1.0 AS jaccard
+         |  FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id)
+         |SELECT id_a, id_b, jaccard FROM cross_pairs
+         |UNION ALL
+         |SELECT id_a, id_b, jaccard FROM intra""".stripMargin,
+
+    "td4_minhash_dedup" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$BandSliceCte,
+         |$RepPairsCte
+         |SELECT rep_id AS doc_id FROM reps
+         |WHERE rep_id NOT IN (SELECT rb FROM reppairs)""".stripMargin,
+
+    "td5_simhash_sigs" ->
+      s"""WITH ${simhashCtes("documents")}
+         |SELECT doc_id, ${signedSql("usig")} AS simhash64 FROM ssigs""".stripMargin,
+
+    "td6_minhash_dedup_linear" ->
+      s"""WITH ${minhashCtes("documents")},
+         |$LinearLosersCtes
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN (SELECT rep_id FROM reps WHERE rep_id NOT IN (SELECT rep_id FROM losers)) s
+         |  ON d.doc_id = s.rep_id""".stripMargin,
+
+    // Pairs are emitted from their FIRST colliding 16-bit band (the
+    // list_min condition mirrors simhashPairs' firstBand predicate).
+    "td7_simhash_pairs" ->
+      s"""WITH ${simhashCtes("documents")},
+         |banded AS (SELECT doc_id, usig, band, (usig // pw16[band+1]) % 65536 AS bucket
+         |  FROM ssigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b, c)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(${signedSql("a.usig")}, ${signedSql("b.usig")})) AS INT) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id, c
+         |WHERE a.band = list_min(list_filter(range(0, 4), t -> (xor(a.usig, b.usig) // pw16[t+1]) % 65536 = 0))
+         |  AND bit_count(xor(${signedSql("a.usig")}, ${signedSql("b.usig")})) <= 3""".stripMargin,
+
+    // tp1's deterministic prefix (annotate → filter → exact dedup,
+    // the oracle-proven SQL) composed with the linear MinHash stage —
+    // the full Curation.curate pipeline, now hash-checked end to end.
+    "tp2_curation_full" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text,
+         |    CAST(LENGTH(text) AS DOUBLE) AS chars,
+         |    CASE WHEN TRIM(text) = '' THEN 0.0
+         |      ELSE CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) END AS toks,
+         |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CASE WHEN TRIM(text) = '' THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\\s+'), w -> LENGTH(w))) AS DOUBLE)
+         |        / len(string_split_regex(TRIM(text), '\\s+')) END AS mwl,
+         |    len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b')) AS en,
+         |    len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS de,
+         |    len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS fr,
+         |    len(regexp_extract_all(text, '(?i)\\b(el|los|las|es|una|para|con|por|del|como)\\b')) AS es,
+         |    3 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
+         |    md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |m AS (SELECT *, GREATEST(en, de, fr, es, zh) AS mx FROM raw),
+         |ann AS (
+         |  SELECT doc_id, text, fp,
+         |    CASE WHEN mx <= 0 THEN 'und'
+         |      WHEN zh = mx THEN 'zh' WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+         |      WHEN en = mx THEN 'en' ELSE 'de' END AS curation_lang,
+         |    ROUND(0.4 * LEAST(chars / 200.0, 1.0)
+         |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(en / toks, 0.5) * 2.0 END)
+         |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
+         |      + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS curation_quality,
+         |    CAST(toks AS INT) AS curation_tokens
+         |  FROM m),
+         |exact AS (
+         |  SELECT doc_id, text, curation_lang, curation_quality, curation_tokens
+         |  FROM ann
+         |  WHERE curation_quality >= 0.6 AND curation_lang = 'en'
+         |    AND curation_tokens BETWEEN 20 AND 1048576
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |${minhashCtes("exact")},
+         |$LinearLosersCtes
+         |SELECT e.doc_id, e.curation_lang, e.curation_quality, e.curation_tokens
+         |FROM exact e
+         |JOIN (SELECT rep_id FROM reps WHERE rep_id NOT IN (SELECT rep_id FROM losers)) s
+         |  ON e.doc_id = s.rep_id""".stripMargin,
+
+    "v3_lsh_topk" ->
+      s"""WITH ${srpConstsSql(4, 1)},
+         |${srpCtes(4, 1)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bx WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.query_id, s.vec_id, ROUND(${cosSql("s.embedding", "q.qvec")}, 6) AS sim
+         |  FROM bx s JOIN q ON s.bucket = q.bucket
+         |  WHERE q.query_id <> s.vec_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Seed-centroid IVF is pure arithmetic: centroid selection (id
+    // order, capped), nearest-centroid assignment (ties → larger cid,
+    // matching array_max's lexicographic struct order), nprobe probes,
+    // rounded-cosine top-k.
+    "v4_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
+         |asn AS (
+         |  SELECT vec_id, embedding, cid
+         |  FROM embeddings CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid DESC) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT query_id, qvec, cid
+         |  FROM q CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${cosSql("qvec", "cvec")} DESC, cid DESC) <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ROUND(${cosSql("a.embedding", "p.qvec")}, 6) AS sim
+         |  FROM asn a JOIN probes p ON a.cid = p.cid
+         |  WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    "v6_lsh_embed_dedup" ->
+      s"""WITH ${srpConstsSql(6, 8)},
+         |${srpCtes(6, 8)},
+         |reps AS (SELECT t, bucket, MIN(vec_id) AS rep_id FROM bx GROUP BY t, bucket),
+         |losers AS (SELECT DISTINCT e.vec_id
+         |  FROM bx e
+         |  JOIN reps r ON e.t = r.t AND e.bucket = r.bucket
+         |  JOIN embeddings rv ON rv.vec_id = r.rep_id
+         |  WHERE e.vec_id > r.rep_id
+         |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
+         |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards for the two harness contracts Bench must never break:
+  *
+  *   1. The printed JSON line stays well under the ~2 KB stdout tail
+  *      the round driver captures (the round-2 failure mode: 80+
+  *      full-precision entries overflowed the window and `parsed`
+  *      came back null) — even as the query set grows.
+  *   2. `Window.orderBy` WITHOUT a partitionBy (a single-task global
+  *      sort at scale) appears exactly once in the main source tree:
+  *      the bounded monthly series of w2_mom_delta. A second
+  *      occurrence is a scale bug until proven otherwise.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("printed bench line stays under 1 KB regardless of query-map growth") {
+    // worst realistic shape: every registered query with a slow time
+    // (7+ chars each formatted) plus a long sf dir
+    val results = SparkEntry.queries.keys.map(k => k -> 123.456).toMap
+    val (line, _) = Bench.renderLines(results, "/root/testdata/sf0.1")
+    assert(line.length < 1024, s"bench line is ${line.length} B; driver tail-capture is ~2 KB")
+    assert(!line.contains("\n"))
+    // and it still carries the contract fields the driver parses
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(line.contains(""""queries":{"""))
+    assert(line.contains(""""other_sec":"""))
+  }
+
+  test("exactly one unpartitioned Window.orderBy site in main sources (w2_mom_delta)") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val sources = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    // A window is global-sort-shaped when Window.orderBy is called
+    // directly on the Window object (no partitionBy in the chain).
+    val offenders = sources.flatMap { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      "Window\\s*\\.\\s*orderBy".r.findAllIn(text).map(_ => p.toString)
+    }
+    assert(offenders.size == 1 && offenders.head.endsWith("SparkEntry.scala"),
+      s"unpartitioned Window.orderBy sites: $offenders — only the bounded " +
+        "monthly series in SparkEntry (w2_mom_delta) is allowed; use " +
+        "Window.partitionBy(...).orderBy(...) elsewhere")
+  }
+}

@@ -54,4 +54,43 @@ class CurationSpec extends SparkSpec {
     assert(twice.select("doc_id").as[Long].collect().toSet ==
       once.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("skewed fixture: one hot near-dup cluster collapses via the linear path") {
+    import org.apache.spark.sql.functions._
+    // 400 docs in ONE near-identical cluster (word-order shuffles of
+    // the same long sentence + one unique trailing word each → word-set
+    // jaccard 21/22 ≈ 0.955 against the base) + 50 unrelated docs. With
+    // all-pairs enumeration this bucket is ~80k in-bucket pairs; the
+    // linear path verifies each member against one representative per
+    // band (O(B) per bucket) and must still collapse the cluster to a
+    // single survivor — the shape that holds at 100 TB when a template
+    // page floods a bucket.
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi").split(" ")
+    val hot = (0 until 400).map { i =>
+      val words = (i % base.length) match { case r => base.drop(r) ++ base.take(r) }
+      (i.toLong, words.mkString(" ") + s" unique$i")
+    }
+    val cold = (0 until 50).map(i =>
+      (1000L + i, s"completely unrelated document number $i about topic$i with content$i only"))
+    val corpus = (hot ++ cold).toDF("doc_id", "text")
+
+    val survivors = TextDedup.minhashDedupLinear(corpus, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster min-id always survives; the cluster must collapse hard
+    // (identical word-set collapse alone would leave ~21 reps — the
+    // rotations share word sets pre-"unique" suffix but each doc's
+    // suffix makes every set distinct, so this exercises LSH + verify,
+    // not just the exact-collapse groupBy)
+    assert(survivors.contains(0L))
+    val hotSurvivors = survivors.count(_ < 1000L)
+    assert(hotSurvivors <= 5, s"hot cluster left $hotSurvivors survivors; linear path should collapse it")
+    // cold docs are untouched (no near-dups among them)
+    assert(survivors.count(_ >= 1000L) == 50)
+    // containment law versus the all-pairs form: rep-verify can only
+    // drop a subset of what all-pairs enumeration drops
+    val allPairs = TextDedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(allPairs.subsetOf(survivors))
+  }
 }
