@@ -18,7 +18,9 @@ import graft.warehouse.Warehouse
   *   aggregate-export entsoe --output-dir O
   *       [--granularity plant|country-fuel|country]
   *   clear-table <source> --confirm  truncate with pre-count
-  *   update-schema [...]             no-op: parquet is schema-on-read
+  *   update-schema [all|<source>]    evolve stored tables to the current
+  *       declared schemas (add-column NULL backfill + re-type casts,
+  *       atomic rewrite — the reference's ALTER migration analog)
   *
   * Every command takes `--warehouse <dir>` (or env GRAFT_WAREHOUSE) in
   * place of the reference's DB connection config. Commands return an
@@ -60,12 +62,8 @@ object Cli {
       positional match {
         case Seq("setup") => setup(spark, warehouse, "all")
         case Seq("setup", tableType) => setup(spark, warehouse, tableType)
-        case Seq("update-schema", _*) =>
-          // Reference widens Postgres VARCHARs in place
-          // (database_management.py:67-102); parquet + schema-on-read
-          // has no ALTER to run.
-          println("update-schema: no-op (parquet is schema-on-read)")
-          0
+        case Seq("update-schema") => updateSchema(spark, warehouse, "all")
+        case Seq("update-schema", tableType) => updateSchema(spark, warehouse, tableType)
         case Seq("load-data", source, jsonl) =>
           loadData(spark, warehouse, source, jsonl,
             reportPath = flags.get("validation-report"),
@@ -118,6 +116,32 @@ object Cli {
       } else { positional += a; i += 1 }
     }
     (flags.result(), positional.result())
+  }
+
+  /** Schema evolution — reference update_schema
+    * (database_management.py:68-102): reconcile existing tables to
+    * their current declared StructTypes (add-column NULL backfill +
+    * re-type casts) via an atomic rewrite. Tables not created yet are
+    * skipped for `all`, an error for an explicit source. */
+  private def updateSchema(spark: SparkSession, warehouse: String, tableType: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def exists(s: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(Warehouse.tablePath(warehouse, s)))
+    val targets = tableType match {
+      case "all" => Schemas.schemas.keys.toSeq.sorted.filter(exists)
+      case s if Schemas.schemas.contains(s) =>
+        if (exists(s)) Seq(s)
+        else { System.err.println(s"update-schema: table not created: $s"); return 1 }
+      case other => System.err.println(s"unknown table type: $other"); return 1
+    }
+    targets.foreach { s =>
+      val r = Warehouse.updateSchema(spark, warehouse, s)
+      val changes =
+        (if (r.added.nonEmpty) s" added=${r.added.mkString(",")}" else "") +
+          (if (r.retyped.nonEmpty) s" retyped=${r.retyped.mkString(",")}" else "")
+      println(s"update-schema $s: ${r.rows} rows${if (changes.isEmpty) " (no changes)" else changes}")
+    }
+    0
   }
 
   private def setup(spark: SparkSession, warehouse: String, tableType: String): Int = {

@@ -301,6 +301,65 @@ object SparkEntry {
           count(lit(1)).as("order_count"))
     }),
 
+    // J6: capacity-enrichment join — the reference's generator-level
+    // metadata joins (eia_generator_info on (plant_code, generator_id),
+    // gcpt_coal_metadata on eia_unit_id; reference
+    // schema/eia_generator_info.sql:4-12, gcpt_coal_metadata.sql:4-14).
+    // Dimension rows are built deterministically by id arithmetic
+    // (standing in for the reference's XLSX/CSV bootstrap loads) with
+    // the Schemas.eiaGeneratorInfo / gcptCoalMetadata shapes; both
+    // dims BROADCAST — facts never shuffle for the enrichment, only
+    // for the per-generator rollup. Capacity factor =
+    // generation / (nameplate × 8760 h).
+    "j6_capacity_enrich" -> ((s, dir) => {
+      val tech = (col("n_nationkey") + col("g")) % 4
+      val gens = tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          explode(sequence(lit(0), lit(3))).as("g"))
+      val ginfo = gens.select(
+        col("n_nationkey").cast("string").as("plant_code"),
+        col("g").cast("string").as("generator_id"),
+        when(tech === 0, "Conventional Steam Coal")
+          .when(tech === 1, "Natural Gas Fired Combined Cycle")
+          .when(tech === 2, "Onshore Wind Turbine")
+          .otherwise("Solar Photovoltaic").as("technology"),
+        when(tech === 0, "ST").when(tech === 1, "CT")
+          .when(tech === 2, "WT").otherwise("PV").as("prime_mover"),
+        when(tech === 0, "BIT").when(tech === 1, "NG")
+          .when(tech === 2, "WND").otherwise("SUN").as("energy_source_1"),
+        (lit(100) + lit(37) * ((col("n_nationkey") * 4 + col("g")) % 13))
+          .cast("double").as("nameplate_capacity_mw"),
+        col("n_name"))
+      val gcpt = ginfo.filter(col("prime_mover") === "ST").select(
+        concat(lit("G"), col("plant_code"), lit("-"), col("generator_id")).as("gcpt_unit_id"),
+        concat(col("plant_code"), lit("_"), col("generator_id")).as("eia_unit_id"),
+        concat(lit("Plant "), col("n_name")).as("plant_name"),
+        concat(lit("Unit "), col("generator_id")).as("unit_name"),
+        when(col("plant_code").cast("int") % 2 === 0, "Bituminous")
+          .otherwise("Lignite").as("coal_type"),
+        lit("subcritical").as("technology"),
+        col("nameplate_capacity_mw").as("capacity_mw"),
+        col("n_name").as("country"))
+      val facts = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_nationkey").cast("string").as("plant_code"),
+          (col("o_orderkey") % 4).cast("string").as("generator_id"),
+          col("o_totalprice"))
+      facts
+        .join(broadcast(ginfo.drop("n_name")), Seq("plant_code", "generator_id"))
+        .groupBy(col("plant_code"), col("generator_id"),
+          col("technology"), col("nameplate_capacity_mw"))
+        .agg(dsum(col("o_totalprice")).as("total_net_generation_mwh"))
+        .withColumn("capacity_factor",
+          round(col("total_net_generation_mwh") / (col("nameplate_capacity_mw") * 8760.0), 6))
+        .join(broadcast(gcpt.select(col("eia_unit_id"), col("coal_type"), col("country"))),
+          concat(col("plant_code"), lit("_"), col("generator_id")) === col("eia_unit_id"),
+          "left")
+        .drop("eia_unit_id")
+    }),
+
     // --- Validation (P9–P18) -------------------------------------------
 
     // P17/P18 + A12: single-row validation summary (conservation law).
@@ -780,7 +839,8 @@ object SparkEntry {
 
     // --- Warehouse lifecycle / sinks (S5, S6, S8–S11, S10, P19, P20, I5) ---
 
-    // S5: create every declared table, then read each one's schema back
+    // S5: create every declared table (8 fact sources + the 2
+    // reference/metadata tables), then read each one's schema back
     // from the written parquet — the declared column counts must
     // round-trip through the storage layer.
     "s5_create_tables" -> ((s, dir) => {
@@ -788,8 +848,10 @@ object SparkEntry {
       val wh = Defaults.scratchDir("graft-s5")
       Warehouse.createWarehouse(s, wh)
       Warehouse.createAllTables(s, wh)
-      Schemas.schemas.keys.toSeq.sorted
-        .map(src => (src, s.read.parquet(Warehouse.tablePath(wh, src)).schema.fields.length))
+      (Schemas.schemas.keys.toSeq.sorted
+        .map(src => (src, s.read.parquet(Warehouse.tablePath(wh, src)).schema.fields.length)) ++
+        Schemas.referenceTables.keys.toSeq.sorted
+          .map(t => (t, s.read.parquet(Warehouse.referenceTablePath(wh, t)).schema.fields.length)))
         .toDF("table_name", "column_count")
     }),
 
@@ -1344,6 +1406,44 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2""".stripMargin,
 
+    "j6_capacity_enrich" ->
+      """WITH gens AS (
+        |  SELECT n_nationkey, n_name, g, (n_nationkey + g) % 4 AS tech
+        |  FROM nation CROSS JOIN (SELECT unnest(range(0, 4)) AS g) gs),
+        |ginfo AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS plant_code,
+        |    CAST(g AS VARCHAR) AS generator_id,
+        |    CASE tech WHEN 0 THEN 'Conventional Steam Coal'
+        |      WHEN 1 THEN 'Natural Gas Fired Combined Cycle'
+        |      WHEN 2 THEN 'Onshore Wind Turbine'
+        |      ELSE 'Solar Photovoltaic' END AS technology,
+        |    CASE tech WHEN 0 THEN 'ST' WHEN 1 THEN 'CT' WHEN 2 THEN 'WT' ELSE 'PV' END AS prime_mover,
+        |    CAST(100 + 37 * ((n_nationkey * 4 + g) % 13) AS DOUBLE) AS nameplate_capacity_mw,
+        |    n_name
+        |  FROM gens),
+        |gcpt AS (
+        |  SELECT plant_code || '_' || generator_id AS eia_unit_id,
+        |    CASE WHEN CAST(plant_code AS INT) % 2 = 0 THEN 'Bituminous' ELSE 'Lignite' END AS coal_type,
+        |    n_name AS country
+        |  FROM ginfo WHERE prime_mover = 'ST'),
+        |facts AS (
+        |  SELECT CAST(c.c_nationkey AS VARCHAR) AS plant_code,
+        |    CAST(o.o_orderkey % 4 AS VARCHAR) AS generator_id,
+        |    o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |rolled AS (
+        |  SELECT f.plant_code, f.generator_id, gi.technology, gi.nameplate_capacity_mw,
+        |    CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_net_generation_mwh
+        |  FROM facts f
+        |  JOIN ginfo gi ON f.plant_code = gi.plant_code AND f.generator_id = gi.generator_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT r.plant_code, r.generator_id, r.technology, r.nameplate_capacity_mw,
+        |  r.total_net_generation_mwh,
+        |  ROUND(r.total_net_generation_mwh / (r.nameplate_capacity_mw * 8760.0), 6) AS capacity_factor,
+        |  g.coal_type, g.country
+        |FROM rolled r
+        |LEFT JOIN gcpt g ON r.plant_code || '_' || r.generator_id = g.eia_unit_id""".stripMargin,
+
     "p18_validate_summary" ->
       """SELECT COUNT(*) AS total_records,
         |  CAST(SUM(CASE WHEN event_id IS NOT NULL AND value IS NOT NULL AND value >= 0
@@ -1787,7 +1887,8 @@ object SparkEntry {
     "s5_create_tables" ->
       """SELECT * FROM (VALUES
         |  ('chile', 10), ('eia', 14), ('entsoe', 10), ('npp', 8),
-        |  ('occto', 12), ('oe', 9), ('oe_facility', 14), ('ons', 15)
+        |  ('occto', 12), ('oe', 9), ('oe_facility', 14), ('ons', 15),
+        |  ('eia_generator_info', 6), ('gcpt_coal_metadata', 8)
         |) t(table_name, column_count)""".stripMargin,
 
     "s6_bootstrap" ->

@@ -169,6 +169,46 @@ object Schemas {
     "chile" -> chile,
   )
 
+  // -------------------------------------------------------------------
+  // Reference/metadata tables (not fact sources: no envelope, no
+  // natural-key upsert — they are slowly-changing dimension tables the
+  // capacity-enrichment joins broadcast).
+  // -------------------------------------------------------------------
+
+  /** EIA Form 860 generator-level reference data (reference
+    * schema/eia_generator_info.sql:4-12): technology / prime mover /
+    * nameplate capacity per (plant_code, generator_id). */
+  val eiaGeneratorInfo: StructType = StructType(Seq(
+    StructField("plant_code", StringType, nullable = false),
+    StructField("generator_id", StringType, nullable = false),
+    StructField("technology", StringType, nullable = false),
+    StructField("prime_mover", StringType),
+    StructField("energy_source_1", StringType),
+    StructField("nameplate_capacity_mw", DoubleType),
+  ))
+
+  /** Global Coal Plant Tracker coal metadata (reference
+    * schema/gcpt_coal_metadata.sql:4-14), keyed by gcpt_unit_id with a
+    * unique-when-present eia_unit_id used to link EIA facts. */
+  val gcptCoalMetadata: StructType = StructType(Seq(
+    StructField("gcpt_unit_id", StringType, nullable = false),
+    StructField("eia_unit_id", StringType),
+    StructField("plant_name", StringType),
+    StructField("unit_name", StringType),
+    StructField("coal_type", StringType),
+    StructField("technology", StringType),
+    StructField("capacity_mw", DoubleType),
+    StructField("country", StringType),
+  ))
+
+  /** Non-fact tables by their exact reference table name (reference
+    * database.py:120-136 _KNOWN_TABLES beyond the 8 sources +
+    * extraction_metadata, which IngestJob models as run metadata). */
+  val referenceTables: Map[String, StructType] = Map(
+    "eia_generator_info" -> eiaGeneratorInfo,
+    "gcpt_coal_metadata" -> gcptCoalMetadata,
+  )
+
   /** Measure column per source (MW for ENTSOE, net MWh for EIA, MWh
     * elsewhere — reference per-source schema .sql files). */
   val measureColumn: Map[String, String] =

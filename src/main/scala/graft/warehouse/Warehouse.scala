@@ -35,6 +35,11 @@ object Warehouse {
   def tablePath(warehouse: String, source: String): String =
     s"${warehouse.stripSuffix("/")}/${requireValidIdentifier(source)}_generation_data"
 
+  /** Reference/metadata tables keep their exact reference table name
+    * (no `_generation_data` suffix — reference database.py:132-133). */
+  def referenceTablePath(warehouse: String, table: String): String =
+    s"${warehouse.stripSuffix("/")}/${requireValidIdentifier(table)}"
+
   /** S6: bootstrap the warehouse directory. */
   def createWarehouse(spark: SparkSession, warehouse: String): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -46,30 +51,53 @@ object Warehouse {
     * (reference database.py:386-449). */
   def createTable(spark: SparkSession, warehouse: String, source: String): Unit = {
     requireKnownSource(source)
-    val path = tablePath(warehouse, source)
+    writeEmpty(spark, tablePath(warehouse, source), Schemas.schemas(source))
+  }
+
+  /** S5 (reference tables): create one (empty) reference/metadata
+    * table — eia_generator_info, gcpt_coal_metadata (reference
+    * schema/eia_generator_info.sql:4-12, gcpt_coal_metadata.sql:4-14).
+    * Same empty-parquet registration as the fact tables; the
+    * PRIMARY KEY / unique-index declarations of the reference DDL are
+    * load-path invariants here (dedup on write), not storage
+    * constraints — parquet has none. */
+  def createReferenceTable(spark: SparkSession, warehouse: String, table: String): Unit = {
+    require(Schemas.referenceTables.contains(table), s"unknown reference table: '$table'")
+    writeEmpty(spark, referenceTablePath(warehouse, table), Schemas.referenceTables(table))
+  }
+
+  private def writeEmpty(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+  ): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.schemas(source),
+        schema,
       ).write.parquet(path)
     }
   }
 
-  /** The 8 empty-table writes are independent driver-side jobs;
-    * submitting them concurrently overlaps their fixed commit latency
-    * (sequential: ~8 × 250 ms of mostly waiting). Every future is
-    * awaited — a fail-fast Future.sequence would rethrow the first
-    * error while the rest keep writing unsupervised behind a "failed"
-    * command — and all failures are reported, not just the first. */
+  /** The 10 empty-table writes (8 fact sources + 2 reference tables)
+    * are independent driver-side jobs; submitting them concurrently
+    * overlaps their fixed commit latency (sequential: ~10 × 250 ms of
+    * mostly waiting). Every future is awaited — a fail-fast
+    * Future.sequence would rethrow the first error while the rest keep
+    * writing unsupervised behind a "failed" command — and all failures
+    * are reported, not just the first. */
   def createAllTables(spark: SparkSession, warehouse: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     import scala.util.{Failure, Try}
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val attempts = Schemas.schemas.keys.toSeq.sorted.map { s =>
-      s -> Future(Try(createTable(spark, warehouse, s)))
-    }
+    val attempts =
+      Schemas.schemas.keys.toSeq.sorted.map { s =>
+        s -> Future(Try(createTable(spark, warehouse, s)))
+      } ++ Schemas.referenceTables.keys.toSeq.sorted.map { t =>
+        t -> Future(Try(createReferenceTable(spark, warehouse, t)))
+      }
     val failures = attempts.flatMap { case (s, f) =>
       Await.result(f, 5.minutes) match {
         case Failure(e) => Some(s -> e)
@@ -82,6 +110,66 @@ object Warehouse {
       }
       throw new java.io.IOException(s"createAllTables: '$s' failed", e)
     }
+  }
+
+  /** Atomic republish of a rewritten table: write `.new`, retire the
+    * live copy to `.old`, promote, drop `.old`. Readers always see a
+    * complete table; a crash between the renames leaves the only copy
+    * at `.old` (recoverable — same protocol as IngestJob's metadata
+    * swap). The input `df` may READ from `path`: it is fully
+    * materialized into `.new` before the live copy moves. */
+  def publishAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (tmpP, oldP, tgtP) =
+      (new Path(path + ".new"), new Path(path + ".old"), new Path(path))
+    df.write.mode("overwrite").parquet(path + ".new")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(tgtP) && !fs.rename(tgtP, oldP))
+      throw new java.io.IOException(s"publishAtomic: cannot retire $tgtP")
+    if (!fs.rename(tmpP, tgtP))
+      throw new java.io.IOException(s"publishAtomic: cannot publish $tmpP")
+    fs.delete(oldP, true)
+  }
+
+  /** Outcome of a schema evolution: row count preserved, columns added
+    * with NULL backfill, columns whose stored type was re-cast. */
+  final case class SchemaUpdate(rows: Long, added: Seq[String], retyped: Seq[String])
+
+  /** Schema evolution in place — the parquet analog of the reference's
+    * `ALTER TABLE ... ALTER COLUMN TYPE` migration
+    * (database_management.py:68-102, entsoe country_code widening):
+    * reconcile the stored table to the CURRENT declared StructType.
+    * Columns the declaration has but the files lack are added as typed
+    * NULLs (backfill); columns stored under an older type are cast to
+    * the declared one; declared column order is restored. The rewrite
+    * republishes through [[publishAtomic]], so concurrent readers
+    * never see a half-evolved table. (VARCHAR width changes are a
+    * no-op here by design — parquet strings are unbounded, which is
+    * exactly why the reference's entsoe widening has no work to do;
+    * the add-column/retype path is the part schema-on-read cannot
+    * absorb silently at query time.) */
+  def updateSchema(spark: SparkSession, warehouse: String, source: String): SchemaUpdate = {
+    requireKnownSource(source)
+    val path = tablePath(warehouse, source)
+    val declared = Schemas.schemas(source)
+    // mergeSchema: files written under different historical schemas
+    // must all contribute their columns before reconciliation
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+    val have = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+    val added = declared.fields.collect { case f if !have.contains(f.name) => f.name }.toSeq
+    val retyped = declared.fields.collect {
+      case f if have.get(f.name).exists(_ != f.dataType) => f.name
+    }.toSeq
+    if (added.nonEmpty || retyped.nonEmpty ||
+      existing.schema.fieldNames.toSeq != declared.fieldNames.toSeq) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val evolved = existing.select(declared.fields.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      publishAtomic(spark, path, evolved)
+    }
+    SchemaUpdate(spark.read.parquet(path).count(), added, retyped)
   }
 
   /** S10: truncate with pre-count (reference database.py:910-935). */

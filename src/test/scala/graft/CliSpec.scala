@@ -138,6 +138,40 @@ class CliSpec extends SparkSpec {
     // table never created under this warehouse → failure becomes exit 1
     assert(Cli.run(spark, Seq("aggregate-export", "entsoe", "--warehouse", wh,
       "--output-dir", "/tmp/x")) == 1)
-    assert(Cli.run(spark, Seq("update-schema", "entsoe")) == 0)
+    // update-schema needs a warehouse too, and a created table
+    assert(Cli.run(spark, Seq("update-schema", "entsoe")) == 1)
+    assert(Cli.run(spark, Seq("update-schema", "entsoe", "--warehouse", wh)) == 1)
+  }
+
+  test("update-schema evolves a legacy-shaped table in place (database_management.py:68-102)") {
+    val wh = tmp("graft-cli-evolve")
+    // simulate a table written under an OLDER schema: entsoe before the
+    // data_type column existed and with generation_mw stored as float
+    import spark.implicits._
+    val legacy = Seq(
+      (runId, now, 1577836800000L, "DE", "B04", "Plant A", "Fossil Gas", 100.5f, 60),
+      (runId, now, 1609459200000L, "FR", "B14", "Plant B", "Nuclear", 900.25f, 60),
+    ).toDF("extraction_run_id", "created_at_ms", "timestamp_ms", "country_code",
+      "psr_type", "plant_name", "fuel_type", "generation_mw", "resolution_minutes")
+    legacy.write.parquet(s"$wh/entsoe_generation_data")
+
+    assert(Cli.run(spark, Seq("update-schema", "entsoe", "--warehouse", wh)) == 0)
+    val evolved = spark.read.parquet(s"$wh/entsoe_generation_data")
+    // declared order + declared types (data_type added, measure re-cast)
+    assert(evolved.schema.fieldNames.toSeq ==
+      graft.schema.Schemas.entsoe.fieldNames.toSeq)
+    assert(evolved.schema("generation_mw").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // rows preserved, added column NULL-backfilled, values intact
+    assert(evolved.count() == 2)
+    assert(evolved.filter(col("data_type").isNull).count() == 2)
+    assert(evolved.filter(col("plant_name") === "Plant A")
+      .select("generation_mw").head().getDouble(0) == 100.5)
+    // idempotent: running again reports no changes and keeps the data
+    assert(Cli.run(spark, Seq("update-schema", "all", "--warehouse", wh)) == 0)
+    assert(spark.read.parquet(s"$wh/entsoe_generation_data").count() == 2)
+    // no leftover swap directories
+    val names = new java.io.File(wh).listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.endsWith(".new") || n.endsWith(".old")))
   }
 }

@@ -20,6 +20,22 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(Warehouse.tablePath(wh, "npp")).count() == 0)
   }
 
+  test("reference tables: created with declared schemas at unsuffixed paths") {
+    val wh = Files.createTempDirectory("graft-wh-ref").toString
+    Warehouse.createAllTables(spark, wh)
+    val gi = spark.read.parquet(Warehouse.referenceTablePath(wh, "eia_generator_info"))
+    assert(gi.count() == 0)
+    assert(gi.columns.toSeq == Seq("plant_code", "generator_id", "technology",
+      "prime_mover", "energy_source_1", "nameplate_capacity_mw"))
+    val gc = spark.read.parquet(Warehouse.referenceTablePath(wh, "gcpt_coal_metadata"))
+    assert(gc.columns.toSeq == Seq("gcpt_unit_id", "eia_unit_id", "plant_name",
+      "unit_name", "coal_type", "technology", "capacity_mw", "country"))
+    // reference table names carry no _generation_data suffix
+    assert(Warehouse.referenceTablePath(wh, "gcpt_coal_metadata").endsWith("/gcpt_coal_metadata"))
+    intercept[IllegalArgumentException](
+      Warehouse.createReferenceTable(spark, wh, "not_a_reference_table"))
+  }
+
   test("identifier guard rejects injection-shaped names (reference database.py:111-156)") {
     intercept[IllegalArgumentException](Warehouse.requireValidIdentifier("x; DROP TABLE"))
     intercept[IllegalArgumentException](Warehouse.requireValidIdentifier("../escape"))
