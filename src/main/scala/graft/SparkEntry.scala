@@ -624,6 +624,16 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // Duplicate-2-gram repetition score — the repetitive-document
+    // curation signal (boilerplate / stuffing / generation loops) the
+    // length-punct quality score can't see. Tokens bound as a real
+    // column first (HOF lambda re-evaluation gotcha).
+    "t7_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionScore(col("_toks"), 2).as("rep_2gram"))),
+
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
     // provably fires; output the scrubbed hash + per-kind redaction
@@ -2061,6 +2071,20 @@ object SparkEntry {
     // than replaying xxhash64 of the array (same partition, no
     // collision caveat); candidate pairs require a fully-agreeing band
     // slice, exactly BucketPairs' emission condition.
+
+    // Gram construction mirrors shinglesOfTokens WITHOUT the distinct:
+    // sequence(0, max(n-k, 0)) → clamped slices, so a 1-token doc
+    // yields one short "gram" but total = n-k+1 <= 0 routes it to 0.0.
+    "t7_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, len(tk) AS n,
+         |    list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+         |      i -> array_to_string(tk[(i+1):(i+2)], ' ')) AS g
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN n - 1 <= 0 THEN 0.0
+         |    ELSE ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / (n - 1), 6) END AS rep_2gram
+         |FROM grams""".stripMargin,
 
     "td3_minhash_pairs" ->
       s"""WITH ${minhashCtes("documents")},

@@ -100,6 +100,24 @@ object TextAnalysis {
       + lit(0.2) * (lit(1.0) - least(punctRatio * 5.0, lit(1.0))), 6)
   }
 
+  /** Repetition score in [0,1]: fraction of DUPLICATE word k-grams
+    * (1 − distinct/total over the gram multiset) — the standard
+    * repetitive-document signal (boilerplate, keyword stuffing,
+    * generation loops) that length/punctuation quality scoring cannot
+    * see. 0 for docs with fewer than k tokens. Narrow per-row
+    * expression over bound tokens — same zero-shuffle shape as the
+    * other annotators, and SQL-replayable (list_distinct / len). */
+  def repetitionScore(toks: Column, k: Int = 2): Column = {
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))),
+    )
+    val total = size(toks) - (k - 1)
+    when(total <= 0, lit(0.0))
+      .otherwise(
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"), 6))
+  }
+
   // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------

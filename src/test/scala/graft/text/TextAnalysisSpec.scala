@@ -51,6 +51,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("repetitionScore: duplicate 2-gram fraction; degenerate docs → 0") {
+    val docs = Seq(
+      "a b a b a b",         // grams: ab,ba,ab,ba,ab → 2 distinct of 5 → 0.6
+      "all distinct words here", // 3 grams, all distinct → 0.0
+      "word",                // < 2 tokens → 0
+      "",                    // empty → 0
+      "spam spam spam spam", // 3 grams, 1 distinct → 2/3
+    ).toDF("t")
+      .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col("t"))))
+    val out = docs.select(TextAnalysis.repetitionScore(col("_toks"), 2).as("r"))
+      .as[Double].collect().toSeq
+    assert(out(0) == 0.6)
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+    assert(out(3) == 0.0)
+    assert(math.abs(out(4) - 0.666667) < 1e-6)
+  }
+
   test("meanWordLength") {
     val m = Seq("ab abcd").toDF("t")
       .select(TextAnalysis.meanWordLength(col("t"))).as[Double].head()
