@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, Decontamination, Packing, Sampling, Scrub, TextAnalysis, TextDedup}
+import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -634,6 +634,46 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.repetitionScore(col("_toks"), 2).as("rep_2gram"))),
 
+    // Corpus vocabulary probe: top-200 normalized tokens by frequency
+    // (tokenizer/vocab construction input). Explode → hash-agg with
+    // map-side partial counts → TakeOrderedAndProject: the only data
+    // that reaches the driver is the k rows. Ties break on token text
+    // so the limit is deterministic across engines.
+    "t8_vocab_topk" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(TextAnalysis.normalized(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(200)),
+
+    // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
+    // boolean per rule + the conjunction — the per-rule report a
+    // curation run logs. All gates are integer-derived doubles, so the
+    // comparisons are exact in both engines without rounding.
+    "t9_gopher_rules" -> ((s, dir) => {
+      val wc = size(col("_toks"))
+      val mwl = TextAnalysis.meanWordLengthOf(col("_toks"))
+      val symr = TextAnalysis.symbolWordRatio(col("text"), col("_toks"))
+      val alpha = TextAnalysis.alphaWordFraction(col("_toks"))
+      val stop = TextAnalysis.stopwordCount(col("text"))
+      val passWords = wc.between(20, 100000)
+      val passMwl = mwl.between(3.0, 10.0)
+      val passSym = symr <= 0.1
+      val passAlpha = alpha >= 0.8
+      val passStop = stop >= 2
+      tbl(s, dir, "documents")
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          wc.as("n_words"),
+          passWords.as("pass_word_count"),
+          passMwl.as("pass_mean_word_len"),
+          passSym.as("pass_symbol_ratio"),
+          passAlpha.as("pass_alpha_frac"),
+          passStop.as("pass_stopwords"),
+          (passWords && passMwl && passSym && passAlpha && passStop).as("gopher_pass"))
+    }),
+
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
     // provably fires; output the scrubbed hash + per-kind redaction
@@ -704,6 +744,23 @@ object SparkEntry {
     "td7_simhash_pairs" -> ((s, dir) =>
       TextDedup
         .simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // CCNet-style line-level dedup: drop lines appearing in > 50 docs
+    // (synthesized boilerplate: a shared header on every doc, a footer
+    // shared by each doc_id%5 class), keep per-doc body lines in
+    // order. One line-frequency shuffle + a BROADCAST anti-join of the
+    // heavy-hitter set — the corpus lines never re-shuffle on text.
+    "td8_line_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("shared boilerplate header"),
+          col("text"),
+          concat(lit("footer variant "), col("doc_id") % 5)).as("text"))
+      LineDedup
+        .removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 50)
+        .select(col("doc_id"), col("n_lines_kept"), md5(col("clean_text")).as("clean_md5"))
+    }),
 
     // --- Similarity search (beyond-reference) --------------------------
 
@@ -778,6 +835,17 @@ object SparkEntry {
         .lshCosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.35,
           nBits = 6, tables = 8)
         .select("vec_id", "label")),
+
+    // Int8-quantized cosine top-k: corpus vectors quantize→dequantize
+    // round-tripped (the arithmetic a 4x-smaller stored index serves),
+    // queries full-precision. Hash-checked: floor(v*scale+0.5) and the
+    // double cosine replay exactly in SQL.
+    "v8_quantized_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10)
+    }),
 
     // --- Multimodal plumbing (beyond-reference) ------------------------
 
@@ -2086,6 +2154,62 @@ object SparkEntry {
          |    ELSE ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / (n - 1), 6) END AS rep_2gram
          |FROM grams""".stripMargin,
 
+    "t8_vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($ToksSql) AS token FROM documents)
+         |SELECT token, COUNT(*) AS n FROM tok
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 200""".stripMargin,
+
+    // All gate inputs are integer-derived doubles (counts and count
+    // ratios), so the threshold comparisons are exact in both engines
+    // without rounding.
+    "t9_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    len(tk) AS wc,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(tk, w -> LENGTH(w))) AS DOUBLE) / len(tk) END AS mwl,
+        |    CASE WHEN len(tk) = 0 THEN 1.0
+        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(tk) END AS symr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(tk) END AS alpha,
+        |    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(wc AS INT) AS n_words,
+        |  wc BETWEEN 20 AND 100000 AS pass_word_count,
+        |  mwl BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+        |  symr <= 0.1 AS pass_symbol_ratio,
+        |  alpha >= 0.8 AS pass_alpha_frac,
+        |  stop >= 2 AS pass_stopwords,
+        |  (wc BETWEEN 20 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
+        |   AND alpha >= 0.8 AND stop >= 2) AS gopher_pass
+        |FROM f""".stripMargin,
+
+    // Replays the synthesized boilerplate, the per-line document
+    // frequency, the >50 removal, and the order-preserving reassembly
+    // (string_agg ORDER BY the line ordinal).
+    "td8_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'shared boilerplate header' || chr(10) || text || chr(10)
+        |      || 'footer variant ' || CAST(doc_id % 5 AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS line_no
+        |  FROM d),
+        |freq AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) > 50),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM freq)),
+        |reb AS (SELECT doc_id, COUNT(*) AS n, string_agg(line, chr(10) ORDER BY line_no) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(r.n, 0) AS INT) AS n_lines_kept,
+        |  md5(COALESCE(r.txt, '')) AS clean_md5
+        |FROM d LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
     "td3_minhash_pairs" ->
       s"""WITH ${minhashCtes("documents")},
          |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cs) AS rep_id FROM hs),
@@ -2226,5 +2350,26 @@ object SparkEntry {
          |  WHERE e.vec_id > r.rep_id
          |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
          |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // Replays the symmetric int8 quantization (scale = 127/max|v|,
+    // q = floor(v*scale + 0.5) — explicit half-up, engine-neutral) and
+    // the double cosine over the dequantized corpus.
+    "v8_quantized_topk" ->
+      s"""WITH s AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END AS scale,
+         |    list_transform(v, x -> floor(x * (CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END) + 0.5)) AS q
+         |  FROM s),
+         |dq AS (SELECT vec_id, list_transform(q, x -> x / scale) AS dv FROM qz),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+         |sims AS (SELECT q.query_id, d.vec_id, ROUND(${cosSql("d.dv", "q.qvec")}, 6) AS sim
+         |  FROM dq d CROSS JOIN qs q WHERE q.query_id <> d.vec_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |WHERE rank <= 10""".stripMargin,
   )
 }

@@ -84,6 +84,63 @@ object Similarity {
     rankTopK(scored, queryIdCol, idCol, k)
   }
 
+  // -------------------------------------------------------------------
+  // Int8 scalar quantization: the standard memory/bandwidth lever for
+  // vector search at scale (4x smaller than float32, 8x smaller than
+  // the double working form) — the same symmetric per-vector scheme
+  // faiss's ScalarQuantizer QT_8bit_direct family and ScaNN's int8
+  // path use. Quantization error per element is bounded by
+  // 0.5/scale = maxAbs/254, so approximate cosine stays within a few
+  // 1e-3 of exact for unit-ish vectors — good enough for candidate
+  // generation, with exact rerank available via bruteForceTopK.
+  // -------------------------------------------------------------------
+
+  /** Per-vector symmetric scale: 127 / max|v| (1.0 for zero/empty
+    * vectors so quantization is a no-op rather than a division by
+    * zero). */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
+    when(maxAbs.isNull || maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
+  }
+
+  /** Quantize to int in [-127, 127]: floor(v*scale + 0.5) — explicit
+    * half-up, because Spark's round() (HALF_UP) and DuckDB's round()
+    * (half away from zero) disagree on negative halves and the oracle
+    * must replay this bit-for-bit. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") * scale + lit(0.5)).cast("int"))
+
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") / scale)
+
+  /** Brute-force top-k over the int8-quantized corpus: queries stay
+    * full precision, corpus vectors are quantize→dequantize
+    * round-tripped — exactly the arithmetic a quantized index serves.
+    * Same broadcast/narrow-scan shape as [[bruteForceTopK]]; the scale
+    * win is the quantized corpus being the column that is stored and
+    * shuffled. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+  ): DataFrame = {
+    val quant = corpus
+      .withColumn("_scale", int8Scale(col(vecCol)))
+      .withColumn("_qvec", quantizeInt8(col(vecCol), col("_scale")))
+      // Bind the dequantized array BELOW the join: evaluated once per
+      // corpus row instead of once per (row x query) candidate pair.
+      .withColumn("_dqvec", dequantizeInt8(col("_qvec"), col("_scale")))
+    val scored = quant
+      .crossJoin(broadcast(queries))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("sim", round(cosine(col("_dqvec"), col(queryVecCol)), 6))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
+
   /** Pairs above a cosine threshold within a blocking key (embedding
     * near-dup detection). Blocking (label/shard/LSH bucket) bounds the
     * pair count; the full-corpus variant should block on

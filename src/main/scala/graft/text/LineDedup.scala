@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level (paragraph-level) deduplication: remove individual lines
+  * that recur across many documents — boilerplate headers, navigation
+  * chrome, cookie banners, licence footers — while keeping each
+  * document's unique body. This is the CCNet-style pass (Wenzek et al.
+  * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data") that document-level dedup cannot express: two documents
+  * can be globally unique yet share 80% boilerplate lines.
+  *
+  * Scale design (the 100 TB shape):
+  *   - One shuffle computes per-line document frequency (hash
+  *     aggregation with map-side partial counts — line text is the
+  *     grouping key, so identical boilerplate combines locally before
+  *     the exchange).
+  *   - The frequent-line set is tiny by construction (only lines with
+  *     doc_freq > threshold — heavy hitters), so the removal join is a
+  *     BROADCAST left-anti join: the corpus's exploded lines never
+  *     re-shuffle on line text. A corpus where the frequent set
+  *     outgrows the broadcast threshold falls back to a shuffled
+  *     anti-join automatically if the hint is dropped, but at any
+  *     realistic threshold the set is MB-scale.
+  *   - Reassembly groups by doc id — the second and last shuffle —
+  *     and restores line order with an array_sort over (line_no, line)
+  *     structs, never a window.
+  */
+object LineDedup {
+
+  /** Document frequency per distinct line (how many distinct docs
+    * contain the line at least once). */
+  def lineDocFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode_outer(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+
+  /** Remove every line whose document frequency exceeds `maxDocFreq`,
+    * preserving the original order of surviving lines. Every input
+    * document is retained (a fully-boilerplate doc comes back with
+    * `n_lines_kept = 0` and empty `clean_text`) so downstream stages
+    * can decide whether to drop empties — removal and document
+    * filtering are separate policies.
+    *
+    * Output: idCol, n_lines_kept (int), clean_text (string).
+    */
+  def removeFrequentLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+  ): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate would add a
+    // size()>0 pre-filter to a plain explode and inline the split back
+    // into it (see the tp6 gotcha); outer generates are skipped by the
+    // rule, and a null/empty doc must survive to the final left join
+    // anyway.
+    val lines = df.select(
+      col(idCol),
+      posexplode_outer(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val frequent = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select(col("line"))
+    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no").as("n"), col("line").as("l")))),
+            e => e.getField("l")),
+          "\n").as("clean_text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_lines_kept"), lit(0)).as("n_lines_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

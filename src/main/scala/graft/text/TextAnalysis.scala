@@ -119,6 +119,41 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher",
+  // appendix A1.1 — the public heuristic family later reused by
+  // RefinedWeb/Dolma). Each rule is a pure Column predicate over a
+  // BOUND tokens column (bind once with `tokens()` — the HOF-lambda
+  // re-evaluation gotcha), so a corpus pass stays one narrow
+  // codegen'd scan. Unlike the scalar qualityScore, these are the
+  // hard pass/fail gates a curation run reports per rule.
+  // -------------------------------------------------------------------
+
+  /** Mean word length over a bound tokens column; 0 for empty docs. */
+  def meanWordLengthOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+
+  /** '#' and '…'/'...' count — the Gopher "symbol" set. */
+  def symbolCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit("#|\\.\\.\\."), lit(0)))
+
+  /** Symbol-to-word ratio; an empty doc is all-symbol by convention
+    * (ratio 1 ⇒ fails the gate, matching the word-count gate). */
+  def symbolWordRatio(text: Column, toks: Column): Column =
+    when(size(toks) === 0, lit(1.0))
+      .otherwise(symbolCount(text).cast("double") / size(toks).cast("double"))
+
+  /** Fraction of words containing at least one alphabetic character.
+    * The per-element regex runs once per word by construction, so the
+    * HOF-lambda placement is safe here. */
+  def alphaWordFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+        / size(toks).cast("double"))
+
+  // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
 

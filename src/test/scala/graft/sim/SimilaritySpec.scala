@@ -122,4 +122,43 @@ class SimilaritySpec extends SparkSpec {
     // 0.9 no other pair qualifies, so survivors are exactly 1,2,3.
     assert(out == Set(1L, 2L, 3L))
   }
+
+  test("int8 quantization: per-element error ≤ 0.5/scale, zero vector is a no-op") {
+    val df = Seq(
+      (1L, Seq(0.8f, -0.4f, 0.123f, -0.001f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+      .withColumn("_scale", Similarity.int8Scale(col("embedding")))
+      .withColumn("_q", Similarity.quantizeInt8(col("embedding"), col("_scale")))
+      .withColumn("_dq", Similarity.dequantizeInt8(col("_q"), col("_scale")))
+    val rows = df.orderBy("vec_id").collect()
+    val scale = rows(0).getDouble(2)
+    assert(math.abs(scale - 127.0 / 0.8f.toDouble) < 1e-12)
+    val q = rows(0).getSeq[Int](3)
+    assert(q.forall(v => v >= -127 && v <= 127))
+    val orig = rows(0).getSeq[Float](1).map(_.toDouble)
+    val dq = rows(0).getSeq[Double](4)
+    orig.zip(dq).foreach { case (o, d) => assert(math.abs(o - d) <= 0.5 / scale + 1e-12) }
+    // zero vector: scale 1, quantized to zeros, round-trips to zeros
+    assert(rows(1).getDouble(2) == 1.0)
+    assert(rows(1).getSeq[Int](3).forall(_ == 0))
+  }
+
+  test("quantizedTopK: same candidate ranking as exact top-k on separated vectors") {
+    val qs = vdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val quant = Similarity.quantizedTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // int8 error (~4e-3 on unit-ish vectors) cannot reorder the
+    // well-separated fixture sims — identical ranking
+    assert(quant === exact)
+    // and the quantized sims are within 2e-2 of exact
+    val es = Similarity.bruteForceTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").select("sim").as[Double].collect()
+    val ws = Similarity.quantizedTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").select("sim").as[Double].collect()
+    es.zip(ws).foreach { case (e, w) => assert(math.abs(e - w) < 2e-2) }
+  }
 }

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "HEADER\nunique body one\nFOOTER"),
+    (2L, "HEADER\nunique body two\nFOOTER"),
+    (3L, "HEADER\nunique body three\nFOOTER"),
+    (4L, "HEADER\nFOOTER"), // fully boilerplate
+    (5L, "solo line\nHEADER\nanother solo"),
+  ).toDF("doc_id", "text")
+
+  test("lines above the doc-frequency cap are removed; body survives in order") {
+    val out = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    // HEADER appears in 5 docs, FOOTER in 4 — both > 2 → dropped.
+    assert(out.map(r => r.getLong(0) -> r.getString(2)).toSeq === Seq(
+      1L -> "unique body one",
+      2L -> "unique body two",
+      3L -> "unique body three",
+      4L -> "",
+      5L -> "solo line\nanother solo",
+    ))
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 1, 1, 0, 2))
+  }
+
+  test("every input document is retained, even when fully boilerplate") {
+    val out = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
+    assert(out.count() === docs.count())
+  }
+
+  test("doc frequency counts distinct documents, not occurrences") {
+    // 'dup' appears 3x but only in ONE doc → doc_freq 1 ≤ 2 → kept.
+    val d = Seq((1L, "dup\ndup\ndup"), (2L, "other")).toDF("doc_id", "text")
+    val freq = LineDedup.lineDocFrequency(d, "doc_id", "text")
+      .where(col("line") === "dup").select("doc_freq").as[Long].head()
+    assert(freq === 1L)
+    val out = LineDedup.removeFrequentLines(d, "doc_id", "text", maxDocFreq = 2)
+      .where(col("doc_id") === 1).select("clean_text").as[String].head()
+    assert(out === "dup\ndup\ndup")
+  }
+
+  test("idempotence: a second pass over cleaned text removes nothing") {
+    val once = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = LineDedup.removeFrequentLines(once, "doc_id", "text", maxDocFreq = 2)
+    // After cleaning, surviving lines each appear in ≤ 2 docs (an empty
+    // clean_text contributes an '' line in 1 doc) — nothing new drops.
+    val a = once.orderBy("doc_id").select("text").as[String].collect()
+    val b = twice.orderBy("doc_id").select("clean_text").as[String].collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -74,4 +74,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.meanWordLength(col("t"))).as[Double].head()
     assert(m == 3.0)
   }
+
+  test("gopher helpers: symbol ratio, alpha fraction, mean word length on bound tokens") {
+    val df = Seq(
+      "the cat sat on the mat",    // clean: no symbols, all alpha
+      "# # # price ...",           // 3 '#' + 1 '...' over 5 words
+      "123 456 789 word",          // 1 of 4 words alphabetic
+      "",                          // empty: ratio conventions
+    ).toDF("t").withColumn("_toks", TextAnalysis.tokens(col("t")))
+    val out = df.select(
+      TextAnalysis.symbolWordRatio(col("t"), col("_toks")).as("sym"),
+      TextAnalysis.alphaWordFraction(col("_toks")).as("alpha"),
+      TextAnalysis.meanWordLengthOf(col("_toks")).as("mwl"),
+    ).collect()
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(0) == 4.0 / 5.0)
+    assert(out(2).getDouble(1) == 0.25)
+    // empty doc: all-symbol (1.0), no alpha words (0.0), mwl 0
+    assert(out(3).getDouble(0) == 1.0 && out(3).getDouble(1) == 0.0
+      && out(3).getDouble(2) == 0.0)
+    // bound-tokens mean word length agrees with the text form
+    val both = Seq("ab abcd").toDF("t")
+      .withColumn("_toks", TextAnalysis.tokens(col("t")))
+      .select(TextAnalysis.meanWordLengthOf(col("_toks"))).as[Double].head()
+    assert(both == 3.0)
+  }
 }
