@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup}
+import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -673,6 +673,13 @@ object SparkEntry {
           passStop.as("pass_stopwords"),
           (passWords && passMwl && passSym && passAlpha && passStop).as("gopher_pass"))
     }),
+
+    // Unigram-LM scoring (CCNet-style perplexity stand-in): mean
+    // -ln p(token) under the corpus's own unigram distribution, vocab
+    // capped at the top 20 (so the OOV floor path is exercised),
+    // per-doc sums in exact order-free DECIMAL.
+    "t10_unigram_logprob" -> ((s, dir) =>
+      UnigramLM.unigramScores(tbl(s, dir, "documents"), "doc_id", "text", topV = 20)),
 
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
@@ -2188,6 +2195,24 @@ object SparkEntry {
         |  (wc BETWEEN 20 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
         |   AND alpha >= 0.8 AND stop >= 2) AS gopher_pass
         |FROM f""".stripMargin,
+
+    // Replays the capped vocabulary (count desc, token asc, LIMIT 20),
+    // the 1/total OOV floor, and the exact DECIMAL(18,12) surprisal
+    // sum; the final mean divides as DOUBLE in both engines.
+    "t10_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM tok),
+         |vocab AS (SELECT token, COUNT(*) AS c FROM tok
+         |  GROUP BY token ORDER BY c DESC, token LIMIT 20),
+         |scored AS (SELECT t.doc_id,
+         |    CAST(-ln(CAST(COALESCE(v.c, 1) AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(18,12)) AS s
+         |  FROM tok t LEFT JOIN vocab v USING (token)),
+         |per AS (SELECT doc_id, COUNT(*) AS nt, SUM(s) AS ssum FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.nt, 0) AS INT) AS n_tokens,
+         |  CASE WHEN p.nt IS NULL THEN 0.0
+         |    ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nt, 6) END AS mean_neg_logprob
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     // Replays the synthesized boilerplate, the per-line document
     // frequency, the >50 removal, and the order-preserving reassembly
