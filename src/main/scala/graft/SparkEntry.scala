@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.agg.{Rollups, Stats}
+import graft.agg.{AsofJoin, Rollups, Stats}
 import graft.dedup.Dedup
 import graft.incr.{Backfill, Watermarks}
 import graft.ingest.{Enrich, IngestJob, JsonlSource}
@@ -522,6 +522,24 @@ object SparkEntry {
       monthly.select(col("month"), col("revenue"),
         round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), lit(0.0)), 2)
           .as("mom_delta"))
+    }),
+
+    // Point-in-time attribution: each click joined to the latest view
+    // (≤ its timestamp) by the same user — the as-of join Spark lacks
+    // as a built-in, via the union + keyed-window form (one shuffle,
+    // no range cross-product). DuckDB's native ASOF LEFT JOIN is the
+    // oracle.
+    "j7_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      AsofJoin
+        .asofJoinLast(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id", "view_ts", "view_value"))
+        .select("event_id", "user_id", "ts", "value", "view_id", "view_ts", "view_value")
     }),
 
     // --- Incremental (I1, I3) ------------------------------------------
@@ -1528,6 +1546,21 @@ object SparkEntry {
         |  g.coal_type, g.country
         |FROM rolled r
         |LEFT JOIN gcpt g ON r.plant_code || '_' || r.generator_id = g.eia_unit_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN replays the union+window form's
+    // inclusive (<=) latest-match semantics. Both engines compare at
+    // microsecond precision (DuckDB reads the parquet ns timestamps as
+    // TIMESTAMP µs; the Spark side uses the ts DIV 1000 convention),
+    // and (user_id, ts) is collision-free at µs in this data.
+    "j7_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS view_ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_ts, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin,
 
     "p18_validate_summary" ->
       """SELECT COUNT(*) AS total_records,

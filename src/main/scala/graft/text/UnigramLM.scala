@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLM {
 
-  /** Corpus unigram counts, capped to the `topV` most frequent tokens
-    * (ties broken by token text). */
-  def vocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame =
+  /** Full corpus unigram counts (vocab-sized, i.e. tiny relative to
+    * the corpus). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("c"))
+
+  /** Corpus unigram counts, capped to the `topV` most frequent tokens
+    * (ties broken by token text). */
+  def vocabulary(df: DataFrame, textCol: String, topV: Int): DataFrame =
+    tokenCounts(df, textCol)
       .orderBy(col("c").desc, col("token"))
       .limit(topV)
 
@@ -48,8 +53,13 @@ object UnigramLM {
     val toks = df.select(
       col(idCol),
       explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
-    val vocab = vocabulary(df, textCol, topV)
-    val total = toks.agg(count(lit(1)).as("n"))
+    // Cache the vocab-sized counts so BOTH the capped vocabulary and
+    // the total derive from one counting pass: the corpus is scanned
+    // exactly twice (counts, scoring) — the 100 TB floor for a
+    // corpus-relative statistic — instead of three times.
+    val counts = tokenCounts(df, textCol).cache()
+    val vocab = counts.orderBy(col("c").desc, col("token")).limit(topV)
+    val total = counts.agg(sum(col("c")).as("n"))
     val scored = toks
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(total))
