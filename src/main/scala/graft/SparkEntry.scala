@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.agg.{AsofJoin, Rollups, Stats}
+import graft.agg.{AsofJoin, RangeJoin, Rollups, Stats}
 import graft.dedup.Dedup
 import graft.incr.{Backfill, Watermarks}
 import graft.ingest.{Enrich, IngestJob, JsonlSource}
@@ -542,6 +542,24 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "value", "view_id", "view_ts", "view_value")
     }),
 
+    // Lookback interval join: every (click, view-within-the-prior-hour)
+    // pair per user, via the bucketed form (equi-join on (key, hour
+    // bucket), right side duplicated exactly 2x) — never a range-only
+    // or cross join. Oracle is the plain inequality join.
+    "j8_lookback_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("view_us"), col("ts").as("view_ts"))
+      RangeJoin
+        .lookbackJoin(clicks, views, Seq("user_id"), "click_us", "view_us",
+          windowUs = 3600000000L)
+        .select("click_id", "user_id", "view_id", "click_ts", "view_ts")
+    }),
+
     // --- Incremental (I1, I3) ------------------------------------------
 
     // I1: high-watermark resume point, clamped to a minimum start.
@@ -870,6 +888,17 @@ object SparkEntry {
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.quantizedTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10)
+    }),
+
+    // The production ANN pattern end-to-end: quantized scoring
+    // proposes 50 candidates per query, exact cosine re-ranks to the
+    // final 10 — the exact kernel touches |q|x50 rows, not the corpus.
+    "v9_quantized_rerank" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.quantizedRerankTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, candidateK = 50)
     }),
 
     // --- Multimodal plumbing (beyond-reference) ------------------------
@@ -1561,6 +1590,18 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_ts, v.view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin,
+
+    // The bucketed interval join must equal the declarative inequality
+    // join — the oracle IS the naive form the bucketing optimizes.
+    "j8_lookback_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, c.click_ts, v.view_ts
+        |FROM clicks c JOIN views v ON c.user_id = v.user_id
+        |  AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        |  AND v.view_ts < c.click_ts""".stripMargin,
 
     "p18_validate_summary" ->
       """SELECT COUNT(*) AS total_records,
@@ -2428,6 +2469,33 @@ object SparkEntry {
          |SELECT query_id, vec_id, sim, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM sims)
+         |WHERE rank <= 10""".stripMargin,
+
+    // v8's quantized scoring down to 50 candidates per query, then the
+    // exact full-precision cosine re-ranks to 10.
+    "v9_quantized_rerank" ->
+      s"""WITH s AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END AS scale,
+         |    list_transform(v, x -> floor(x * (CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE 127.0 / m END) + 0.5)) AS q
+         |  FROM s),
+         |dq AS (SELECT vec_id, list_transform(q, x -> x / scale) AS dv FROM qz),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+         |qsims AS (SELECT q.query_id, d.vec_id, ROUND(${cosSql("d.dv", "q.qvec")}, 6) AS sim
+         |  FROM dq d CROSS JOIN qs q WHERE q.query_id <> d.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+         |  FROM qsims) WHERE r <= 50),
+         |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.query_id = c.query_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM ex)
          |WHERE rank <= 10""".stripMargin,
   )
 }

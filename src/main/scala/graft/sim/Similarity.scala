@@ -141,6 +141,33 @@ object Similarity {
     rankTopK(scored, queryIdCol, idCol, k)
   }
 
+  /** The production ANN pattern: cheap quantized scoring proposes
+    * `candidateK` candidates per query, exact full-precision cosine
+    * re-ranks them to the final top-k. The expensive exact kernel runs
+    * on |queries| x candidateK rows instead of |queries| x |corpus| —
+    * the re-rank join carries only candidate ids, and the candidate
+    * set (small by construction) broadcasts back onto the corpus to
+    * fetch full-precision vectors. */
+  def quantizedRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      candidateK: Int,
+  ): DataFrame = {
+    val cands = quantizedTopK(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol, candidateK)
+      .select(col(queryIdCol), col(idCol))
+    val withVecs = corpus
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+    val scored = withVecs
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
+
   /** Pairs above a cosine threshold within a blocking key (embedding
     * near-dup detection). Blocking (label/shard/LSH bucket) bounds the
     * pair count; the full-corpus variant should block on

@@ -144,6 +144,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).getSeq[Int](3).forall(_ == 0))
   }
 
+  test("quantizedRerankTopK: candidateK covering the corpus reproduces exact top-k") {
+    val qs = vdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val rr = Similarity.quantizedRerankTopK(vdf, qs, "vec_id", "embedding", "query_id", "qvec",
+      k = 3, candidateK = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // with every corpus vector a candidate, the exact re-rank IS the
+    // exact top-k — sims included (full precision, not quantized)
+    assert(rr === exact)
+  }
+
   test("quantizedTopK: same candidate ranking as exact top-k on separated vectors") {
     val qs = vdf.filter(col("vec_id") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
