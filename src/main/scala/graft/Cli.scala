@@ -138,7 +138,8 @@ object Cli {
       val r = Warehouse.updateSchema(spark, warehouse, s)
       val changes =
         (if (r.added.nonEmpty) s" added=${r.added.mkString(",")}" else "") +
-          (if (r.retyped.nonEmpty) s" retyped=${r.retyped.mkString(",")}" else "")
+          (if (r.retyped.nonEmpty) s" retyped=${r.retyped.mkString(",")}" else "") +
+          (if (r.dropped.nonEmpty) s" DROPPED=${r.dropped.mkString(",")}" else "")
       println(s"update-schema $s: ${r.rows} rows${if (changes.isEmpty) " (no changes)" else changes}")
     }
     0

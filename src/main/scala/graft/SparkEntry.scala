@@ -2254,7 +2254,7 @@ object SparkEntry {
         |    CASE WHEN len(tk) = 0 THEN 0.0
         |      ELSE CAST(list_sum(list_transform(tk, w -> LENGTH(w))) AS DOUBLE) / len(tk) END AS mwl,
         |    CASE WHEN len(tk) = 0 THEN 1.0
-        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(tk) END AS symr,
+        |      ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(tk) END AS symr,
         |    CASE WHEN len(tk) = 0 THEN 0.0
         |      ELSE CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(tk) END AS alpha,
         |    len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS stop

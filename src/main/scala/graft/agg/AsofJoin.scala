@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the union + keyed-window form, not a range join:
   * tag both sides, union them, sort each key's rows by (time, side)
-  * inside ONE window, and carry the last-seen right-side attributes
-  * forward with `last(_, ignoreNulls = true)` over the unbounded
-  * preceding frame. Right rows sort before left rows at an equal
-  * timestamp, giving the inclusive (≤) match DuckDB's ASOF JOIN
-  * implements.
+  * inside ONE window, and carry the last-seen right row forward with
+  * `last(_, ignoreNulls = true)` over the unbounded preceding frame.
+  * All carried attributes travel inside ONE struct (non-null whenever
+  * a right row exists, even if every attribute in it is null), so the
+  * result always comes from a single right row — filling each column
+  * independently would stitch attributes from different rows whenever
+  * the matched row holds a null. Right rows sort before left rows at
+  * an equal timestamp, giving the inclusive (≤) match DuckDB's ASOF
+  * JOIN implements.
+  *
+  * Null keys never match (standard join semantics): right rows with a
+  * null key component are dropped up front, which leaves left null-key
+  * rows nothing to carry.
   *
   * Scale shape: exactly one shuffle (hash partition by key for the
   * window), no time-range cross-product, no broadcast requirement on
@@ -41,27 +49,13 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightValueCols: Seq[String],
-  ): DataFrame = {
-    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
-    val r = right
-      .select((keyCols.map(col) :+ col(rightTime).as("_t")) ++ rightValueCols.map(col): _*)
-      .withColumn("_side", lit(0))
-    // unionByName(allowMissingColumns): left rows get null right-value
-    // columns (to be filled), right rows get null left columns (to be
-    // filtered).
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_side", "_t")
-  }
+  ): DataFrame =
+    unionWindowJoin(left, right, keyCols, leftTime, rightTime, rightValueCols,
+      leftSide = 1, frameEnd = Window.currentRow)
 
   /** Strict (<) variant: right rows at exactly the left timestamp do
-    * NOT match. Same plan shape; left rows sort first at equal time. */
+    * NOT match. Same plan shape; left rows sort first at equal time,
+    * and the frame stops one row short of the current left row. */
   def asofJoinLastStrict(
       left: DataFrame,
       right: DataFrame,
@@ -69,19 +63,38 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightValueCols: Seq[String],
+  ): DataFrame =
+    unionWindowJoin(left, right, keyCols, leftTime, rightTime, rightValueCols,
+      leftSide = 0, frameEnd = -1)
+
+  private def unionWindowJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      leftSide: Int,
+      frameEnd: Long,
   ): DataFrame = {
-    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(0))
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(leftSide))
     val r = right
-      .select((keyCols.map(col) :+ col(rightTime).as("_t")) ++ rightValueCols.map(col): _*)
-      .withColumn("_side", lit(1))
+      // null-key right rows can never match any left row
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) :+ col(rightTime).as("_t")
+        :+ struct(rightValueCols.map(col): _*).as("_rrow"): _*)
+      .withColumn("_side", lit(1 - leftSide))
+    // unionByName(allowMissingColumns): left rows get a null _rrow (to
+    // be filled), right rows get null left columns (to be filtered).
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val filled = unioned.withColumn("_rrow", last(col("_rrow"), ignoreNulls = true).over(w))
+    val expanded = rightValueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("_rrow").getField(c))
     }
-    filled.filter(col("_side") === 0).drop("_side", "_t")
+    expanded.filter(col("_side") === leftSide).drop("_side", "_t", "_rrow")
   }
 }

@@ -75,12 +75,26 @@ object GHash {
   private val PermStream = 0x5045524dL << 32 // "PERM"
   private val SrpStream = 0x53525053L << 32 // "SRPS"
 
+  private def permARaw(j: Int): Long =
+    (splitmix64(PermStream + 2L * j) | 1L) & 0x3FFFFFFFFFFFFFFFL
+  private def permBRaw(j: Int): Long = splitmix64(PermStream + 2L * j + 1L)
+
+  // The constants are pure functions of j (and (salt, j) for SRP), but
+  // the kernels ask for them once per ROW per hash function — tabulate
+  // the realistic index range once per JVM so the hot path pays an
+  // array read, not a splitmix chain (out-of-range indexes fall back
+  // to direct derivation).
+  private val PermCacheSize = 1024
+  private lazy val permATab: Array[Long] = Array.tabulate(PermCacheSize)(permARaw)
+  private lazy val permBTab: Array[Long] = Array.tabulate(PermCacheSize)(permBRaw)
+
   /** Odd 62-bit multiplier for MinHash permutation j. */
   def permA(j: Int): Long =
-    (splitmix64(PermStream + 2L * j) | 1L) & 0x3FFFFFFFFFFFFFFFL
+    if (j >= 0 && j < PermCacheSize) permATab(j) else permARaw(j)
 
   /** 64-bit offset for MinHash permutation j. */
-  def permB(j: Int): Long = splitmix64(PermStream + 2L * j + 1L)
+  def permB(j: Int): Long =
+    if (j >= 0 && j < PermCacheSize) permBTab(j) else permBRaw(j)
 
   /** Signature element for an EMPTY shingle set: unsigned max, so
     * empty sets sort after everything and never fake a small min. */
@@ -94,11 +108,29 @@ object GHash {
   // structured Weyl sequence).
   // -------------------------------------------------------------------
 
-  def srpA(salt: Int, j: Int): Long =
+  private def srpARaw(salt: Int, j: Int): Long =
     (splitmix64(SrpStream + (salt.toLong << 16) + 2L * j) | 1L) & 0x3FFFFFFFFFFFFFFFL
 
-  def srpB(salt: Int, j: Int): Long =
+  private def srpBRaw(salt: Int, j: Int): Long =
     splitmix64(SrpStream + (salt.toLong << 16) + 2L * j + 1L)
+
+  private val SrpSaltCacheSize = 64
+  private val SrpBitCacheSize = 32
+  private lazy val srpATab: Array[Long] =
+    Array.tabulate(SrpSaltCacheSize * SrpBitCacheSize)(k =>
+      srpARaw(k / SrpBitCacheSize, k % SrpBitCacheSize))
+  private lazy val srpBTab: Array[Long] =
+    Array.tabulate(SrpSaltCacheSize * SrpBitCacheSize)(k =>
+      srpBRaw(k / SrpBitCacheSize, k % SrpBitCacheSize))
+
+  private def srpCached(salt: Int, j: Int): Boolean =
+    salt >= 0 && salt < SrpSaltCacheSize && j >= 0 && j < SrpBitCacheSize
+
+  def srpA(salt: Int, j: Int): Long =
+    if (srpCached(salt, j)) srpATab(salt * SrpBitCacheSize + j) else srpARaw(salt, j)
+
+  def srpB(salt: Int, j: Int): Long =
+    if (srpCached(salt, j)) srpBTab(salt * SrpBitCacheSize + j) else srpBRaw(salt, j)
 
   /** Plane component — reference implementation shared by the
     * [[SrpSignature]] kernel and tests. */

@@ -146,10 +146,12 @@ case class MinHashSignature(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** simhash_bits(tokens, nBits): classic SimHash — one 32-bit murmur3
-  * per (token, word) chunk; bit i of the per-token hash votes ±1 into
-  * counter i; sign of the counter is the output bit. nBits ≤ 64 uses
-  * two 32-bit hashes per token. */
+/** simhash_bits(tokens, nBits): classic SimHash — one 64-bit token
+  * hash `gmix64(fnv1a(token))` ([[GHash]], oracle-replayable); bit b
+  * of the hash votes ±1 into counter b; sign of the counter is the
+  * output bit. nBits is capped at 64 (the token hash width) and
+  * enforced — a wider request would silently reuse bits 0..63 via the
+  * wrapping shift. */
 case class SimHashBits(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
@@ -193,6 +195,9 @@ object SimHashCore {
   }
 
   def voteCounters(arr: ArrayData, nBits: Int): Array[Int] = {
+    // th >>> b wraps the shift count mod 64: beyond 64 bits the votes
+    // would silently duplicate bits 0..63
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
     val counters = new Array[Int](nBits)
     var i = 0
     while (i < arr.numElements()) {
@@ -209,9 +214,10 @@ object SimHashCore {
 }
 
 /** simhash64(tokens): 64-bit SimHash packed into one BIGINT — the
-  * same voting scheme as [[SimHashBits]] (two 32-bit murmur3 chunks
-  * per token, bit b of the output = sign of counter b) but emitting a
-  * single long. One scalar per doc: band extraction downstream is a
+  * same voting scheme as [[SimHashBits]] (gmix64(fnv1a(token)) bit
+  * votes via [[SimHashCore]], bit b of the output = sign of counter b)
+  * but emitting a single long. One scalar per doc: band extraction
+  * downstream is a
   * shift+mask, hamming distance is `bit_count(a ^ b)` — both
   * codegen'd built-ins — and the column is sortable/hashable by any
   * external comparator (an array<int> signature is not). */
@@ -307,7 +313,7 @@ case class JaccardSortedLong(left: Expression, right: Expression)
 
 /** bucket_pairs(members, rowsPerBand, band, minAgree) — in-bucket LSH
   * candidate enumeration. `members` is the collect_list of
-  * struct(id: long, sig: array<int>) for one (band, bucket) group;
+  * struct(id: long, sig: array<long>) for one (band, bucket) group;
   * the expression emits struct(id_a, id_b) for every i<j pair that
   *   (1) has this band as its FIRST fully-agreeing band (so a pair
   *       colliding in several bands is emitted exactly once, with no

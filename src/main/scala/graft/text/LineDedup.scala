@@ -64,7 +64,11 @@ object LineDedup {
       .agg(countDistinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("line"))
-    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    // the (null, null) row posexplode_outer emits for a null/absent
+    // text must not count as a kept line
+    val kept = lines
+      .filter(col("line").isNotNull)
+      .join(broadcast(frequent), Seq("line"), "left_anti")
     val rebuilt = kept
       .groupBy(col(idCol))
       .agg(

@@ -135,9 +135,10 @@ object TextAnalysis {
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
         / size(toks).cast("double"))
 
-  /** '#' and '…'/'...' count — the Gopher "symbol" set. */
+  /** '#' and '…'/'...' count — the Gopher "symbol" set (both the
+    * single-char ellipsis and the three-dot ASCII spelling). */
   def symbolCount(text: Column): Column =
-    size(regexp_extract_all(coalesce(text, lit("")), lit("#|\\.\\.\\."), lit(0)))
+    size(regexp_extract_all(coalesce(text, lit("")), lit("#|\\.\\.\\.|…"), lit(0)))
 
   /** Symbol-to-word ratio; an empty doc is all-symbol by convention
     * (ratio 1 ⇒ fails the gate, matching the word-count gate). */

@@ -112,12 +112,18 @@ object Warehouse {
     }
   }
 
-  /** Atomic republish of a rewritten table: write `.new`, retire the
-    * live copy to `.old`, promote, drop `.old`. Readers always see a
-    * complete table; a crash between the renames leaves the only copy
-    * at `.old` (recoverable — same protocol as IngestJob's metadata
-    * swap). The input `df` may READ from `path`: it is fully
-    * materialized into `.new` before the live copy moves. */
+  /** Crash-safe republish of a rewritten table: write `.new`, retire
+    * the live copy to `.old`, promote, drop `.old`. A reader never
+    * sees a HALF-written table (each copy is complete before any
+    * rename), and a crash between the renames leaves the only copy at
+    * `.old` (recoverable — same protocol as IngestJob's metadata
+    * swap). NOT reader-atomic: two sequential renames leave a window
+    * where the live path does not exist, so a concurrent reader can
+    * fail with path-not-found and must retry (retryWithBackoff is the
+    * house tool); true atomicity needs a catalog/manifest layer
+    * (Delta/Iceberg territory), out of scope for plain parquet dirs.
+    * The input `df` may READ from `path`: it is fully materialized
+    * into `.new` before the live copy moves. */
   def publishAtomic(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val (tmpP, oldP, tgtP) =
@@ -132,8 +138,14 @@ object Warehouse {
   }
 
   /** Outcome of a schema evolution: row count preserved, columns added
-    * with NULL backfill, columns whose stored type was re-cast. */
-  final case class SchemaUpdate(rows: Long, added: Seq[String], retyped: Seq[String])
+    * with NULL backfill, columns whose stored type was re-cast, and
+    * stored columns DROPPED because the current declaration no longer
+    * has them — reported so the destruction is never silent. */
+  final case class SchemaUpdate(
+      rows: Long,
+      added: Seq[String],
+      retyped: Seq[String],
+      dropped: Seq[String] = Seq.empty)
 
   /** Schema evolution in place — the parquet analog of the reference's
     * `ALTER TABLE ... ALTER COLUMN TYPE` migration
@@ -142,8 +154,12 @@ object Warehouse {
     * Columns the declaration has but the files lack are added as typed
     * NULLs (backfill); columns stored under an older type are cast to
     * the declared one; declared column order is restored. The rewrite
-    * republishes through [[publishAtomic]], so concurrent readers
-    * never see a half-evolved table. (VARCHAR width changes are a
+    * republishes through [[publishAtomic]], so readers see the old or
+    * the new table, never a half-evolved mix (though a reader landing
+    * inside the rename window must retry — see [[publishAtomic]]).
+    * Stored columns absent from the declaration are REMOVED by the
+    * rewrite and reported in [[SchemaUpdate.dropped]]. (VARCHAR width
+    * changes are a
     * no-op here by design — parquet strings are unbounded, which is
     * exactly why the reference's entsoe widening has no work to do;
     * the add-column/retype path is the part schema-on-read cannot
@@ -160,6 +176,10 @@ object Warehouse {
     val retyped = declared.fields.collect {
       case f if have.get(f.name).exists(_ != f.dataType) => f.name
     }.toSeq
+    // columns only the files have: reconciliation removes them — they
+    // are surfaced in the result (and by the CLI) because the rewrite
+    // is irreversible once .old is dropped
+    val dropped = existing.schema.fieldNames.filterNot(declared.fieldNames.contains).toSeq
     if (added.nonEmpty || retyped.nonEmpty ||
       existing.schema.fieldNames.toSeq != declared.fieldNames.toSeq) {
       import org.apache.spark.sql.functions.{col, lit}
@@ -169,7 +189,7 @@ object Warehouse {
       }.toIndexedSeq: _*)
       publishAtomic(spark, path, evolved)
     }
-    SchemaUpdate(spark.read.parquet(path).count(), added, retyped)
+    SchemaUpdate(spark.read.parquet(path).count(), added, retyped, dropped)
   }
 
   /** S10: truncate with pre-count (reference database.py:910-935). */

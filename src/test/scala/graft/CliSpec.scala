@@ -173,5 +173,18 @@ class CliSpec extends SparkSpec {
     // no leftover swap directories
     val names = new java.io.File(wh).listFiles().map(_.getName).toSet
     assert(!names.exists(n => n.endsWith(".new") || n.endsWith(".old")))
+
+    // a stored column the declaration no longer has is removed but
+    // REPORTED — never silently destroyed
+    val withExtra = spark.read.parquet(s"$wh/entsoe_generation_data")
+      .withColumn("legacy_flag", lit(1))
+    withExtra.write.mode("overwrite").parquet(s"$wh/entsoe_generation_data.tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wh/entsoe_generation_data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$wh/entsoe_generation_data.tmp"),
+      new org.apache.hadoop.fs.Path(s"$wh/entsoe_generation_data"))
+    val r = graft.warehouse.Warehouse.updateSchema(spark, wh, "entsoe")
+    assert(r.dropped == Seq("legacy_flag"))
+    assert(r.rows == 2)
   }
 }

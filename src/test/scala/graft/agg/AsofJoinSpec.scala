@@ -52,4 +52,27 @@ class AsofJoinSpec extends SparkSpec {
     val u2 = out.filter($"k" === "u2").select("rval").collect()
     assert(u2.toSeq === Seq(Row(null)))
   }
+
+  test("a null attribute in the matched row is NOT papered over by an older row") {
+    // matched row (t=10) has rid=x but rv=null; an earlier row (t=5)
+    // has rv=2.0 — a per-column fill would stitch (x, 2.0); the
+    // correct ASOF result is (x, null), all from the t=10 row
+    val r = Seq(
+      ("u1", 5L, Some("w"), Some(2.0)),
+      ("u1", 10L, Some("x"), None),
+    ).toDF("k", "rt", "rid", "rv")
+    val l = Seq(("u1", 20L)).toDF("k", "t")
+    val out = AsofJoin.asofJoinLast(l, r, Seq("k"), "t", "rt", Seq("rid", "rv")).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(2) === "x")
+    assert(out(0).isNullAt(3), s"expected null rv from the matched row, got ${out(0).get(3)}")
+  }
+
+  test("null keys never match (standard join semantics)") {
+    val l = Seq((Option.empty[String], 20L)).toDF("k", "t")
+    val r = Seq((Option.empty[String], 10L, "a"), (Some("u1"), 10L, "b")).toDF("k", "rt", "rval")
+    val out = AsofJoin.asofJoinLast(l, r, Seq("k"), "t", "rt", Seq("rval")).collect()
+    assert(out.length === 1 && out(0).isNullAt(2),
+      "a null-key left row must not carry a null-key right row")
+  }
 }

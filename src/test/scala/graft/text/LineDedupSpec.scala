@@ -45,6 +45,14 @@ class LineDedupSpec extends SparkSpec {
     assert(out === "dup\ndup\ndup")
   }
 
+  test("null text yields zero kept lines, not a phantom null line") {
+    val d = Seq((1L, Some("keep me")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val out = LineDedup.removeFrequentLines(d, "doc_id", "text", maxDocFreq = 10)
+      .orderBy("doc_id").collect()
+    assert(out(1).getInt(1) === 0 && out(1).getString(2) === "")
+    assert(out(0).getInt(1) === 1 && out(0).getString(2) === "keep me")
+  }
+
   test("idempotence: a second pass over cleaned text removes nothing") {
     val once = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
       .select(col("doc_id"), col("clean_text").as("text"))

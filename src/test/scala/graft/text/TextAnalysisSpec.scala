@@ -81,6 +81,7 @@ class TextAnalysisSpec extends SparkSpec {
       "# # # price ...",           // 3 '#' + 1 '...' over 5 words
       "123 456 789 word",          // 1 of 4 words alphabetic
       "",                          // empty: ratio conventions
+      "wait… what…",               // 2 single-char ellipses over 2 words
     ).toDF("t").withColumn("_toks", TextAnalysis.tokens(col("t")))
     val out = df.select(
       TextAnalysis.symbolWordRatio(col("t"), col("_toks")).as("sym"),
@@ -93,6 +94,8 @@ class TextAnalysisSpec extends SparkSpec {
     // empty doc: all-symbol (1.0), no alpha words (0.0), mwl 0
     assert(out(3).getDouble(0) == 1.0 && out(3).getDouble(1) == 0.0
       && out(3).getDouble(2) == 0.0)
+    // the single-char ellipsis counts as a symbol too
+    assert(out(4).getDouble(0) == 1.0)
     // bound-tokens mean word length agrees with the text form
     val both = Seq("ab abcd").toDF("t")
       .withColumn("_toks", TextAnalysis.tokens(col("t")))
