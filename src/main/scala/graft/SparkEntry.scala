@@ -788,6 +788,19 @@ object SparkEntry {
       TextDedup
         .simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // Incremental exact dedup: the doc_id%3==0 slice plays the
+    // already-ingested corpus, the rest is the new shard — in-batch
+    // keep-min-id first, then a fingerprint anti-join against the
+    // base. Re-ingesting an already-stored document inserts nothing.
+    "td9_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      TextDedup
+        .exactDedupAgainstBase(batch, base, "doc_id", "text")
+        .select("doc_id", "lang", "source")
+    }),
+
     // CCNet-style line-level dedup: drop lines appearing in > 50 docs
     // (synthesized boilerplate: a shared header on every doc, a footer
     // shared by each doc_id%5 class), keep per-doc body lines in
@@ -2287,6 +2300,17 @@ object SparkEntry {
          |  CASE WHEN p.nt IS NULL THEN 0.0
          |    ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nt, 6) END AS mean_neg_logprob
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    "td9_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT *, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |base AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT * FROM fp WHERE doc_id % 3 <> 0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+        |SELECT doc_id, lang, source FROM batch
+        |WHERE f NOT IN (SELECT f FROM base)""".stripMargin,
 
     // Replays the synthesized boilerplate, the per-line document
     // frequency, the >50 removal, and the order-preserving reassembly

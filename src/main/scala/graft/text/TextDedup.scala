@@ -34,6 +34,33 @@ object TextDedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup: dedup a NEW batch against the
+    * already-ingested corpus without reprocessing the corpus — the
+    * only dedup shape that works at continuous-ingest scale, where
+    * re-running global dedup per shard is off the table. In-batch
+    * duplicates collapse keep-min-id first, then anything whose
+    * fingerprint already exists in the base is dropped by a
+    * fingerprint anti-join. The base side carries ONLY distinct
+    * fingerprints (in production these are the stored dedup index, not
+    * a re-derivation), and the anti-join is a plain hash shuffle on
+    * the fingerprint — the base is corpus-sized, so no broadcast. The
+    * d2-style cross-run upsert guarantee transplanted to documents:
+    * re-ingesting the same shard inserts nothing. */
+  def exactDedupAgainstBase(
+      batch: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val baseFps = base
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("_fp"))
+      .distinct()
+    exactDedup(batch, col(textCol), col(idCol))
+      .withColumn("_fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .join(baseFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   // -------------------------------------------------------------------
   // Shingles + MinHash
   // -------------------------------------------------------------------

@@ -18,6 +18,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("exactDedupAgainstBase: in-batch keep-min-id, then base fingerprints win") {
+    val base = Seq((100L, "already stored document")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Already  STORED document"),  // normalizes to a base doc → dropped
+      (11L, "fresh new document"),
+      (12L, "fresh new document"),        // in-batch dup of 11 → dropped
+      (13L, "another fresh one"),
+    ).toDF("doc_id", "text")
+    val out = TextDedup.exactDedupAgainstBase(batch, base, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // idempotence: re-ingesting the surviving shard against base+shard
+    // inserts nothing new
+    val again = TextDedup.exactDedupAgainstBase(batch, base.unionByName(batch), "doc_id", "text")
+    assert(again.count() == 0)
+  }
+
   test("shingles: distinct word k-grams of normalized text") {
     val sh = docs.filter(col("doc_id") === 1)
       .select(TextDedup.shingles(col("text"), 3).as("sh"))
