@@ -76,6 +76,49 @@ object StreamingIngest {
       .drop("_event_time")
   }
 
+  /** Streaming document curation: the batch
+    * [[graft.text.Curation]] annotate → gate → exact-dedup pipeline
+    * transplanted to an unbounded document stream. The annotators
+    * (lang id, quality, token count, fingerprint) are pure narrow
+    * Column expressions, so they attach to a stream unchanged; the
+    * exact dedup becomes `dropDuplicatesWithinWatermark` on the
+    * content fingerprint, so dedup state expires with the watermark
+    * instead of growing with every document ever seen.
+    *
+    * Semantics deviation from batch, by necessity: an unbounded
+    * stream cannot keep-min-id (there is no "min over the corpus" at
+    * any point in time) — the streaming dedup keeps the FIRST arrival
+    * of each fingerprint inside the watermark window, the D1
+    * first-wins rule rather than the historical keep-min-id rule, and
+    * duplicates separated by more than the watermark delay both
+    * survive (bounded state is the price of unboundedness; the
+    * idempotent batch sink downstream neutralizes them on ingest). */
+  def curationStream(
+      stream: DataFrame,
+      textCol: String,
+      minQuality: Double,
+      langs: Seq[String],
+      minTokens: Int,
+      tsMsCol: String,
+      delay: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    val t = col(textCol)
+    stream
+      .withColumn("curation_lang", TextAnalysis.langId(t))
+      .withColumn("curation_quality", TextAnalysis.qualityScore(t))
+      .withColumn("curation_tokens", TextAnalysis.tokenCount(t))
+      .withColumn("_fp", TextAnalysis.fingerprintMd5(t))
+      .filter(col("curation_quality") >= minQuality
+        && col("curation_lang").isin(langs: _*)
+        && col("curation_tokens") >= minTokens)
+      .withColumn("_event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("_event_time", delay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_event_time", "_fp")
+  }
+
   /** Drain all available input into a parquet table and stop —
     * the incremental-batch run (Trigger.AvailableNow). */
   def drainToParquet(

@@ -92,4 +92,36 @@ class StreamingIngestSpec extends SparkSpec {
     assert(t.count() == 2) // same-key same-window dup collapsed
     assert(!t.columns.contains("_event_time")) // derived watermark col dropped
   }
+
+  test("streaming curation: annotate, gate, fingerprint-dedup within watermark") {
+    val in = Files.createTempDirectory("graft-stream-cur-in")
+    val out = Files.createTempDirectory("graft-stream-cur-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-cur-ckpt").toString
+    val good = "the quick brown fox jumps over the lazy dog and that " +
+      "is that for the good long document with many real words in it " +
+      "to clear the quality and token gates for the test"
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"doc_id":1,"text":"$good","ts_ms":1000}
+         |{"doc_id":2,"text":"$good","ts_ms":2000}
+         |{"doc_id":3,"text":"!!! ??? ***","ts_ms":3000}
+         |{"doc_id":4,"text":"der die das und ist nicht ein eine mit von der die das und ist nicht ein eine mit von der die das und ist nicht ein eine mit von","ts_ms":4000}
+         |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val curated = StreamingIngest.curationStream(
+      stream, "text", minQuality = 0.6, langs = Seq("en"), minTokens = 20,
+      tsMsCol = "ts_ms", delay = "1 hour")
+    StreamingIngest.drainToParquet(curated, out, ckpt).awaitTermination()
+    val t = spark.read.parquet(out)
+    // doc 2 is an exact dup of doc 1 (collapsed in-window); doc 3
+    // fails quality/tokens; doc 4 is German — one survivor
+    assert(t.count() == 1)
+    val row = t.select("doc_id", "curation_lang", "curation_tokens").head()
+    assert(row.getLong(0) == 1L)
+    assert(row.getString(1) == "en")
+    assert(row.getInt(2) >= 20)
+  }
 }
