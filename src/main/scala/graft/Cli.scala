@@ -78,11 +78,14 @@ object Cli {
           clearTable(spark, warehouse, source, confirm = flags.contains("confirm"))
         case Seq("refresh-views", source) => refreshViews(spark, warehouse, source)
         case Seq("backfill", source) => backfill(spark, warehouse, source)
+        case Seq("compact", source) =>
+          compact(spark, warehouse, source,
+            targetMb = flags.get("target-mb").map(_.toLong).getOrElse(128L))
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
             "commands: setup | load-data | stats | aggregate-export | clear-table | " +
-              "refresh-views | backfill | update-schema")
+              "refresh-views | backfill | update-schema | compact")
           1
       }
     } catch {
@@ -143,6 +146,20 @@ object Cli {
       println(s"update-schema $s: ${r.rows} rows${if (changes.isEmpty) " (no changes)" else changes}")
     }
     0
+  }
+
+  /** Small-file compaction (engine-native maintenance; no reference
+    * analog — Postgres has VACUUM, parquet warehouses have this). */
+  private def compact(
+      spark: SparkSession, warehouse: String, source: String, targetMb: Long): Int = {
+    Schemas.schemas.get(source) match {
+      case None => System.err.println(s"unknown table type: $source"); 1
+      case Some(_) =>
+        val r = Warehouse.compact(spark,
+          Warehouse.tablePath(warehouse, source), targetMb * 1024 * 1024)
+        println(s"compact $source: ${r.filesBefore} -> ${r.filesAfter} files, ${r.rows} rows")
+        0
+    }
   }
 
   private def setup(spark: SparkSession, warehouse: String, tableType: String): Int = {

@@ -192,6 +192,39 @@ object Warehouse {
     SchemaUpdate(spark.read.parquet(path).count(), added, retyped, dropped)
   }
 
+  /** Outcome of a compaction: parquet part-files before/after and the
+    * (preserved) row count. */
+  final case class CompactionResult(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Small-file compaction — the standing maintenance task of any
+    * incremental parquet warehouse: every idempotent append adds a
+    * files-worth of parts, and a 100 TB table accreted from thousands
+    * of loads ends up scan-bound on file-open overhead and driver-side
+    * file listing, not bytes. Rewrites the table to
+    * ceil(totalBytes / targetFileBytes) partitions via the same
+    * crash-safe [[publishAtomic]] swap the other rewrites use. A no-op
+    * (no rewrite at all) when the table already has that few files.
+    * Row content is untouched — compaction is purely physical. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+  ): CompactionResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (parts.length <= want)
+      return CompactionResult(parts.length, parts.length, spark.read.parquet(path).count())
+    val df = spark.read.parquet(path)
+    publishAtomic(spark, path, df.repartition(want))
+    val after = fs.listStatus(new Path(path))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    CompactionResult(parts.length, after, spark.read.parquet(path).count())
+  }
+
   /** S10: truncate with pre-count (reference database.py:910-935). */
   def truncateTable(spark: SparkSession, warehouse: String, source: String): Long = {
     val path = tablePath(warehouse, source)

@@ -100,4 +100,23 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP TABLE bkt_dims")
     }
   }
+
+  test("compact merges small files, preserves content, no-ops when already compact") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+    df.repartition(40).write.parquet(path)
+    val before = Warehouse.compact(spark, path, targetFileBytes = 512L * 1024 * 1024)
+    assert(before.filesBefore == 40 && before.filesAfter == 1 && before.rows == 1000)
+    // content identical after the physical rewrite
+    val back = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(back == (1 to 1000).map(i => (i.toLong, s"row $i")).toSet)
+    // second run: already at/below target file count → untouched
+    val again = Warehouse.compact(spark, path, targetFileBytes = 512L * 1024 * 1024)
+    assert(again.filesBefore == 1 && again.filesAfter == 1 && again.rows == 1000)
+    // no leftover swap dirs
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName).toSet
+    assert(!parent.exists(n => n.endsWith(".new") || n.endsWith(".old")))
+  }
 }
