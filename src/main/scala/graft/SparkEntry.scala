@@ -643,6 +643,18 @@ object SparkEntry {
           Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang", "source")),
 
+    // Token-budget corpus mixing: each source keeps documents in a
+    // deterministic md5-shuffled order until its char budget is spent
+    // (boundary straddler kept, like tp3 packing). The absolute-budget
+    // form of tp4's fractional mixing — exact domain shares even when
+    // stratum sizes drift between crawls.
+    "tp7_token_budget_mix" -> ((s, dir) =>
+      Sampling
+        .tokenBudgetSample(tbl(s, dir, "documents"), col("doc_id"), col("source"),
+          col("n_chars"), Map("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
+          defaultBudget = 2000L, salt = "mix")
+        .select("doc_id", "source", "n_chars")),
+
     // Per-language corpus length distribution: exact interpolated
     // percentiles (Spark `percentile` ≡ DuckDB quantile_cont linear
     // interpolation) — the length-histogram probe a curation run
@@ -891,6 +903,19 @@ object SparkEntry {
         .lshCosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.35,
           nBits = 6, tables = 8)
         .select("vec_id", "label")),
+
+    // SemDeDup (arXiv:2303.09540): cluster embeddings to the v4
+    // seed-centroid coarse quantizer, then keep-min-id cosine dedup
+    // within each cluster — quadratic only inside a cluster, with the
+    // centroid count bounding cluster size. Hash-checked: assignment
+    // and in-cluster pairs are pure arithmetic.
+    "v10_semdedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
+        col("vec_id") % 31 === 0)
+      Similarity.semDedup(e, "vec_id", "embedding", cents, threshold = 0.35)
+        .select("vec_id", "label")
+    }),
 
     // Int8-quantized cosine top-k: corpus vectors quantize→dequantize
     // round-tripped (the arithmetic a 4x-smaller stored index serves),
@@ -1894,6 +1919,21 @@ object SparkEntry {
          |       WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.25)}'
          |       ELSE '${Sampling.hexThreshold(0.1)}' END""".stripMargin,
 
+    // The same md5-shuffled per-stratum order and exclusive running
+    // sum; the budget-boundary straddler (prior < budget) is kept in
+    // both engines.
+    "tp7_token_budget_mix" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    md5(concat_ws(':', 'mix', CAST(doc_id AS VARCHAR))) AS hk
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM h)
+        |SELECT doc_id, source, n_chars FROM c
+        |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
+        |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
+
     "t6_corpus_stats" ->
       """SELECT lang, COUNT(*) AS docs,
         |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
@@ -2472,6 +2512,21 @@ object SparkEntry {
          |  JOIN embeddings rv ON rv.vec_id = r.rep_id
          |  WHERE e.vec_id > r.rep_id
          |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
+         |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // v4's centroid selection + assignment replay, then keep-min-id
+    // pairs within each cluster.
+    "v10_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
+         |asn AS (
+         |  SELECT vec_id, embedding, cid
+         |  FROM embeddings CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid DESC) = 1),
+         |losers AS (SELECT DISTINCT b.vec_id
+         |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35)
          |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
 
     // Replays the symmetric int8 quantization (scale = 127/max|v|,

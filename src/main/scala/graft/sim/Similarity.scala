@@ -373,9 +373,23 @@ object Similarity {
       centroidFilter: Column,
       nprobe: Int = 2,
       maxCentroids: Int = 256,
-  ): DataFrame = {
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol,
+      k, seedCentroids(corpus, idCol, vecCol, centroidFilter, maxCentroids), nprobe)
+
+  /** Deterministic seed-vector centroid table: rows matched by
+    * `filter`, capped at `maxCentroids` by id order, collected to the
+    * driver (the bounded index-build step — at most maxCentroids × dim
+    * doubles). Shared by [[ivfTopK]] and [[semDedup]]. */
+  def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      filter: Column,
+      maxCentroids: Int = 256,
+  ): Seq[(Int, Seq[Double])] = {
     val cents: Seq[(Int, Seq[Double])] = corpus
-      .filter(centroidFilter)
+      .filter(filter)
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol))
       .limit(maxCentroids)
@@ -383,9 +397,8 @@ object Similarity {
       .toIndexedSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
-    require(cents.nonEmpty, "centroidFilter matched no seed vectors")
-    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol,
-      k, cents, nprobe)
+    require(cents.nonEmpty, "centroid filter matched no seed vectors")
+    cents
   }
 
   /** Real IVF index build: centroids from `spark.ml` KMeans over a
@@ -425,6 +438,37 @@ object Similarity {
   ): DataFrame =
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, queryIdCol, queryVecCol,
       k, kmeansCentroids(corpus, vecCol, numCentroids, sampleFraction), nprobe)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal for training corpora. Cluster
+    * embeddings to their nearest centroid — the paper's k-means step,
+    * here the same deterministic seed-centroid coarse quantizer the
+    * IVF index uses ([[seedCentroids]] / [[kmeansCentroids]] both
+    * fit) — then inside each cluster drop the higher id of every pair
+    * at cosine ≥ threshold (keep-min-id, the engine-wide drop rule).
+    *
+    * Scale shape: assignment is a pure narrow map (the centroid table
+    * ships as ONE array literal, C native cosine kernels per row, no
+    * shuffle); the dedup shuffles once on cluster id and is quadratic
+    * only within a cluster — the centroid count is the knob that
+    * bounds cluster size, exactly how the paper runs at web scale.
+    * Never an all-pairs corpus join. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Int, Seq[Double])],
+      threshold: Double,
+  ): DataFrame = {
+    val centLit = typedlit(cents)
+    def nearest(vec: Column): Column =
+      array_max(transform(centLit, c =>
+        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid"))))
+        .getField("cid")
+    val assigned = df.withColumn("_cid", nearest(col(vecCol)))
+    cosineDedup(assigned, idCol, vecCol, "_cid", threshold).drop("_cid")
+  }
 
   private def ivfTopKWithCentroids(
       corpus: DataFrame,

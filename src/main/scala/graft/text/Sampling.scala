@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic (seedless-reproducible) sampling for corpus mixing:
@@ -61,5 +62,45 @@ object Sampling {
         when(stratumCol === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
     docs.filter(keyHash(keyCol, salt) < threshold)
+  }
+
+  /** Token-budget corpus mixing: each stratum keeps documents — in a
+    * deterministic md5-shuffled order — until its weight budget is
+    * exhausted. This is the "data mixture" op of a training pipeline
+    * (sample each domain down to its target token share) expressed in
+    * absolute tokens instead of fractions, so the mix is exact even
+    * when stratum sizes drift between crawls. The document that
+    * straddles the budget boundary is kept (same straddler rule as
+    * [[graft.text.Packing.packByBudget]]): a stratum with a non-zero
+    * budget always yields at least one document.
+    *
+    * Scale shape: one window partitioned by stratum — the per-stratum
+    * sort is the unavoidable cost of an exact budget cut. For a corpus
+    * where single strata outgrow an executor, take a two-pass cut:
+    * [[deterministicSample]] at fraction ≈ budget/Σweight from table
+    * stats first (narrow, no shuffle), then this exact trim over the
+    * pre-cut survivors. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      weightCol: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      salt: String = "",
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) => when(stratumCol === stratum, lit(b)).otherwise(acc)
+    }
+    // keyCol as the secondary sort key makes the order total even in
+    // the (astronomically unlikely) md5-collision case.
+    val w = Window.partitionBy(stratumCol).orderBy(keyHash(keyCol, salt), keyCol)
+    val prior = coalesce(
+      sum(weightCol.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    docs.withColumn("_prior_weight", prior)
+      .filter(col("_prior_weight") < budget)
+      .drop("_prior_weight")
   }
 }

@@ -174,4 +174,43 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("sim").as[Double].collect()
     es.zip(ws).foreach { case (e, w) => assert(math.abs(e - w) < 2e-2) }
   }
+
+  test("semDedup: in-cluster near-dups drop keep-min-id; cross-cluster pairs survive") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f), "x"), // cluster 0
+      (2L, Array(1.0f, 0.0f, 0.0f), "x"),  // cluster 0, near-dup of 1 → dropped
+      (3L, Array(0.05f, 1.0f, 0.0f), "x"), // cluster 1
+      (4L, Array(0.0f, 1.0f, 0.0f), "x"),  // cluster 1, near-dup of 3 → dropped
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+    val out = Similarity.semDedup(df, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+    // output schema is the input's — the cluster column does not leak
+    assert(Similarity.semDedup(df, "vec_id", "embedding", cents, 0.95).columns.toSeq
+      == df.columns.toSeq)
+  }
+
+  test("semDedup with a single centroid equals unblocked cosineDedup") {
+    val one = Seq((0, Seq(1.0, 0.0, 0.0)))
+    val sem = Similarity.semDedup(vdf, "vec_id", "embedding", one, 0.7)
+      .select("vec_id").as[Long].collect().toSet
+    val flat = Similarity
+      .cosineDedup(vdf.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", 0.7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sem == flat)
+    // clustering only ever BLOCKS pairs: survivors are a superset of
+    // the unblocked dedup's for any centroid set
+    val two = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+    val clustered = Similarity.semDedup(vdf, "vec_id", "embedding", two, 0.7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flat.subsetOf(clustered))
+  }
+
+  test("seedCentroids: deterministic id-ordered selection, cap applies") {
+    val cents = Similarity.seedCentroids(vdf, "vec_id", "embedding",
+      col("vec_id") =!= 2, maxCentroids = 2)
+    assert(cents.map(_._1) == Seq(0, 1)) // dense re-indexed cids
+    assert(cents.map(_._2) == Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 1.0, 0.0))) // ids 1, 3
+  }
 }

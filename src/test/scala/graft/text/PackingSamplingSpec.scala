@@ -68,4 +68,42 @@ class PackingSamplingSpec extends SparkSpec {
     assert(byLang.getOrElse("xx", 0L) == 0) // default 0 drops unlisted
     assert(byLang("de") > 20 && byLang("de") < 80)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("tokenBudgetSample: exact md5-order prefix cut, straddler kept, zero budget drops") {
+    val kept = Sampling
+      .tokenBudgetSample(docs, col("doc_id"), col("source"), col("toks"),
+        Map("s1" -> 1000L), defaultBudget = 0L, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    // replicate the cut by hand: s1 docs in md5("t:id") order, keep
+    // while the exclusive running sum is under budget
+    val toks = Map(1L -> 800L, 2L -> 800L, 3L -> 800L, 4L -> 100L)
+    val ordered = Seq(1L, 2L, 3L, 4L).sortBy(id => md5hex(s"t:$id"))
+    var cum = 0L
+    val expected = ordered.flatMap { id =>
+      val keep = cum < 1000L; cum += toks(id); if (keep) Some(id) else None
+    }.toSet
+    assert(kept == expected)
+    assert(cum > 1000L && kept.size < 4) // the budget genuinely cut the stratum
+    // s2 (budget 0) contributes nothing — not even a straddler
+    assert(kept.intersect(Set(10L, 11L)).isEmpty)
+  }
+
+  test("tokenBudgetSample: full budget keeps all, budgets nest, min one doc per funded stratum") {
+    val all = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"), col("toks"),
+      Map("s1" -> 1000000L, "s2" -> 1000000L))
+    assert(all.count() == docs.count())
+    val small = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"), col("toks"),
+      Map("s1" -> 500L, "s2" -> 500L)).select("doc_id").as[Long].collect().toSet
+    val large = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"), col("toks"),
+      Map("s1" -> 1500L, "s2" -> 1500L)).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large)) // same order → prefix nesting
+    // budget 1: exactly the first-hash doc of each stratum survives
+    val one = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"), col("toks"),
+      Map("s1" -> 1L, "s2" -> 1L)).select("source").as[String].collect().toSeq.sorted
+    assert(one == Seq("s1", "s2"))
+  }
 }
