@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, UnigramLM}
+import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -655,6 +655,25 @@ object SparkEntry {
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
 
+    // Quality-weighted (soft) sampling: keep probability = the t3
+    // quality score per document, decision still a pure function of
+    // (salt, key) — high-quality docs survive more often than a hard
+    // gate would allow, reproducibly.
+    "tp9_weighted_sample" -> ((s, dir) =>
+      Sampling
+        .weightedSample(tbl(s, dir, "documents"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")), salt = "q")
+        .select("doc_id", "lang", "source")),
+
+    // Deterministic training-order shuffle: shard and in-shard
+    // position are pure functions of (salt, key) — a reproducible,
+    // restart-safe global shuffle with no global sort (hash shuffle on
+    // shard + per-shard sort only). Salt = epoch.
+    "tp8_shard_order" -> ((s, dir) =>
+      TrainOrder
+        .shardOrder(tbl(s, dir, "documents"), col("doc_id"), numShards = 8, salt = "ep0")
+        .select("doc_id", "source", "shard", "pos")),
+
     // Per-language corpus length distribution: exact interpolated
     // percentiles (Spark `percentile` ≡ DuckDB quantile_cont linear
     // interpolation) — the length-histogram probe a curation run
@@ -1290,6 +1309,28 @@ object SparkEntry {
   import graft.functions.GHash
 
   private val M64 = "18446744073709551616::HUGEINT" // 2^64
+
+  /** DuckDB replay of TextAnalysis.qualityScore — a CTE chain ending
+    * in table `q(doc_id, quality)`. Shared by the t3 oracle and the
+    * tp9 weighted-sample oracle (identical scores, so the sampling
+    * boundary agrees bit-for-bit). */
+  private val QualityCteSql: String =
+    """f AS (SELECT doc_id,
+      |  CAST(LENGTH(text) AS DOUBLE) AS chars,
+      |  CASE WHEN TRIM(text) = '' THEN 0.0
+      |    ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) END AS toks,
+      |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+      |  CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS DOUBLE) AS stop,
+      |  CASE WHEN TRIM(text) = '' THEN 0.0
+      |    ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
+      |      / len(string_split_regex(TRIM(text), '\s+')) END AS mwl
+      |FROM documents),
+      |q AS (SELECT doc_id, ROUND(
+      |  0.4 * LEAST(chars / 200.0, 1.0)
+      |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(stop / toks, 0.5) * 2.0 END)
+      |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
+      |  + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS quality
+      |FROM f)""".stripMargin
   private def hlist(vals: Seq[Long]): String =
     vals.map(GHash.u64).mkString("[", ",", "]") + "::HUGEINT[]"
 
@@ -1813,22 +1854,8 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     "t3_quality_score" ->
-      """WITH f AS (SELECT doc_id,
-        |  CAST(LENGTH(text) AS DOUBLE) AS chars,
-        |  CASE WHEN TRIM(text) = '' THEN 0.0
-        |    ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) END AS toks,
-        |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
-        |  CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|was)\b')) AS DOUBLE) AS stop,
-        |  CASE WHEN TRIM(text) = '' THEN 0.0
-        |    ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\s+'), w -> LENGTH(w))) AS DOUBLE)
-        |      / len(string_split_regex(TRIM(text), '\s+')) END AS mwl
-        |FROM documents)
-        |SELECT doc_id, ROUND(
-        |  0.4 * LEAST(chars / 200.0, 1.0)
-        |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(stop / toks, 0.5) * 2.0 END)
-        |  + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
-        |  + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS quality
-        |FROM f""".stripMargin,
+      s"""WITH $QualityCteSql
+         |SELECT doc_id, quality FROM q""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
@@ -1933,6 +1960,30 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM c
         |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
         |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
+
+    // The shared quality CTE reproduces the exact per-doc keep
+    // probability; the 60-bit draw (first 15 md5 hex digits) and
+    // floor(p·2^60) boundary are identical IEEE arithmetic in both
+    // engines.
+    "tp9_weighted_sample" ->
+      s"""WITH $QualityCteSql
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE CAST(('0x' || substring(md5(concat_ws(':', 'q', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |  < CAST(FLOOR(LEAST(1.0, GREATEST(0.0, q.quality)) * power(2, 60)) AS BIGINT)""".stripMargin,
+
+    // Same md5 shard hash (first 8 hex digits as unsigned int) and
+    // per-shard (hash, key) order.
+    "tp8_shard_order" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5(concat_ws(':', 'ep0', CAST(doc_id AS VARCHAR))) AS hk
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(CAST(('0x' || substring(hk, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY CAST(('0x' || substring(hk, 1, 8)) AS BIGINT) % 8
+        |    ORDER BY hk, doc_id) AS INTEGER) AS pos
+        |FROM h""".stripMargin,
 
     "t6_corpus_stats" ->
       """SELECT lang, COUNT(*) AS docs,

@@ -64,6 +64,29 @@ object Sampling {
     docs.filter(keyHash(keyCol, salt) < threshold)
   }
 
+  /** Probability-weighted (soft) sampling: keep each document with a
+    * PER-ROW probability — e.g. a quality score, so high-quality
+    * documents survive more often instead of a hard gate — while the
+    * decision stays a pure function of (salt, key): reproducible,
+    * restart-safe, engine-portable. The first 15 hex digits of the md5
+    * are a uniform 60-bit integer; keep iff it falls under
+    * floor(p·2⁶⁰) (quantization bias ≤ 2⁻⁶⁰ — unobservable). p is
+    * clamped to [0, 1]. A constant `probCol` degenerates to
+    * [[deterministicSample]] up to the 60-bit quantization.
+    *
+    * Scale shape: a narrow filter fused into the scan, like every
+    * sampler here. */
+  def weightedSample(
+      docs: DataFrame,
+      keyCol: Column,
+      probCol: Column,
+      salt: String = "",
+  ): DataFrame = {
+    val p = least(lit(1.0), greatest(lit(0.0), probCol.cast("double")))
+    val draw = conv(substring(keyHash(keyCol, salt), 1, 15), 16, 10).cast("long")
+    docs.filter(draw < floor(p * lit(math.pow(2, 60))).cast("long"))
+  }
+
   /** Token-budget corpus mixing: each stratum keeps documents — in a
     * deterministic md5-shuffled order — until its weight budget is
     * exhausted. This is the "data mixture" op of a training pipeline

@@ -106,4 +106,55 @@ class PackingSamplingSpec extends SparkSpec {
       Map("s1" -> 1L, "s2" -> 1L)).select("source").as[String].collect().toSeq.sorted
     assert(one == Seq("s1", "s2"))
   }
+
+  test("weightedSample: endpoints, hand-computed 60-bit boundary, monotone in p") {
+    val rows = (1L to 300L).map(i => (i, i / 300.0)).toDF("doc_id", "p")
+    // p=1 keeps everything, p=0 keeps nothing
+    assert(Sampling.weightedSample(rows, col("doc_id"), lit(1.0)).count() == 300)
+    assert(Sampling.weightedSample(rows, col("doc_id"), lit(0.0)).count() == 0)
+    // out-of-range probabilities clamp instead of misbehaving
+    assert(Sampling.weightedSample(rows, col("doc_id"), lit(7.5)).count() == 300)
+    assert(Sampling.weightedSample(rows, col("doc_id"), lit(-3.0)).count() == 0)
+    // exact per-row boundary: draw = first 15 md5 hex digits < floor(p·2^60)
+    val kept = Sampling.weightedSample(rows, col("doc_id"), col("p"), salt = "w")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (1L to 300L).filter { id =>
+      val draw = java.lang.Long.parseLong(md5hex(s"w:$id").take(15), 16)
+      draw < math.floor((id / 300.0) * math.pow(2, 60)).toLong
+    }.toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < 300)
+    // a per-row probability is monotone: doubling p never drops a kept doc
+    val doubled = Sampling.weightedSample(rows, col("doc_id"),
+      least(lit(1.0), col("p") * 2), salt = "w").select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(doubled))
+  }
+
+  test("shardOrder: hand-computed shard + pos, dense 1-based positions, salt reshuffles") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val out = TrainOrder.shardOrder(ids, col("doc_id"), numShards = 4, salt = "e")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // replicate by hand: shard = first 8 md5 hex digits mod 4, pos =
+    // rank within shard by (hash, id)
+    def hk(id: Long) = md5hex(s"e:$id")
+    val expected = (1L to 200L)
+      .map(id => (id, (java.lang.Long.parseLong(hk(id).take(8), 16) % 4).toInt))
+      .groupBy(_._2)
+      .flatMap { case (shard, members) =>
+        members.sortBy { case (id, _) => (hk(id), id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, shard, i + 1) }
+      }.toSet
+    assert(out.toSet == expected)
+    // every row landed in [0, 4) and each shard's positions are dense 1..n
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // a different salt permutes: some doc changes shard or position
+    val other = TrainOrder.shardOrder(ids, col("doc_id"), 4, salt = "f")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(other != out.toSet)
+  }
 }
