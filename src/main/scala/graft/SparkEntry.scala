@@ -665,6 +665,15 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")), salt = "q")
         .select("doc_id", "lang", "source")),
 
+    // Relative quality gate: top half of each language by the t3
+    // quality score — a percentile cut survives corpus-mix drift where
+    // an absolute threshold would not. Partitioned window only.
+    "tp10_top_fraction" -> ((s, dir) =>
+      Sampling
+        .topFractionByScore(tbl(s, dir, "documents"), col("lang"),
+          TextAnalysis.qualityScore(col("text")), col("doc_id"), fraction = 0.5)
+        .select("doc_id", "lang", "source")),
+
     // Deterministic training-order shuffle: shard and in-shard
     // position are pure functions of (salt, key) — a reproducible,
     // restart-safe global shuffle with no global sort (hash shuffle on
@@ -1971,6 +1980,15 @@ object SparkEntry {
          |FROM documents d JOIN q USING (doc_id)
          |WHERE CAST(('0x' || substring(md5(concat_ws(':', 'q', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
          |  < CAST(FLOOR(LEAST(1.0, GREATEST(0.0, q.quality)) * power(2, 60)) AS BIGINT)""".stripMargin,
+
+    // Shared quality CTE + the same percent_rank ((i-1)/(n-1), IEEE
+    // division) over (lang, quality desc, doc_id).
+    "tp10_top_fraction" ->
+      s"""WITH $QualityCteSql,
+         |r AS (SELECT d.doc_id, d.lang, d.source,
+         |    PERCENT_RANK() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id) AS pr
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, lang, source FROM r WHERE pr <= 0.5""".stripMargin,
 
     // Same md5 shard hash (first 8 hex digits as unsigned int) and
     // per-shard (hash, key) order.

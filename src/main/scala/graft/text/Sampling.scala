@@ -87,6 +87,31 @@ object Sampling {
     docs.filter(draw < floor(p * lit(math.pow(2, 60))).cast("long"))
   }
 
+  /** Relative (distribution-robust) quality gate: keep the top
+    * `fraction` of each stratum by score. An absolute score threshold
+    * drifts as the corpus mix changes between crawls; a per-stratum
+    * percentile cut does not. Keep iff
+    * percent_rank ≤ fraction over (stratum, score desc, key) — so a
+    * stratum's best document always survives (percent_rank of the top
+    * row is 0), and the tiebreak by key keeps the cut deterministic.
+    *
+    * Scale shape: one window partitioned by stratum — same shape (and
+    * same giant-stratum caveat and two-pass remedy) as
+    * [[tokenBudgetSample]]. */
+  def topFractionByScore(
+      docs: DataFrame,
+      stratumCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      fraction: Double,
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
+    docs.withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") <= fraction)
+      .drop("_pr")
+  }
+
   /** Token-budget corpus mixing: each stratum keeps documents — in a
     * deterministic md5-shuffled order — until its weight budget is
     * exhausted. This is the "data mixture" op of a training pipeline

@@ -130,6 +130,25 @@ class PackingSamplingSpec extends SparkSpec {
     assert(kept.subsetOf(doubled))
   }
 
+  test("topFractionByScore: per-stratum percentile cut, singleton survives, endpoints") {
+    val rows = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6), ("a", 5L, 0.5),
+      ("b", 10L, 0.1), // singleton stratum: percent_rank 0 → always kept
+    ).toDF("lang", "doc_id", "score")
+    def kept(f: Double) = Sampling
+      .topFractionByScore(rows, col("lang"), col("score"), col("doc_id"), f)
+      .select("doc_id").as[Long].collect().toSet
+    // a: percent_ranks 0, .25, .5, .75, 1 → f=0.5 keeps 1,2,3; b's single row always
+    assert(kept(0.5) == Set(1L, 2L, 3L, 10L))
+    assert(kept(0.0) == Set(1L, 10L)) // only each stratum's best
+    assert(kept(1.0) == Set(1L, 2L, 3L, 4L, 5L, 10L))
+    // deterministic tiebreak: equal scores cut by key order
+    val tied = Seq(("a", 1L, 0.5), ("a", 2L, 0.5), ("a", 3L, 0.5)).toDF("lang", "doc_id", "score")
+    val cut = Sampling.topFractionByScore(tied, col("lang"), col("score"), col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cut == Set(1L, 2L)) // ranks 0, .5, 1
+  }
+
   test("shardOrder: hand-computed shard + pos, dense 1-based positions, salt reshuffles") {
     val ids = (1L to 200L).toDF("doc_id")
     val out = TrainOrder.shardOrder(ids, col("doc_id"), numShards = 4, salt = "e")
