@@ -101,6 +101,34 @@ class CliSpec extends SparkSpec {
     assert(after.getAs[String]("end_date") == "2021-01-01")
   }
 
+  test("compact merges the part-files accreted by repeated loads; bad source exits 1") {
+    val wh = tmp("graft-cli-compact")
+    Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh))
+    // two loads with distinct rows → two appends' worth of part-files
+    for (batch <- 0 to 1) {
+      val jsonl = Files.createTempDirectory(s"graft-cli-cp$batch").resolve("in.jsonl")
+      Files.writeString(jsonl, (0 until 4)
+        .map(i => entsoe(1577836800000L + (batch * 4 + i) * 3600000L, s"P$batch$i", 10.0))
+        .mkString("\n"))
+      assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString, "--warehouse", wh)) == 0)
+    }
+    val table = new java.io.File(s"$wh/entsoe_generation_data")
+    def partCount = table.listFiles().count(_.getName.startsWith("part-"))
+    // the idempotent append rewrites whole tables, so fragment the
+    // stored table explicitly (what a partitioned multi-executor
+    // append produces) before compacting
+    val frag = tmp("graft-cli-frag")
+    spark.read.parquet(table.toString).repartition(6).write
+      .mode("overwrite").parquet(frag)
+    org.apache.commons.io.FileUtils.deleteDirectory(table)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(frag), table)
+    assert(partCount > 1)
+    assert(Cli.run(spark, Seq("compact", "entsoe", "--warehouse", wh)) == 0)
+    assert(partCount == 1) // 8 tiny rows fit one 128 MB target file
+    assert(spark.read.parquet(table.toString).count() == 8)
+    assert(Cli.run(spark, Seq("compact", "nope", "--warehouse", wh)) == 1)
+  }
+
   test("strict mode fails the load on invalid records, lax mode passes (database_management.py:172-175)") {
     val wh = tmp("graft-cli-strict")
     val jsonl = Files.createTempDirectory("graft-cli-in2").resolve("bad.jsonl")
