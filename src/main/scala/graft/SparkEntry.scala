@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.Similarity
 import graft.sink.IdempotentAppend
-import graft.text.{Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{Bm25, Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -654,6 +654,19 @@ object SparkEntry {
           col("n_chars"), Map("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
+
+    // BM25 sparse retrieval: lexical top-k over the corpus via an
+    // inverted-index join (distinct query terms broadcast against the
+    // postings; the corpus never cross-joins the query set). DECIMAL
+    // term-contribution sums make the score order-free and the DuckDB
+    // replay exact.
+    "t11_bm25_topk" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
+        k = 10, excludeSelf = true)
+    }),
 
     // Quality-weighted (soft) sampling: keep probability = the t3
     // quality score per document, decision still a pure function of
@@ -1969,6 +1982,32 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM c
         |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
         |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
+
+    // Replays tokenization (shared ToksSql), the BM25 statistics, and
+    // the exact contribution arithmetic — parenthesized identically to
+    // the Spark expression tree so the IEEE double chain agrees — with
+    // DECIMAL(18,12) sums for order-free accumulation.
+    "t11_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |q AS (SELECT DISTINCT doc_id AS query_id, t FROM (
+         |  SELECT doc_id, unnest($ToksSql) AS t FROM documents WHERE doc_id % 100 = 0)),
+         |contrib AS (SELECT q.query_id, tf.doc_id,
+         |    CAST((ln(((st.n - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1.0))) /
+         |      (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) AS DECIMAL(18,12)) AS c
+         |  FROM tf JOIN q USING (t) JOIN dfreq USING (t)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st
+         |  WHERE q.query_id <> tf.doc_id),
+         |scored AS (SELECT query_id, doc_id,
+         |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+         |  FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
 
     // The shared quality CTE reproduces the exact per-doc keep
     // probability; the 60-bit draw (first 15 md5 hex digits) and

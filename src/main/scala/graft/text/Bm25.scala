@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 sparse retrieval (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond") — the lexical
+  * complement of the dense ANN family in [[graft.sim.Similarity]]:
+  * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+  * b·|d|/avgdl)), idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+  *
+  * Scale design:
+  *   - Inverted-index join: the distinct query terms (|Q| rows —
+  *     tiny) BROADCAST against the corpus's (doc, term, tf) postings;
+  *     the corpus never cross-joins the query set and only postings
+  *     whose term appears in some query survive the join.
+  *   - Corpus statistics are one aggregation each: doc lengths and
+  *     term document-frequencies are vocab-/corpus-sized hash
+  *     aggregates, N and avgdl a single tiny broadcast row.
+  *   - Per-(query, doc) accumulation sums DECIMAL(18,12) term
+  *     contributions — exact and order-free under any partitioning
+  *     (the [[UnigramLM]] trick), so results are deterministic and
+  *     SQL-replayable.
+  *   - Top-k is a query-partitioned window, never a global sort.
+  */
+object Bm25 {
+
+  /** Top-k BM25 retrieval. `queries` supplies (queryIdCol,
+    * queryTextCol) rows; output is (queryIdCol, idCol, score, rank).
+    * `excludeSelf` drops the query row itself when queries are drawn
+    * from the corpus (the ANN-query convention). N and avgdl count
+    * documents with at least one token. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false,
+  ): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("_t"))
+    val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val qterms = queries.select(col(queryIdCol),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(queryTextCol)))).as("_t"))
+      .distinct()
+    val joined = tf
+      .join(broadcast(qterms), Seq("_t"))
+      .join(dfreq, Seq("_t"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+    val filtered =
+      if (excludeSelf) joined.filter(col(queryIdCol) =!= col(idCol)) else joined
+    val contrib = filtered
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0))
+      .withColumn("_c",
+        (col("_idf") * (col("_tf") * (k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+          .cast("decimal(18,12)"))
+    contrib
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("_c")).as("_s"))
+      .withColumn("score", round(col("_s").cast("double"), 6))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank").cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry date cherry date"),
+  ).toDF("doc_id", "text")
+
+  // the closed form the operator must reproduce (N=3, avgdl=3.0)
+  private def idf(df: Int, n: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+  private def term(tf: Int, dfq: Int, dl: Int, n: Int, avgdl: Double) =
+    idf(dfq, n) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+  test("bm25TopK matches the closed-form score on a hand fixture, ranks correctly") {
+    val q = Seq((100L, "apple cherry")).toDF("query_id", "qtext")
+    val out = Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 3)
+      .orderBy("rank").collect()
+    // d1: apple tf=2 df=1 dl=3; d3: cherry tf=2 df=2 dl=4; d2: cherry tf=1 df=2 dl=2
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    val got = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L) - term(2, 1, 3, 3, 3.0)) < 1e-6)
+    assert(math.abs(got(3L) - term(2, 2, 4, 3, 3.0)) < 1e-6)
+    assert(math.abs(got(2L) - term(1, 2, 2, 3, 3.0)) < 1e-6)
+  }
+
+  test("k truncates, excludeSelf drops the query doc, disjoint query yields nothing") {
+    val self = Seq((1L, "apple banana apple")).toDF("query_id", "qtext") // = doc 1
+    val incl = Bm25.bm25TopK(docs, "doc_id", "text", self, "query_id", "qtext", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(incl.contains(1L)) // self-match ranks
+    val excl = Bm25.bm25TopK(docs, "doc_id", "text", self, "query_id", "qtext", k = 10,
+      excludeSelf = true).select("doc_id").as[Long].collect().toSet
+    assert(excl == Set(2L)) // apple only in d1 (excluded); banana hits d2
+    assert(Bm25.bm25TopK(docs, "doc_id", "text",
+      Seq((5L, "zzz")).toDF("query_id", "qtext"), "query_id", "qtext", k = 3).isEmpty)
+    assert(Bm25.bm25TopK(docs, "doc_id", "text",
+      Seq((100L, "apple cherry")).toDF("query_id", "qtext"), "query_id", "qtext",
+      k = 1).count() == 1)
+  }
+
+  test("multi-term scores are the sum of per-term contributions") {
+    val q = Seq((100L, "banana cherry")).toDF("query_id", "qtext")
+    val got = Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 3)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // d2 matches both banana (tf=1 df=2 dl=2) and cherry (tf=1 df=2 dl=2)
+    val d2 = term(1, 2, 2, 3, 3.0) + term(1, 2, 2, 3, 3.0)
+    assert(math.abs(got(2L) - d2) < 1e-6)
+  }
+}
