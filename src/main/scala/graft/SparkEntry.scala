@@ -11,7 +11,7 @@ import graft.ingest.{Enrich, IngestJob, JsonlSource}
 import graft.multimodal.Multimodal
 import graft.quality.Drift
 import graft.schema.Schemas
-import graft.sim.Similarity
+import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
 import graft.text.{Bm25, Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
@@ -666,6 +666,26 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
         k = 10, excludeSelf = true)
+    }),
+
+    // Hybrid retrieval: BM25 lexical top-20 over documents fused with
+    // dense cosine top-20 over the parallel embeddings table (same id
+    // space by test-data construction) via reciprocal-rank fusion —
+    // rank-based, so no score calibration; fusion never re-touches the
+    // corpus.
+    "v11_hybrid_rrf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val lexQ = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val bm = Bm25.bm25TopK(docs, "doc_id", "text", lexQ, "query_id", "qtext",
+        k = 20, excludeSelf = true)
+      val denseQ = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val dense = Similarity
+        .bruteForceTopK(emb, denseQ, "vec_id", "embedding", "query_id", "qvec", k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      Fusion.rrfFuse(Seq(bm, dense), "query_id", "doc_id", k = 10)
     }),
 
     // Quality-weighted (soft) sampling: keep probability = the t3
@@ -2007,6 +2027,46 @@ object SparkEntry {
          |SELECT query_id, doc_id, score, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Composes the t11 BM25 replay (at k=20) with the v1 dense-cosine
+    // replay (at k=20), then the RRF sum as DECIMAL with the same
+    // CAST(1.0 AS DOUBLE)/(60 + rank) IEEE division.
+    "v11_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |lq AS (SELECT DISTINCT doc_id AS query_id, t FROM (
+         |  SELECT doc_id, unnest($ToksSql) AS t FROM documents WHERE doc_id % 100 = 0)),
+         |contrib AS (SELECT lq.query_id, tf.doc_id,
+         |    CAST((ln(((st.n - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1.0))) /
+         |      (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) AS DECIMAL(18,12)) AS c
+         |  FROM tf JOIN lq USING (t) JOIN dfreq USING (t)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st
+         |  WHERE lq.query_id <> tf.doc_id),
+         |bmscored AS (SELECT query_id, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |bm AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM bmscored) WHERE rank <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+         |sims AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |    ROUND(${cosSql("e.embedding", "qv.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN qv WHERE qv.query_id <> e.vec_id),
+         |dn AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+         |  FROM sims) WHERE rank <= 20),
+         |u AS (SELECT * FROM bm UNION ALL SELECT * FROM dn),
+         |f AS (SELECT query_id, doc_id,
+         |    SUM(CAST(CAST(1.0 AS DOUBLE) / (60 + rank) AS DECIMAL(18,12))) AS s,
+         |    CAST(COUNT(*) AS INT) AS sources
+         |  FROM u GROUP BY query_id, doc_id),
+         |f2 AS (SELECT query_id, doc_id, ROUND(CAST(s AS DOUBLE), 6) AS rrf_score, sources FROM f)
+         |SELECT query_id, doc_id, rrf_score, sources, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM f2)
          |WHERE rank <= 10""".stripMargin,
 
     // The shared quality CTE reproduces the exact per-doc keep
