@@ -45,8 +45,14 @@ object Bm25 {
   ): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("_t"))
-    val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    // One tokenization pass: every statistic derives from the postings
+    // frame — doc length is the sum of its term counts, df a count
+    // over postings — so the corpus is scanned once, not three times.
+    // Cache the postings (vocab-per-doc-sized, i.e. sub-linear in raw
+    // text); same lifetime note as TextDedup.minhashNearDupPairs —
+    // long-lived sessions should clearCache() between corpora.
+    val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")).cache()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
     val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val qterms = queries.select(col(queryIdCol),
