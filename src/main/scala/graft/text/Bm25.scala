@@ -30,7 +30,15 @@ object Bm25 {
     * queryTextCol) rows; output is (queryIdCol, idCol, score, rank).
     * `excludeSelf` drops the query row itself when queries are drawn
     * from the corpus (the ANN-query convention). N and avgdl count
-    * documents with at least one token. */
+    * documents with at least one token.
+    *
+    * `maxDfFraction` < 1 is the hot-term scale guard: terms appearing
+    * in more than that fraction of documents are pruned from scoring
+    * entirely (classic stop-word elimination). Without it a query
+    * containing "the" joins a posting for nearly EVERY document — the
+    * one place this operator's cost degenerates from
+    * |queries ∩ postings| to |corpus|. Such terms carry idf ≈ ln(1+ε)
+    * anyway, so the ranking loss is tiny and bounded by the cap. */
   def bm25TopK(
       docs: DataFrame,
       idCol: String,
@@ -42,7 +50,10 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75,
       excludeSelf: Boolean = false,
+      maxDfFraction: Double = 1.0,
   ): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("_t"))
     // One tokenization pass: every statistic derives from the postings
@@ -54,7 +65,14 @@ object Bm25 {
     val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")).cache()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
-    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val dfreqAll = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val dfreq =
+      if (maxDfFraction < 1.0)
+        // inner joins downstream drop the pruned terms' postings
+        dfreqAll.crossJoin(broadcast(stats))
+          .filter(col("_df") <= col("_n") * maxDfFraction)
+          .select(col("_t"), col("_df"))
+      else dfreqAll
     val qterms = queries.select(col(queryIdCol),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(queryTextCol)))).as("_t"))
       .distinct()

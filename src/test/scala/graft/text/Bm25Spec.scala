@@ -45,6 +45,24 @@ class Bm25Spec extends SparkSpec {
       k = 1).count() == 1)
   }
 
+  test("maxDfFraction prunes hot terms: scoring equals the closed form without them") {
+    val hot = Seq(
+      (1L, "the apple the"),
+      (2L, "the banana"),
+      (3L, "the cherry"),
+    ).toDF("doc_id", "text") // "the" in every doc (df = 3 = N)
+    val q = Seq((100L, "the apple")).toDF("query_id", "qtext")
+    val pruned = Bm25.bm25TopK(hot, "doc_id", "text", q, "query_id", "qtext",
+      k = 3, maxDfFraction = 0.5).collect()
+    // "the" (df/N = 1 > 0.5) contributes nothing: only d1 matches, on
+    // apple alone (tf=1 df=1 dl=3, avgdl = 7/3)
+    assert(pruned.map(_.getLong(1)).toSeq == Seq(1L))
+    assert(math.abs(pruned.head.getDouble(2) - term(1, 1, 3, 3, 7.0 / 3.0)) < 1e-6)
+    // without the cap, "the" scores every document
+    val full = Bm25.bm25TopK(hot, "doc_id", "text", q, "query_id", "qtext", k = 3)
+    assert(full.count() == 3)
+  }
+
   test("multi-term scores are the sum of per-term contributions") {
     val q = Seq((100L, "banana cherry")).toDF("query_id", "qtext")
     val got = Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 3)
