@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{Bm25, Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -654,6 +654,13 @@ object SparkEntry {
           col("n_chars"), Map("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
+
+    // Overlapping token-window chunking (width 64, stride 48): the
+    // context-window preprocessing step for training/retrieval
+    // corpora. Fully narrow — fuses into the scan, no shuffle.
+    "tp11_chunk_windows" -> ((s, dir) =>
+      Chunking.chunkByTokens(tbl(s, dir, "documents"), "doc_id", "text",
+        width = 64, stride = 48)),
 
     // BM25 sparse retrieval: lexical top-k over the corpus via an
     // inverted-index join (distinct query terms broadcast against the
@@ -2002,6 +2009,19 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM c
         |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
         |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
+
+    // Shared tokenization, then start offsets from range(0, n, 48)
+    // and 1-based inclusive list_slice — integer division (//) for
+    // the chunk ordinal like Spark's cast-to-int.
+    "tp11_chunk_windows" ->
+      s"""WITH tok AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) > 0),
+         |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS s FROM nz)
+         |SELECT doc_id,
+         |  CAST(s // 48 AS INT) AS chunk_no,
+         |  array_to_string(list_slice(tk, s + 1, least(s + 64, n)), ' ') AS chunk_text,
+         |  CAST(least(s + 64, n) - s AS INT) AS n_tokens
+         |FROM st""".stripMargin,
 
     // Replays tokenization (shared ToksSql), the BM25 statistics, and
     // the exact contribution arithmetic — parenthesized identically to
