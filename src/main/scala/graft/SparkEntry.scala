@@ -655,6 +655,27 @@ object SparkEntry {
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
 
+    // The full curation-to-serving pipeline as ONE chained plan:
+    // annotate -> hard gates -> exact dedup -> linear MinHash near-dup
+    // -> quality-weighted soft sample -> per-source token-budget mix
+    // -> deterministic shard/position assignment. Every stage is the
+    // already-oracle-checked operator; the composition stays lazy, so
+    // Catalyst fuses the narrow stages and the plan carries exactly
+    // the dedup + window shuffles.
+    "tp12_curation_to_serving" -> ((s, dir) => {
+      val cur = Curation.curate(tbl(s, dir, "documents"), "doc_id", "text",
+        Curation.Config(minQuality = 0.6, langs = Seq("en"), minTokens = 20,
+          maxTokens = 1 << 20, nearDupThreshold = Some(0.9)))
+      val soft = Sampling.weightedSample(cur, col("doc_id"),
+        col("curation_quality"), salt = "tp12")
+      val mixed = Sampling.tokenBudgetSample(soft, col("doc_id"), col("source"),
+        col("curation_tokens"), budgets = Map.empty, defaultBudget = 1500L,
+        salt = "tp12mix")
+      TrainOrder.shardOrder(mixed, col("doc_id"), numShards = 4, salt = "tp12ep")
+        .select("doc_id", "source", "curation_quality", "curation_tokens",
+          "shard", "pos")
+    }),
+
     // Overlapping token-window chunking (width 64, stride 48): the
     // context-window preprocessing step for training/retrieval
     // corpora. Fully narrow — fuses into the scan, no shuffle.
@@ -2009,6 +2030,73 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM c
         |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
         |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
+
+    // tp2's full replay chain (annotate/gate/exact/linear-minhash)
+    // extended stage-for-stage: the 60-bit weighted draw, the
+    // token-budget window, and the shard/pos assignment — each the
+    // already-proven replay with the tp12 salts.
+    "tp12_curation_to_serving" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text,
+         |    CAST(LENGTH(text) AS DOUBLE) AS chars,
+         |    CASE WHEN TRIM(text) = '' THEN 0.0
+         |      ELSE CAST(len(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) END AS toks,
+         |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CASE WHEN TRIM(text) = '' THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\\s+'), w -> LENGTH(w))) AS DOUBLE)
+         |        / len(string_split_regex(TRIM(text), '\\s+')) END AS mwl,
+         |    len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b')) AS en,
+         |    len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS de,
+         |    len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS fr,
+         |    len(regexp_extract_all(text, '(?i)\\b(el|los|las|es|una|para|con|por|del|como)\\b')) AS es,
+         |    3 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
+         |    md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |m AS (SELECT *, GREATEST(en, de, fr, es, zh) AS mx FROM raw),
+         |ann AS (
+         |  SELECT doc_id, text, fp,
+         |    CASE WHEN mx <= 0 THEN 'und'
+         |      WHEN zh = mx THEN 'zh' WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+         |      WHEN en = mx THEN 'en' ELSE 'de' END AS curation_lang,
+         |    ROUND(0.4 * LEAST(chars / 200.0, 1.0)
+         |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(en / toks, 0.5) * 2.0 END)
+         |      + 0.2 * (CASE WHEN toks = 0 THEN 0.0 ELSE LEAST(mwl / 5.0, 1.0) END)
+         |      + 0.2 * (1.0 - LEAST((CASE WHEN chars = 0 THEN 1.0 ELSE punct / chars END) * 5.0, 1.0)), 6) AS curation_quality,
+         |    CAST(toks AS INT) AS curation_tokens
+         |  FROM m),
+         |exact AS (
+         |  SELECT doc_id, text, curation_lang, curation_quality, curation_tokens
+         |  FROM ann
+         |  WHERE curation_quality >= 0.6 AND curation_lang = 'en'
+         |    AND curation_tokens BETWEEN 20 AND 1048576
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |${minhashCtes("exact")},
+         |$LinearLosersCtes,
+         |surv AS (
+         |  SELECT e.doc_id, e.curation_quality, e.curation_tokens, d.source
+         |  FROM exact e
+         |  JOIN (SELECT rep_id FROM reps WHERE rep_id NOT IN (SELECT rep_id FROM losers)) s
+         |    ON e.doc_id = s.rep_id
+         |  JOIN documents d ON d.doc_id = e.doc_id),
+         |soft AS (SELECT * FROM surv
+         |  WHERE CAST(('0x' || substring(md5(concat_ws(':', 'tp12', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |    < CAST(FLOOR(LEAST(1.0, GREATEST(0.0, curation_quality)) * power(2, 60)) AS BIGINT)),
+         |mixed AS (SELECT doc_id, source, curation_quality, curation_tokens FROM (
+         |  SELECT *, COALESCE(SUM(curation_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(concat_ws(':', 'tp12mix', CAST(doc_id AS VARCHAR))), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |    FROM soft)
+         |  WHERE prior < 1500),
+         |sh AS (SELECT doc_id, source, curation_quality, curation_tokens,
+         |    md5(concat_ws(':', 'tp12ep', CAST(doc_id AS VARCHAR))) AS hk
+         |  FROM mixed)
+         |SELECT doc_id, source, curation_quality, curation_tokens,
+         |  CAST(CAST(('0x' || substring(hk, 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY CAST(('0x' || substring(hk, 1, 8)) AS BIGINT) % 4
+         |    ORDER BY hk, doc_id) AS INT) AS pos
+         |FROM sh""".stripMargin,
 
     // Shared tokenization, then start offsets from range(0, n, 48)
     // and 1-based inclusive list_slice — integer division (//) for
