@@ -124,4 +124,35 @@ class StreamingIngestSpec extends SparkSpec {
     assert(row.getString(1) == "en")
     assert(row.getInt(2) >= 20)
   }
+
+  test("samplers are stream-safe: streamed output equals the batch result row-for-row") {
+    import graft.text.{Sampling, TrainOrder}
+    val in = Files.createTempDirectory("graft-stream-smp-in")
+    val out = Files.createTempDirectory("graft-stream-smp-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-smp-ckpt").toString
+    Files.writeString(in.resolve("a.jsonl"),
+      (1 to 80).map(i => s"""{"doc_id":$i,"text":"doc body $i","ts_ms":${i * 1000}}""")
+        .mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+    // every sampler decision is a pure function of (salt, key), so the
+    // same chain runs unchanged on a stream (stateless narrow ops) and
+    // MUST produce exactly the batch result on the same data
+    def sampleChain(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(
+        Sampling.deterministicSample(df, col("doc_id"), 0.7, salt = "s"),
+        col("doc_id"), col("doc_id").cast("double") / 80.0, salt = "w")
+        .withColumn("shard", TrainOrder.shardOf(col("doc_id"), 4, salt = "e"))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    StreamingIngest.drainToParquet(sampleChain(stream), out, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(out).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = sampleChain(spark.read.schema(schema).json(in.toString))
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < 80) // both samplers actually cut
+    assert(streamed.forall { case (_, s) => s >= 0 && s < 4 })
+  }
 }
