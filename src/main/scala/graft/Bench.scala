@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,7 +34,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
       }
     }
     // Reclaim pre-timing broadcasts/shuffles unconditionally — with
@@ -51,7 +52,7 @@ object Bench {
       // showed min-of-2 without it swinging >2x on identical code
       // (tp2 2.37 -> 5.11 s), which is environment, not workload.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
       // Then three timed executions, report the min: a transient
       // stall (CPU contention, page cache miss, GC) lands on one run,
@@ -66,7 +67,7 @@ object Bench {
         // output column (same work Verify's parquet dump measures)
         // without I/O.
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
         val t = (System.nanoTime() - t0) / 1e9
         // Operators may cache multi-consumer intermediates internally;
         // drop them between runs (outside the timed window) so one
@@ -80,7 +81,7 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () }
     println(line)
     spark.stop()
   }

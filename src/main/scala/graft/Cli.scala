@@ -128,11 +128,12 @@ object Cli {
     * skipped for `all`, an error for an explicit source. */
   private def updateSchema(spark: SparkSession, warehouse: String, tableType: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val known = Schemas.schemas.keySet ++ Schemas.referenceTables.keySet
     def exists(s: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(Warehouse.tablePath(warehouse, s)))
+      fs.exists(new org.apache.hadoop.fs.Path(Warehouse.declaredTable(warehouse, s)._1))
     val targets = tableType match {
-      case "all" => Schemas.schemas.keys.toSeq.sorted.filter(exists)
-      case s if Schemas.schemas.contains(s) =>
+      case "all" => known.toSeq.sorted.filter(exists)
+      case s if known.contains(s) =>
         if (exists(s)) Seq(s)
         else { System.err.println(s"update-schema: table not created: $s"); return 1 }
       case other => System.err.println(s"unknown table type: $other"); return 1
@@ -152,13 +153,13 @@ object Cli {
     * analog — Postgres has VACUUM, parquet warehouses have this). */
   private def compact(
       spark: SparkSession, warehouse: String, source: String, targetMb: Long): Int = {
-    Schemas.schemas.get(source) match {
-      case None => System.err.println(s"unknown table type: $source"); 1
-      case Some(_) =>
-        val r = Warehouse.compact(spark,
-          Warehouse.tablePath(warehouse, source), targetMb * 1024 * 1024)
-        println(s"compact $source: ${r.filesBefore} -> ${r.filesAfter} files, ${r.rows} rows")
-        0
+    if (!Schemas.schemas.contains(source) && !Schemas.referenceTables.contains(source)) {
+      System.err.println(s"unknown table type: $source"); 1
+    } else {
+      val r = Warehouse.compact(spark,
+        Warehouse.declaredTable(warehouse, source)._1, targetMb * 1024 * 1024)
+      println(s"compact $source: ${r.filesBefore} -> ${r.filesAfter} files, ${r.rows} rows")
+      0
     }
   }
 

@@ -77,6 +77,11 @@ object AsofJoin {
       leftSide: Int,
       frameEnd: Long,
   ): DataFrame = {
+    // enforce what the scaladoc promises — a colliding name would
+    // silently overwrite the left column in the foldLeft expansion
+    val collisions = rightValueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightValueCols collide with left columns: ${collisions.mkString(", ")}")
     val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(leftSide))
     val r = right
       // null-key right rows can never match any left row

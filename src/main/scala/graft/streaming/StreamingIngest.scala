@@ -101,6 +101,7 @@ object StreamingIngest {
       minTokens: Int,
       tsMsCol: String,
       delay: String,
+      maxTokens: Int = 1 << 20,
   ): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.text.TextAnalysis
@@ -112,7 +113,7 @@ object StreamingIngest {
       .withColumn("_fp", TextAnalysis.fingerprintMd5(t))
       .filter(col("curation_quality") >= minQuality
         && col("curation_lang").isin(langs: _*)
-        && col("curation_tokens") >= minTokens)
+        && col("curation_tokens").between(minTokens, maxTokens))
       .withColumn("_event_time", timestamp_millis(col(tsMsCol)))
       .withWatermark("_event_time", delay)
       .dropDuplicatesWithinWatermark("_fp")

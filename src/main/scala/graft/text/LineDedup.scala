@@ -59,9 +59,9 @@ object LineDedup {
     val lines = df.select(
       col(idCol),
       posexplode_outer(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-    val frequent = lines
-      .groupBy(col("line"))
-      .agg(countDistinct(col(idCol)).as("doc_freq"))
+    // the removal threshold comes from the SAME statistic the public
+    // helper exports — one definition of line document-frequency
+    val frequent = lineDocFrequency(df, idCol, textCol)
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("line"))
     // the (null, null) row posexplode_outer emits for a null/absent

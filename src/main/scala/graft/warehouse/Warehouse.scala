@@ -32,6 +32,16 @@ object Warehouse {
     source
   }
 
+  /** Resolve any managed table — fact source or reference/metadata
+    * table — to its on-disk path and declared schema, so maintenance
+    * commands (update-schema, compact) reach both families. */
+  def declaredTable(warehouse: String, table: String): (String, org.apache.spark.sql.types.StructType) =
+    if (Schemas.schemas.contains(table))
+      (tablePath(warehouse, table), Schemas.schemas(table))
+    else if (Schemas.referenceTables.contains(table))
+      (referenceTablePath(warehouse, table), Schemas.referenceTables(table))
+    else throw new IllegalArgumentException(s"unknown table: '$table'")
+
   def tablePath(warehouse: String, source: String): String =
     s"${warehouse.stripSuffix("/")}/${requireValidIdentifier(source)}_generation_data"
 
@@ -165,9 +175,7 @@ object Warehouse {
     * the add-column/retype path is the part schema-on-read cannot
     * absorb silently at query time.) */
   def updateSchema(spark: SparkSession, warehouse: String, source: String): SchemaUpdate = {
-    requireKnownSource(source)
-    val path = tablePath(warehouse, source)
-    val declared = Schemas.schemas(source)
+    val (path, declared) = declaredTable(warehouse, source)
     // mergeSchema: files written under different historical schemas
     // must all contribute their columns before reconciliation
     val existing = spark.read.option("mergeSchema", "true").parquet(path)
@@ -218,7 +226,11 @@ object Warehouse {
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (parts.length <= want)
       return CompactionResult(parts.length, parts.length, spark.read.parquet(path).count())
-    val df = spark.read.parquet(path)
+    // mergeSchema: a table whose part-files span historical schemas
+    // (the exact state updateSchema reconciles) must contribute every
+    // column to the rewrite — a single-footer inferred schema would
+    // silently drop the other files' columns, permanently
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     publishAtomic(spark, path, df.repartition(want))
     val after = fs.listStatus(new Path(path))
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))

@@ -129,6 +129,15 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("compact", "nope", "--warehouse", wh)) == 1)
   }
 
+  test("update-schema and compact reach the reference tables, not just fact sources") {
+    val wh = tmp("graft-cli-ref-maint")
+    assert(Cli.run(spark, Seq("setup", "--warehouse", wh)) == 0) // creates both families
+    assert(Cli.run(spark, Seq("update-schema", "eia_generator_info", "--warehouse", wh)) == 0)
+    assert(Cli.run(spark, Seq("compact", "gcpt_coal_metadata", "--warehouse", wh)) == 0)
+    // 'all' sweeps fact sources AND reference tables without error
+    assert(Cli.run(spark, Seq("update-schema", "--warehouse", wh)) == 0)
+  }
+
   test("strict mode fails the load on invalid records, lax mode passes (database_management.py:172-175)") {
     val wh = tmp("graft-cli-strict")
     val jsonl = Files.createTempDirectory("graft-cli-in2").resolve("bad.jsonl")

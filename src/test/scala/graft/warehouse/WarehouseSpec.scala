@@ -101,6 +101,21 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("compact merges schemas across heterogeneous part-files — no silent column loss") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-ms")
+      .resolve("t").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(path)
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra").write.mode("append").parquet(path)
+    val r = Warehouse.compact(spark, path, targetFileBytes = 512L * 1024 * 1024)
+    assert(r.filesBefore == 2 && r.filesAfter == 1 && r.rows == 2)
+    // the rewrite carried the column only the second file had
+    val back = spark.read.parquet(path)
+    assert(back.columns.toSet == Set("id", "v", "extra"))
+    assert(back.filter($"id" === 1L).select("extra").head().isNullAt(0))
+    assert(back.filter($"id" === 2L).select("extra").head().getLong(0) == 9L)
+  }
+
   test("compact merges small files, preserves content, no-ops when already compact") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-compact")
