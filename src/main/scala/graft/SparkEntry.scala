@@ -969,13 +969,21 @@ object SparkEntry {
     // IVF with a REAL index build: centroids from spark.ml KMeans over
     // a half-sample of the corpus (driver holds k×dim doubles,
     // bounded), then the same assign → probe → top-k pipeline as v4.
-    // Rows-only: KMeans centroids aren't SQL-reproducible.
+    // The fitted centroids aren't re-derivable in SQL, but they don't
+    // have to be: the query persists them to parquet (k×dim doubles —
+    // exact round-trip) and the oracle replays assignment + probes +
+    // top-k from the persisted values — the identical arithmetic v4's
+    // green oracle already proves DuckDB can do.
     "v7_ivf_kmeans_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopKKMeans(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, numCentroids = 16, nprobe = 4, sampleFraction = 0.5)
+      val cents = Similarity.kmeansCentroids(e, "embedding", k = 16,
+        sampleFraction = 0.5)
+      s.createDataFrame(cents).toDF("cid", "cvec")
+        .repartition(1).write.mode("overwrite").parquet(v7CentroidsPath)
+      Similarity.ivfTopKWithCentroids(e, q, "vec_id", "embedding",
+        "query_id", "qvec", k = 10, cents, nprobe = 4)
     }),
 
     // Full-corpus embedding dedup with NO pre-existing blocking column
@@ -995,14 +1003,19 @@ object SparkEntry {
 
     // SemDeDup (arXiv:2303.09540): cluster embeddings to the v4
     // seed-centroid coarse quantizer, then keep-min-id cosine dedup
-    // within each cluster — quadratic only inside a cluster, with the
-    // centroid count bounding cluster size. Hash-checked: assignment
-    // and in-cluster pairs are pure arithmetic.
+    // within each cluster — all-pairs only inside clusters at or
+    // under maxClusterSize; oversized clusters fall through to the
+    // linear min-id-representative form (bounded per-key work at any
+    // skew). The cap of 32 here deliberately splits the sf0.01
+    // cluster-size range (23–41) so the oracle exercises BOTH
+    // branches. Hash-checked: assignment, the size gate, and both
+    // loser paths are pure arithmetic.
     "v10_semdedup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
         col("vec_id") % 31 === 0)
-      Similarity.semDedup(e, "vec_id", "embedding", cents, threshold = 0.35)
+      Similarity.semDedup(e, "vec_id", "embedding", cents, threshold = 0.35,
+          maxClusterSize = 32)
         .select("vec_id", "label")
     }),
 
@@ -1507,6 +1520,13 @@ object SparkEntry {
   /** Unsigned → signed BIGINT (two's-complement reinterpretation). */
   private def signedSql(u: String): String =
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $M64 ELSE $u END AS BIGINT)"
+
+  /** Where the v7 query persists its fitted KMeans centroids — a fixed
+    * path (not a scratchDir) so the static oracle SQL can read_parquet
+    * the same files after Verify has run. k×dim doubles round-trip
+    * parquet exactly, so the replay is bit-identical to v4's. */
+  private val v7CentroidsPath =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_v7_centroids").toString
 
   /** Unrounded cosine of two FLOAT[] expressions (CosineSimilarity
     * replay — same double arithmetic as the v1/v2 oracles). */
@@ -2778,6 +2798,30 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
+    // v4's assignment/probe/top-k replay, with the centroid table read
+    // from the parquet the v7 query persists (learned KMeans geometry;
+    // doubles round-trip parquet exactly) instead of re-derived in SQL.
+    "v7_ivf_kmeans_topk" ->
+      s"""WITH cents AS (
+         |  SELECT cid, cvec FROM read_parquet('$v7CentroidsPath/*.parquet')),
+         |asn AS (
+         |  SELECT vec_id, embedding, cid
+         |  FROM embeddings CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid DESC) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT query_id, qvec, cid
+         |  FROM q CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${cosSql("qvec", "cvec")} DESC, cid DESC) <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ROUND(${cosSql("a.embedding", "p.qvec")}, 6) AS sim
+         |  FROM asn a JOIN probes p ON a.cid = p.cid
+         |  WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
     "v6_lsh_embed_dedup" ->
       s"""WITH ${srpConstsSql(6, 8)},
          |${srpCtes(6, 8)},
@@ -2790,8 +2834,10 @@ object SparkEntry {
          |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
          |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
 
-    // v4's centroid selection + assignment replay, then keep-min-id
-    // pairs within each cluster.
+    // v4's centroid selection + assignment replay, then the
+    // size-gated dedup: keep-min-id all-pairs inside clusters of ≤ 32
+    // members, linear min-id-representative verification inside
+    // larger ones (the bounded-skew fall-through).
     "v10_semdedup" ->
       s"""WITH cents AS (
          |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
@@ -2800,10 +2846,23 @@ object SparkEntry {
          |  SELECT vec_id, embedding, cid
          |  FROM embeddings CROSS JOIN cents
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid DESC) = 1),
-         |losers AS (SELECT DISTINCT b.vec_id
-         |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35)
-         |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+         |sized AS (
+         |  SELECT vec_id, embedding, cid, COUNT(*) OVER (PARTITION BY cid) AS csize
+         |  FROM asn),
+         |losers_small AS (SELECT DISTINCT b.vec_id
+         |  FROM sized a JOIN sized b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE a.csize <= 32
+         |    AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35),
+         |reps AS (
+         |  SELECT cid, MIN(vec_id) AS rep_id FROM sized WHERE csize > 32 GROUP BY cid),
+         |losers_big AS (SELECT DISTINCT e.vec_id
+         |  FROM sized e
+         |  JOIN reps r ON e.cid = r.cid
+         |  JOIN embeddings rv ON rv.vec_id = r.rep_id
+         |  WHERE e.vec_id > r.rep_id
+         |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
+         |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (
+         |  SELECT vec_id FROM losers_small UNION SELECT vec_id FROM losers_big)""".stripMargin,
 
     // Replays the symmetric int8 quantization (scale = 127/max|v|,
     // q = floor(v*scale + 0.5) — explicit half-up, engine-neutral) and

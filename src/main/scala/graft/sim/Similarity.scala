@@ -450,27 +450,67 @@ object Similarity {
     *
     * Scale shape: assignment is a pure narrow map (the centroid table
     * ships as ONE array literal, C native cosine kernels per row, no
-    * shuffle); the dedup shuffles once on cluster id and is quadratic
-    * only within a cluster — the centroid count is the knob that
-    * bounds cluster size, exactly how the paper runs at web scale.
-    * Never an all-pairs corpus join. */
+    * shuffle); the dedup shuffles on cluster id and is quadratic only
+    * within a cluster. A fixed centroid count bounds the NUMBER of
+    * clusters, not the size of any one: a near-dup-heavy corpus — the
+    * exact SemDeDup use case — can concentrate most embeddings near a
+    * single centroid, and an unbounded in-cluster self-join is then
+    * O(n²) on one shuffle key. `maxClusterSize` is the guard: clusters
+    * at or under it get the paper's exact all-pairs semantics;
+    * clusters over it fall through to the linear min-id-representative
+    * form ([[lshCosineDedup]] / minhashDedupLinear's trick — each
+    * member verifies against only its cluster's min-id vector, O(n)
+    * per cluster). The trade is recall, not precision: an oversized
+    * cluster drops only members over-threshold similar to its
+    * representative — and oversized clusters are precisely the tight
+    * near-dup blobs where everything IS similar to the representative,
+    * so the fall-through loses little. Cluster sizes are one
+    * centroid-count-sized aggregate (≤ |cents| rows, always
+    * broadcast). Never an all-pairs corpus join, never unbounded
+    * per-key work. */
   def semDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       cents: Seq[(Int, Seq[Double])],
       threshold: Double,
+      maxClusterSize: Int = 4096,
   ): DataFrame = {
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
     val centLit = typedlit(cents)
     def nearest(vec: Column): Column =
       array_max(transform(centLit, c =>
         struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid"))))
         .getField("cid")
     val assigned = df.withColumn("_cid", nearest(col(vecCol)))
-    cosineDedup(assigned, idCol, vecCol, "_cid", threshold).drop("_cid")
+    // ≤ |cents| rows — always broadcastable, regardless of corpus size.
+    val sizes = assigned.groupBy(col("_cid")).agg(count(lit(1)).as("_csize"))
+    val sized = assigned.join(broadcast(sizes), Seq("_cid"))
+    // Exact all-pairs inside bounded clusters (the paper's semantics).
+    val losersSmall = blockedCosinePairs(
+      sized.filter(col("_csize") <= maxClusterSize), idCol, vecCol, "_cid", threshold)
+      .select(col("id_b").as(idCol))
+    // Oversized clusters: linear min-id representative — one verified
+    // candidate per member, never B² pairs on a hot key.
+    val big = sized.filter(col("_csize") > maxClusterSize)
+    val reps = big.groupBy(col("_cid"))
+      .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"))
+      .select(col("_cid"),
+        col(s"_rep.$idCol").as("_rep_id"), col(s"_rep.$vecCol").as("_rep_vec"))
+    val losersBig = big.join(reps, Seq("_cid"))
+      .filter(col(idCol) > col("_rep_id"))
+      .filter(round(cosine(col(vecCol), col("_rep_vec")), 6) >= threshold)
+      .select(col(idCol))
+    val losers = losersSmall.union(losersBig).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
-  private def ivfTopKWithCentroids(
+  /** IVF probe + top-k over an explicit centroid table — the shared
+    * tail of [[ivfTopK]] (seed centroids) and [[ivfTopKKMeans]]
+    * (fitted centroids). Public so callers that need the centroid
+    * table itself (e.g. to persist it next to the result for an
+    * external replay/audit) can build it once and pass it in. */
+  def ivfTopKWithCentroids(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,

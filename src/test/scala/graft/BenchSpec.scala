@@ -45,16 +45,17 @@ class BenchSpec extends AnyFunSuite {
         "Window.partitionBy(...).orderBy(...) elsewhere")
   }
 
-  test("driver contract: every oracle has a query; v7 is the only rows-only query") {
+  test("driver contract: every oracle has a query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     val orphanOracles = o.diff(q)
     assert(orphanOracles.isEmpty, s"oracleSql keys with no query: $orphanOracles")
-    // every query is oracle-checked except the documented rows-only
-    // exception (KMeans centroids are not SQL-reproducible); adding a
-    // query without an oracle must be a conscious, listed decision.
+    // every query is oracle-checked — v7 (the last rows-only hold-out)
+    // now persists its fitted centroids to parquet so the oracle can
+    // replay assignment + top-k; adding a query without an oracle must
+    // be a conscious, listed decision.
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("v7_ivf_kmeans_topk"),
+    assert(rowsOnly.isEmpty,
       s"rows-only queries: $rowsOnly — add a DuckDB oracle or extend this allowlist deliberately")
   }
 }

@@ -207,6 +207,57 @@ class SimilaritySpec extends SparkSpec {
     assert(flat.subsetOf(clustered))
   }
 
+  test("semDedup caps per-cluster work: oversized clusters verify against the min-id rep only") {
+    // cluster 0 (centroid (1,0,0)): ids 1..10 are near-dups of the
+    // min-id representative; 11 and 12 are near-dups of EACH OTHER
+    // (cos ≈ 0.99998) but only 0.6-similar to the representative.
+    // cluster 1 (centroid (0,0,1)): two near-dups, under the cap.
+    val hot = (1L to 10L).map(i => (i, Array(1.0f, (i * 1e-3).toFloat, 0.0f), "x"))
+    val offAxis = Seq(
+      (11L, Array(0.6f, 0.8f, 0.0f), "x"),
+      (12L, Array(0.6f, 0.81f, 0.0f), "x"))
+    val cold = Seq(
+      (20L, Array(0.0f, 0.001f, 1.0f), "x"),
+      (21L, Array(0.0f, 0.002f, 1.0f), "x"))
+    val df = (hot ++ offAxis ++ cold).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0)))
+    // cluster 0 has 12 members > cap 8 → linear representative path:
+    // 2..10 drop (≈1.0 vs rep 1); 11 and 12 BOTH survive (0.6 vs rep)
+    // despite being near-dups of each other — the distinguisher that
+    // proves the all-pairs self-join did NOT run on the oversized
+    // cluster. cluster 1 (2 ≤ cap) keeps exact pairwise: 21 drops.
+    val capped = Similarity
+      .semDedup(df, "vec_id", "embedding", cents, 0.9, maxClusterSize = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 11L, 12L, 20L))
+    // cap above the cluster size → the paper's exact all-pairs
+    // semantics return: 12 drops against 11
+    val exact = Similarity
+      .semDedup(df, "vec_id", "embedding", cents, 0.9, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 11L, 20L))
+  }
+
+  test("semDedup skewed fixture: 80% hot cluster collapses linearly under the cap") {
+    // The adversarial SemDeDup corpus: 80% of 2000 embeddings are
+    // near-identical and land in ONE cluster. Capped at 64, each
+    // oversized cluster contributes n−1 verified candidates (the
+    // unbounded all-pairs join would enumerate ~1.28M pairs on one
+    // shuffle key). Both clusters are tight near-dup blobs, so the
+    // linear form collapses each onto its min-id representative.
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      if (i % 5 != 0) (i.toLong, Array(1.0f, (i * 1e-4).toFloat, 0.0f), "x")
+      else (i.toLong, Array(0.0f, 1.0f, (i * 1e-4).toFloat), "x")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+    val out = Similarity
+      .semDedup(df, "vec_id", "embedding", cents, 0.9, maxClusterSize = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(0L, 1L)) // min id of each cluster
+  }
+
   test("seedCentroids: deterministic id-ordered selection, cap applies") {
     val cents = Similarity.seedCentroids(vdf, "vec_id", "embedding",
       col("vec_id") =!= 2, maxCentroids = 2)
