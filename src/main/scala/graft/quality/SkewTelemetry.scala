@@ -1,0 +1,82 @@
+package graft.quality
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Hot-bucket telemetry for the skew-gated LSH paths (no-silent-caps
+  * principle): whenever a bucketed operator routes oversized groups
+  * through its linear fall-through, the counts are collected as an
+  * `observe()` metric inside the SAME query (zero extra jobs, zero
+  * extra scans) and surfaced here after the action completes — as a
+  * WARN log line and as [[lastEvent]] for programmatic/spec access.
+  *
+  * An adversarial or boilerplate-heavy corpus at 100 TB WILL produce
+  * hot buckets; the design goal is that the engine's response (linear
+  * representative verification instead of a B² pair enumeration) is
+  * observable, never quadratic-by-surprise and never a silent recall
+  * cliff. `skippedPairs` quantifies exactly what the cap declined to
+  * enumerate: Σ over oversized buckets of (B−1)(B−2)/2 — all-pairs
+  * minus the B−1 representative candidates that still ran. */
+object SkewTelemetry {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One observed skew event: `metric` is the observation name
+    * (operator-scoped prefix + call counter). */
+  final case class SkewEvent(
+      metric: String,
+      oversizedBuckets: Long,
+      maxBucketSize: Long,
+      skippedPairs: Long,
+  )
+
+  /** Prefix every skew observation name carries; the listener ignores
+    * all other observed metrics. */
+  val MetricPrefix = "graft_skew_"
+
+  private val callSeq = new AtomicLong(0)
+  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  @volatile private var last: Option[SkewEvent] = None
+
+  /** Most recent skew observation in this JVM (None until a gated
+    * operator has run an action). Volatile read — specs poll it. */
+  def lastEvent: Option[SkewEvent] = last
+
+  /** Test hook: forget past events so a spec can assert on its own. */
+  def reset(): Unit = last = None
+
+  /** Unique-within-query observation name. Spark requires observation
+    * names be unique per query; a JVM-wide counter keeps two dedup
+    * calls composed into one plan distinct. */
+  def nextMetricName(op: String): String =
+    s"$MetricPrefix${op}_${callSeq.incrementAndGet()}"
+
+  /** Idempotently attach the listener to a session. Called by every
+    * gated operator — cheap after the first call. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(MetricPrefix)) {
+              def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+              val ev = SkewEvent(name, at(0), at(1), at(2))
+              last = Some(ev)
+              if (ev.oversizedBuckets > 0) {
+                log.warn(
+                  s"$name: ${ev.oversizedBuckets} oversized bucket(s), " +
+                    s"largest ${ev.maxBucketSize} members; routed through the linear " +
+                    s"representative path, declining ${ev.skippedPairs} candidate pair(s). " +
+                    "Raise maxBucketSize for exact all-pairs semantics on these buckets, " +
+                    "or widen banding to shrink buckets.")
+              }
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      })
+    }
+}

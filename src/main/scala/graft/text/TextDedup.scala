@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.quality.SkewTelemetry
+
 /** Document deduplication for training-data pipelines: exact
   * (normalized-hash groupBy), MinHash+LSH banding, SimHash, and
   * n-gram Jaccard verification.
@@ -20,6 +22,15 @@ import org.apache.spark.sql.functions._
   *     on doc_id), not on all O(n²) pairs.
   */
 object TextDedup {
+
+  /** Default LSH bucket-size cap for the all-pairs candidate kernel:
+    * buckets above it route through the linear min-id-representative
+    * kernel (observable via [[graft.quality.SkewTelemetry]]). 1024
+    * bounds per-bucket work at ~0.5M signature compares (~50 ms) —
+    * far above any bucket the band hash produces on a healthy corpus,
+    * low enough that a boilerplate flood cannot turn one shuffle key
+    * into an O(B²) straggler. */
+  val DefaultMaxBucketSize = 1024
 
   // -------------------------------------------------------------------
   // Exact dedup
@@ -212,16 +223,31 @@ object TextDedup {
     *     on a small set) and verify exact jaccard with the native
     *     sorted-merge kernel.
     *
-    * Skew: a hot bucket costs O(B²) signature compares in one task —
-    * two orders of magnitude cheaper per candidate than the row-based
-    * join it replaces; banding width controls B at scale. */
+    * Skew: the all-pairs kernel runs only inside buckets of at most
+    * `maxBucketSize` members. Larger buckets — the adversarial /
+    * boilerplate-heavy case where O(B²) on one shuffle key is the
+    * classic scale killer — fall through to the linear
+    * [[graft.functions.BucketRepPairs]] kernel: every member proposed
+    * against only the bucket's min-id representative, O(B) per bucket
+    * at any skew. Both kernels emit a pair only at its first
+    * fully-agreeing band, so the branches compose without a DISTINCT.
+    * The fall-through is never silent: oversized-bucket count, max
+    * size, and the number of declined candidate pairs are collected
+    * as an `observe()` metric in the same query and logged by
+    * [[graft.quality.SkewTelemetry]]. The recall trade mirrors
+    * semDedup's cap: a hot bucket proposes only pairs involving its
+    * representative — and LSH hot buckets are near-dup blobs where
+    * the representative transitively covers the members. */
   private def nearDupPairsOfHashed(
       hashed: DataFrame,
       idCol: String,
       threshold: Double,
       numHashes: Int,
       bands: Int,
+      maxBucketSize: Int,
   ): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    SkewTelemetry.ensureRegistered(hashed.sparkSession)
     // The in-bucket pair kernel carries ids as longs; a silent
     // cast("long") of a string id would null out and corrupt every
     // pair to (0, 0), so refuse non-integral ids outright.
@@ -245,12 +271,31 @@ object TextDedup {
         explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
       .select(col(idCol).cast("long").as("_mid"), col("_sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bsz = size(col("_members")).cast("long")
+    val over = bsz > maxBucketSize
+    // Size gate as ONE conditional kernel call — a single pass over
+    // the bucket aggregate, no union, no second aggregate scan. The
+    // skew metrics ride the same query via observe (zero extra jobs).
+    // explode_outer, not explode: InferFiltersFromGenerate would bolt
+    // a size()>0 pre-filter onto a plain explode and re-evaluate the
+    // kernel per row (the tp6 lesson); the rule skips outer
+    // generates, and the null rows from empty arrays die in the
+    // verify joins' inner equi-join below.
     val candidates = banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("_mid"), col("_sig"))).as("_members"))
       .filter(size(col("_members")) > 1)
-      .select(explode(call_function("graft_bucket_pairs",
-        col("_members"), lit(rpb), col("band"), lit(minAgree))).as("_p"))
+      .observe(SkewTelemetry.nextMetricName("minhash"),
+        sum(when(over, 1L).otherwise(0L)).as("oversized_buckets"),
+        coalesce(max(when(over, bsz)), lit(0L)).as("max_bucket_size"),
+        coalesce(sum(when(over, shiftright((bsz - 1) * (bsz - 2), 1))), lit(0L))
+          .as("skipped_pairs"))
+      .withColumn("_pairs", when(over,
+          call_function("graft_bucket_rep_pairs",
+            col("_members"), lit(rpb), col("band"), lit(minAgree)))
+        .otherwise(call_function("graft_bucket_pairs",
+          col("_members"), lit(rpb), col("band"), lit(minAgree))))
+      .select(explode_outer(col("_pairs")).as("_p"))
       .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
     val sh = hashed.select(col(idCol), col("sh"))
     candidates
@@ -282,6 +327,7 @@ object TextDedup {
       k: Int = 3,
       numHashes: Int = 30,
       bands: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize,
   ): DataFrame = {
     // The shingle-hash scan feeds the band explode AND the survivor-
     // fetch joins (different shuffle keys, so no exchange reuse) —
@@ -298,7 +344,8 @@ object TextDedup {
     val members = hashed.select(col("_fp"), col(idCol))
 
     val repPairs = nearDupPairsOfHashed(
-      reps.select(col(idCol), col("sh")), idCol, threshold, numHashes, bands)
+      reps.select(col(idCol), col("sh")), idCol, threshold, numHashes, bands,
+      maxBucketSize)
     val repFp = reps.select(col(idCol).as("_rid"), col("_fp"))
 
     val cross = repPairs
@@ -338,6 +385,7 @@ object TextDedup {
       k: Int = 1,
       numHashes: Int = 30,
       bands: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize,
   ): DataFrame = {
     // cached for the same multi-consumer reason as minhashNearDupPairs
     val hashed = withHashedShingles(docs, textCol, k, "sh")
@@ -346,7 +394,8 @@ object TextDedup {
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
       .select(col(idCol), col("sh"))
-    val repLosers = nearDupPairsOfHashed(reps, idCol, threshold, numHashes, bands)
+    val repLosers = nearDupPairsOfHashed(reps, idCol, threshold, numHashes, bands,
+        maxBucketSize)
       .select(col("id_b").as(idCol))
       .distinct()
     val survivors = reps.select(col(idCol)).join(repLosers, Seq(idCol), "left_anti")

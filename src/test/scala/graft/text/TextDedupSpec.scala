@@ -71,6 +71,80 @@ class TextDedupSpec extends SparkSpec {
     assert(allPairs.subsetOf(linear))
   }
 
+  // The adversarial LSH corpus: every doc is 60 boilerplate tokens +
+  // one unique token (pairwise jaccard 60/62 ≈ 0.968, all distinct
+  // shingle sets so the identical-fingerprint collapse does NOT
+  // engage) — the whole corpus crowds into one (band, bucket) group
+  // per band.
+  private def boilerplateDocs(n: Int) = {
+    val common = (0 until 60).map(i => s"w$i").mkString(" ")
+    (0 until n).map(i => (i.toLong, s"$common u$i")).toDF("doc_id", "text")
+  }
+
+  test("hot-bucket cap: oversized buckets propose linear rep pairs; dedup result unchanged on a blob") {
+    val n = 300
+    val hot = boilerplateDocs(n)
+    // Uncapped (default cap 1024 >> 300): all-pairs inside the hot
+    // bucket — quadratic candidate count.
+    val uncapped = TextDedup
+      .minhashNearDupPairs(hot, "doc_id", "text", threshold = 0.9, k = 1)
+      .count()
+    // Capped at 16: every bucket over the cap proposes only (bucket
+    // min-id, member) pairs — linear in the bucket size. Each doc can
+    // pair with at most one rep per band (6 bands), so the count is
+    // linearly bounded; the quadratic form would be ~n²/2.
+    val capped = TextDedup
+      .minhashNearDupPairs(hot, "doc_id", "text", threshold = 0.9, k = 1,
+        maxBucketSize = 16)
+      .count()
+    assert(uncapped > 20L * n, s"expected quadratic uncapped pair count, got $uncapped")
+    assert(capped <= 6L * n, s"expected linear capped pair count, got $capped")
+    assert(capped >= n - 1L, s"rep pairs must still cover the bucket, got $capped")
+    // Keep-min-id dedup is unchanged by the cap on a transitive blob:
+    // every member is over-threshold similar to its bucket rep, so the
+    // rep drop covers exactly what any smaller-id member drop covered.
+    val survUncapped = TextDedup
+      .minhashDedup(hot, "doc_id", "text", threshold = 0.9, k = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val survCapped = TextDedup
+      .minhashDedup(hot, "doc_id", "text", threshold = 0.9, k = 1, maxBucketSize = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survCapped == survUncapped)
+    assert(survCapped.contains(0L))
+  }
+
+  test("hot-bucket cap scales: 5k-doc single-bucket flood stays linear") {
+    val n = 5000
+    val capped = TextDedup
+      .minhashNearDupPairs(boilerplateDocs(n), "doc_id", "text", threshold = 0.9,
+        k = 1, maxBucketSize = 64)
+      .count()
+    // the all-pairs form would enumerate ~12.5M candidates here; the
+    // linear fall-through proposes at most one rep pair per doc per band
+    assert(capped <= 6L * n, s"expected linear capped pair count, got $capped")
+    assert(capped >= n / 2L, s"rep pairs should cover most docs, got $capped")
+  }
+
+  test("hot-bucket telemetry: oversized buckets are observed and counted, never silent") {
+    graft.quality.SkewTelemetry.reset()
+    TextDedup
+      .minhashNearDupPairs(boilerplateDocs(100), "doc_id", "text", threshold = 0.9,
+        k = 1, maxBucketSize = 16)
+      .count()
+    // the QueryExecutionListener fires asynchronously after the action
+    val deadline = System.currentTimeMillis() + 15000
+    var ev = graft.quality.SkewTelemetry.lastEvent
+    while (ev.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ev = graft.quality.SkewTelemetry.lastEvent
+    }
+    assert(ev.nonEmpty, "no skew observation arrived within 15s")
+    assert(ev.get.oversizedBuckets > 0)
+    assert(ev.get.maxBucketSize > 16)
+    // (B−1)(B−2)/2 per oversized bucket — the declined candidate count
+    assert(ev.get.skippedPairs > 0)
+  }
+
   test("verifyJaccard computes exact jaccard on candidate pairs") {
     val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
     val j = TextDedup.verifyJaccard(pairs, docs, "doc_id", "text", k = 1)
