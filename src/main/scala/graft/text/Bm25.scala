@@ -60,9 +60,11 @@ object Bm25 {
     // frame — doc length is the sum of its term counts, df a count
     // over postings — so the corpus is scanned once, not three times.
     // Cache the postings (vocab-per-doc-sized, i.e. sub-linear in raw
-    // text); same lifetime note as TextDedup.minhashNearDupPairs —
-    // long-lived sessions should clearCache() between corpora.
-    val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")).cache()
+    // text), action-scoped: released when the caller's query
+    // completes, so repeated calls in a long-lived session never
+    // accumulate cached postings.
+    val tf = graft.quality.CacheScope.cachedUntilAction(
+      tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
     val dfreqAll = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.quality.SkewTelemetry
+import graft.quality.{CacheScope, SkewTelemetry}
 
 /** Document deduplication for training-data pipelines: exact
   * (normalized-hash groupBy), MinHash+LSH banding, SimHash, and
@@ -332,13 +332,12 @@ object TextDedup {
     // The shingle-hash scan feeds the band explode AND the survivor-
     // fetch joins (different shuffle keys, so no exchange reuse) —
     // cache it once instead of recomputing the tokenize/shingle/hash
-    // chain per consumer. Lifetime note: the returned DataFrame is
-    // lazy, so this method cannot unpersist; long-lived sessions
-    // running many dedups should spark.catalog.clearCache() between
-    // corpora (Bench does exactly that between timed queries).
-    val hashed = withHashedShingles(docs, textCol, k, "sh")
-      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
-      .cache()
+    // chain per consumer. Action-scoped: released as soon as the
+    // caller's query completes (CacheScope), so long-lived sessions
+    // accumulate nothing.
+    val hashed = CacheScope.cachedUntilAction(
+      withHashedShingles(docs, textCol, k, "sh")
+        .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
     val members = hashed.select(col("_fp"), col(idCol))
@@ -387,10 +386,11 @@ object TextDedup {
       bands: Int = 6,
       maxBucketSize: Int = DefaultMaxBucketSize,
   ): DataFrame = {
-    // cached for the same multi-consumer reason as minhashNearDupPairs
-    val hashed = withHashedShingles(docs, textCol, k, "sh")
-      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
-      .cache()
+    // cached for the same multi-consumer reason (and with the same
+    // action-scoped lifetime) as minhashNearDupPairs
+    val hashed = CacheScope.cachedUntilAction(
+      withHashedShingles(docs, textCol, k, "sh")
+        .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
       .select(col(idCol), col("sh"))
@@ -425,9 +425,9 @@ object TextDedup {
       bands: Int = 6,
   ): DataFrame = {
     val rpb = numHashes / bands
-    val hashed = withHashedShingles(docs, textCol, k, "sh")
-      .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp"))
-      .cache()
+    val hashed = CacheScope.cachedUntilAction(
+      withHashedShingles(docs, textCol, k, "sh")
+        .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
     val reps = hashed.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
       .filter(col(idCol).isNotNull)

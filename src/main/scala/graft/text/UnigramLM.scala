@@ -57,7 +57,8 @@ object UnigramLM {
     // the total derive from one counting pass: the corpus is scanned
     // exactly twice (counts, scoring) — the 100 TB floor for a
     // corpus-relative statistic — instead of three times.
-    val counts = tokenCounts(df, textCol).cache()
+    // Action-scoped: released when the caller's query completes.
+    val counts = graft.quality.CacheScope.cachedUntilAction(tokenCounts(df, textCol))
     val vocab = counts.orderBy(col("c").desc, col("token")).limit(topV)
     val total = counts.agg(sum(col("c")).as("n"))
     val scored = toks

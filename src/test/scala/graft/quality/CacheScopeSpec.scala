@@ -1,0 +1,61 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+import graft.text.TextDedup
+
+class CacheScopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The release listener fires asynchronously after an action. */
+  private def eventually(timeoutMs: Long = 15000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ok = cond
+    }
+    ok
+  }
+
+  private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
+
+  test("cachedUntilAction: cache exists for the query, is gone after it completes") {
+    spark.catalog.clearCache()
+    val df = CacheScope.cachedUntilAction((1 to 100).toDF("n"))
+    assert(df.storageLevel != StorageLevel.NONE)
+    assert(df.count() == 100)
+    assert(eventually()(cacheEmpty),
+      "InMemoryRelation survived a completed query — the scoped release did not fire")
+  }
+
+  test("cachedUntilAction: an already-cached plan is passed through, not double-cached or released") {
+    spark.catalog.clearCache()
+    val outer = (1 to 50).toDF("n").cache()
+    try {
+      outer.count()
+      // same plan → storageLevel is already non-NONE → passthrough
+      val inner: DataFrame = CacheScope.cachedUntilAction(outer)
+      inner.count()
+      // the outer owner's cache must survive inner's completed action
+      Thread.sleep(500)
+      assert(outer.storageLevel != StorageLevel.NONE,
+        "passthrough released a cache it does not own")
+    } finally {
+      outer.unpersist()
+    }
+  }
+
+  test("operator caches are action-scoped: no InMemoryRelation survives a completed minhash/bm25 query") {
+    spark.catalog.clearCache()
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon token$i"))
+      .toDF("doc_id", "text")
+    TextDedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8).count()
+    assert(eventually()(cacheEmpty), "minhashDedup leaked its hashed-shingle cache")
+    val queries = Seq((900L, "alpha beta")).toDF("qid", "qtext")
+    graft.text.Bm25.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", k = 5).count()
+    assert(eventually()(cacheEmpty), "bm25TopK leaked its postings cache")
+  }
+}
