@@ -2044,7 +2044,7 @@ object SparkEntry {
         |    md5(concat_ws(':', 'mix', CAST(doc_id AS VARCHAR))) AS hk
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_chars,
-        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |    COALESCE(SUM(GREATEST(n_chars, 0)) OVER (PARTITION BY source ORDER BY hk, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
         |  FROM h)
         |SELECT doc_id, source, n_chars FROM c
@@ -2102,7 +2102,7 @@ object SparkEntry {
          |  WHERE CAST(('0x' || substring(md5(concat_ws(':', 'tp12', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
          |    < CAST(FLOOR(LEAST(1.0, GREATEST(0.0, curation_quality)) * power(2, 60)) AS BIGINT)),
          |mixed AS (SELECT doc_id, source, curation_quality, curation_tokens FROM (
-         |  SELECT *, COALESCE(SUM(curation_tokens) OVER (
+         |  SELECT *, COALESCE(SUM(GREATEST(curation_tokens, 0)) OVER (
          |      PARTITION BY source
          |      ORDER BY md5(concat_ws(':', 'tp12mix', CAST(doc_id AS VARCHAR))), doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior

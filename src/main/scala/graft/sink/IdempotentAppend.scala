@@ -152,6 +152,11 @@ object IdempotentAppend {
     if (n > 0) {
       cached.write.mode(SaveMode.Overwrite).parquet(staging)
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      // Writer exclusion vs table maintenance (compact/update-schema
+      // snapshot-read -> swap): an append published during that window
+      // would be destroyed with the retired .old copy. Fail fast and
+      // retryable instead; staging stays for the retry.
+      graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
       val target = new Path(tablePath)
       if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
         throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")

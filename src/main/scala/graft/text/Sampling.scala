@@ -144,8 +144,14 @@ object Sampling {
     // keyCol as the secondary sort key makes the order total even in
     // the (astronomically unlikely) md5-collision case.
     val w = Window.partitionBy(stratumCol).orderBy(keyHash(keyCol, salt), keyCol)
+    // Weights clamp at zero: a negative weight (bad upstream token
+    // count) would make the running prior non-monotone, letting
+    // documents PAST the budget boundary slip back under it — the cut
+    // must be a prefix of the hash order, always. A clamped doc
+    // consumes no budget but is still eligible.
     val prior = coalesce(
-      sum(weightCol.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      sum(greatest(weightCol.cast("long"), lit(0L)))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     docs.withColumn("_prior_weight", prior)
       .filter(col("_prior_weight") < budget)

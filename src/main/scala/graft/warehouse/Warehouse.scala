@@ -195,7 +195,13 @@ object Warehouse {
         if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-      publishAtomic(spark, path, evolved)
+      // same writer-exclusion window as compact: the lazy `existing`
+      // reads the live files inside publishAtomic's write, so the lock
+      // spans the whole snapshot-read -> swap rewrite
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      MaintenanceLock.withLock(fs, path, "update-schema") {
+        publishAtomic(spark, path, evolved)
+      }
     }
     SchemaUpdate(spark.read.parquet(path).count(), added, retyped, dropped)
   }
@@ -212,7 +218,10 @@ object Warehouse {
     * ceil(totalBytes / targetFileBytes) partitions via the same
     * crash-safe [[publishAtomic]] swap the other rewrites use. A no-op
     * (no rewrite at all) when the table already has that few files.
-    * Row content is untouched — compaction is purely physical. */
+    * Row content is untouched — compaction is purely physical. The
+    * rewrite holds the table's [[MaintenanceLock]]: a concurrent
+    * append fails fast (and retries) instead of landing in the live
+    * copy after the snapshot read and dying with the retired `.old`. */
   def compact(
       spark: SparkSession,
       path: String,
@@ -229,9 +238,14 @@ object Warehouse {
     // mergeSchema: a table whose part-files span historical schemas
     // (the exact state updateSchema reconciles) must contribute every
     // column to the rewrite — a single-footer inferred schema would
-    // silently drop the other files' columns, permanently
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
-    publishAtomic(spark, path, df.repartition(want))
+    // silently drop the other files' columns, permanently.
+    // The lock covers snapshot-read -> swap: a concurrent append would
+    // otherwise land in the live copy after the read and die with .old
+    // (appends check the lock and fail fast instead).
+    MaintenanceLock.withLock(fs, path, "compact") {
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      publishAtomic(spark, path, df.repartition(want))
+    }
     val after = fs.listStatus(new Path(path))
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     CompactionResult(parts.length, after, spark.read.parquet(path).count())

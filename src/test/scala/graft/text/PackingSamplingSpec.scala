@@ -107,6 +107,24 @@ class PackingSamplingSpec extends SparkSpec {
     assert(one == Seq("s1", "s2"))
   }
 
+  test("tokenBudgetSample: negative weights clamp to zero — the cut stays a hash-order prefix") {
+    // A bad upstream token count must not make the running prior
+    // non-monotone: without the clamp, a doc AFTER the budget boundary
+    // can slip back under it. The law: negative weights behave exactly
+    // as if they were zero.
+    val noisy = (1L to 40L)
+      .map(i => (i, "s", if (i % 3 == 0) -1000L else 50L))
+      .toDF("doc_id", "source", "toks")
+    val clamped = noisy.withColumn("toks", greatest(col("toks"), lit(0L)))
+    def cut(df: org.apache.spark.sql.DataFrame): Set[Long] = Sampling
+      .tokenBudgetSample(df, col("doc_id"), col("source"), col("toks"),
+        Map("s" -> 300L), salt = "neg")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cut(noisy) == cut(clamped))
+    // and the boundary genuinely engaged (not a vacuous equality)
+    assert(cut(noisy).size < 40)
+  }
+
   test("weightedSample: endpoints, hand-computed 60-bit boundary, monotone in p") {
     val rows = (1L to 300L).map(i => (i, i / 300.0)).toDF("doc_id", "p")
     // p=1 keeps everything, p=0 keeps nothing

@@ -134,4 +134,33 @@ class WarehouseSpec extends SparkSpec {
     val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName).toSet
     assert(!parent.exists(n => n.endsWith(".new") || n.endsWith(".old")))
   }
+
+  test("maintenance lock: appends fail fast during maintenance; compact cleans up its lock") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.FileSystem
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = java.nio.file.Files.createTempDirectory("graft-lock")
+      .resolve("t").toString
+    (1 to 100).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(10).write.parquet(path)
+    // a held lock makes the single append choke point refuse, retryably
+    MaintenanceLock.withLock(fs, path, "test-maintenance") {
+      val batch = Seq((200L, "late")).toDF("id", "v")
+      val e = intercept[IllegalStateException] {
+        graft.sink.IdempotentAppend.atomicAppend(spark, batch, path)
+      }
+      assert(e.getMessage.contains("maintenance"))
+      // a second maintenance cannot claim the same table
+      intercept[IllegalStateException] {
+        MaintenanceLock.withLock(fs, path, "second") { fail("must not run") }
+      }
+    }
+    // lock released on exit: appends work again, compact locks and unlocks
+    assert(!MaintenanceLock.isLocked(fs, path))
+    assert(graft.sink.IdempotentAppend.atomicAppend(
+      spark, Seq((201L, "ok")).toDF("id", "v"), path) == 1L)
+    val r = Warehouse.compact(spark, path, targetFileBytes = 512L * 1024 * 1024)
+    assert(r.rows == 101)
+    assert(!MaintenanceLock.isLocked(fs, path))
+  }
 }
