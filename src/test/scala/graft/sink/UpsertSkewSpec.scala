@@ -1,0 +1,87 @@
+package graft.sink
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The upsert anti-join's skew story is AQE-delegated by design
+  * (IdempotentAppend scaladoc): no salting in the append path, because
+  * OptimizeSkewedJoin can split the LEFT side of a LeftAnti. This spec
+  * proves that delegation actually engages on the canonical hot-key
+  * fixture — a single-plant batch whose natural key hashes every row
+  * into one shuffle partition — instead of assuming it.
+  *
+  * Thresholds are lowered to make the test-scale shuffle (a few MB)
+  * cross the same relative bars a 100 TB shuffle crosses naturally;
+  * the property asserted is scale-free: no task reads more than 4× the
+  * median shuffle read, i.e. the hot key ran as parallel splits, not
+  * one straggler. */
+class UpsertSkewSpec extends SparkSpec {
+
+  private def withConf[T](entries: (String, String)*)(body: => T): T = {
+    val saved = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hot single-plant batch: AQE splits the skewed anti-join partition; no 4x straggler") {
+    val sc = spark.sparkContext
+    val pad = lit("x" * 64).as("payload")
+    // 200k rows, ONE plant: every row hashes to the same join-key
+    // partition. Existing table spans 100 other plants. Both sides go
+    // through parquet so the key is a data column (a literal key would
+    // constant-fold the join away), exactly like the real ingest path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    spark.range(0, 200000)
+      .select(lit(42L).as("plant_id"), col("id").as("ts"), pad)
+      .write.parquet(s"$dir/incoming")
+    spark.range(0, 2000)
+      .select((col("id") % 100 + 100).as("plant_id"), col("id").as("ts"), pad)
+      .write.parquet(s"$dir/existing")
+    val incoming = spark.read.parquet(s"$dir/incoming")
+    val existing = spark.read.parquet(s"$dir/existing")
+
+    val taskReads = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
+          taskReads.put(te.taskInfo.taskId, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      withConf(
+        // force the shuffled join (at scale the existing side is 100 TB
+        // and never broadcasts)
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // scale AQE's absolute skew bars down to the fixture's MBs; the
+        // factor-vs-median rule is untouched
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      ) {
+        val out = IdempotentAppend.newRows(incoming, existing, Seq("plant_id"))
+        assert(out.collect().length == 200000) // plant 42 absent from existing
+        val finalPlan = out.queryExecution.executedPlan.toString
+        assert(finalPlan.contains("skew=true"),
+          s"AQE did not mark the skewed join — final plan:\n$finalPlan")
+      }
+      // task-end events arrive asynchronously; wait for the flow to settle
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (taskReads.size != last && System.currentTimeMillis() < deadline) {
+        last = taskReads.size
+        Thread.sleep(300)
+      }
+      val reads = taskReads.values.toSeq.sorted
+      assert(reads.size >= 4, s"expected the hot partition split into parallel tasks, got ${reads.size}")
+      val median = reads(reads.size / 2)
+      assert(reads.max <= 4 * median,
+        s"straggler task: max=${reads.max} median=$median reads=$reads")
+    } finally sc.removeSparkListener(listener)
+  }
+}
