@@ -155,4 +155,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < 80) // both samplers actually cut
     assert(streamed.forall { case (_, s) => s >= 0 && s < 4 })
   }
+
+  test("serving tail is batch-only by design: corpus-order windows refuse on a stream") {
+    import graft.text.{Sampling, TrainOrder}
+    val in = Files.createTempDirectory("graft-stream-neg-in")
+    val out = Files.createTempDirectory("graft-stream-neg-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-neg-ckpt").toString
+    Files.writeString(in.resolve("a.jsonl"),
+      """{"doc_id":1,"text":"t","ts_ms":1000}""" + "\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+    def stream = spark.readStream.schema(schema).json(in.toString)
+    // `pos` (row_number per shard) and the token-budget prior are
+    // corpus-order quantities — they only exist once the corpus is
+    // final. The boundary is a fail-fast AnalysisException, never a
+    // silently wrong incremental answer (ARCHITECTURE.md "Streaming
+    // boundary"). shardOf (the stateless hash) IS stream-legal and is
+    // covered by the parity spec above.
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingIngest
+        .drainToParquet(TrainOrder.shardOrder(stream, col("doc_id"), 4, salt = "e"),
+          out, ckpt)
+        .awaitTermination()
+    }
+    assert(e1.getMessage.toLowerCase.contains("window"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingIngest
+        .drainToParquet(
+          Sampling.tokenBudgetSample(stream.withColumn("toks", lit(10L)),
+            col("doc_id"), lit("s"), col("toks"), Map("s" -> 100L)),
+          out, ckpt)
+        .awaitTermination()
+    }
+    assert(e2.getMessage.toLowerCase.contains("window"))
+  }
 }
