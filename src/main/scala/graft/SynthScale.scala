@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scaler for scale-drift benchmarking:
+  * `runMain graft.SynthScale <srcSfDir> <dstDir> [factor]` writes a
+  * factor-× replica of every table, built so data DENSITY stays
+  * constant and a per-query time ratio between the two scales
+  * measures the ENGINE's scaling exponent, not a data-shape change:
+  *
+  *   - fact ids shift by replica (join fan-out per key unchanged;
+  *     foreign keys shift consistently: lineitem↔orders↔customer)
+  *   - document text gets a per-replica word suffix — replica shingle
+  *     sets are disjoint, so the true near-dup pair count grows
+  *     linearly, not quadratically, with the factor
+  *   - embeddings rotate by the replica index — norm and coordinate
+  *     distribution preserved, cross-replica cosine decorrelated, so
+  *     the similarity workload density is constant
+  *   - dims (region/nation/part/supplier) copy unchanged, as in any
+  *     star-schema scale-up
+  *
+  * The output is a BENCH-only corpus (n_chars is recomputed for the
+  * suffixed text; no DuckDB oracle runs against it). */
+object SynthScale {
+  private val Off = 1000000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    require(factor >= 1 && factor <= 64, s"factor out of range: $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${Defaults.cpus}]")
+      .config("spark.sql.shuffle.partitions", Defaults.cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => per(df, i)).reduce(_ unionByName _)
+
+    Seq("region", "nation", "part", "supplier").foreach(n => write(tbl(n), n))
+
+    write(replicate(tbl("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * Off))
+    }, "customer")
+
+    write(replicate(tbl("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
+    }, "orders")
+
+    write(replicate(tbl("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Off))
+    }, "lineitem")
+
+    write(replicate(tbl("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off))
+    }, "events")
+
+    write(replicate(tbl("documents")) { (df, i) =>
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1_" + i)
+      df.withColumn("doc_id", col("doc_id") + lit(i * Off))
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    write(replicate(tbl("embeddings")) { (df, i) =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), i + 1, 10000),
+          slice(col("embedding"), 1, i))
+      df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+        .withColumn("embedding", rotated.cast("array<float>"))
+    }, "embeddings")
+
+    println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
+    spark.stop()
+  }
+}
