@@ -32,6 +32,16 @@ import org.apache.spark.storage.StorageLevel
   * owner keeps its lifetime. */
 object CacheScope {
 
+  /** Cache unless the plan is already cached; `owned` tells the caller
+    * whether the unpersist duty is theirs. For the eager
+    * cache → act → unpersist methods: re-caching an already-cached
+    * plan warns and double-counts ownership (the classic case is
+    * atomicAppend receiving the frame appendNew already cached for its
+    * count). */
+  def acquire(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel != StorageLevel.NONE) (df, false)
+    else (df.cache(), true)
+
   def cachedUntilAction(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else {

@@ -85,7 +85,7 @@ object IdempotentAppend {
       timeCol: Option[String] = Some("timestamp_ms"),
       incomingCount: Option[Long] = None,
   ): UpsertResult = {
-    val cached = batch.cache()
+    val (cached, owned) = graft.quality.CacheScope.acquire(batch)
     val batchCount = cached.count()
     val incoming = incomingCount.getOrElse(batchCount)
 
@@ -115,7 +115,7 @@ object IdempotentAppend {
       }
 
     val insertedCount = atomicAppend(spark, toInsert, tablePath)
-    cached.unpersist()
+    if (owned) cached.unpersist()
     UpsertResult(incoming, insertedCount, incoming - insertedCount)
   }
 
@@ -147,7 +147,10 @@ object IdempotentAppend {
     * (staging dirs are never read as table data). */
   def atomicAppend(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
     val staging = tablePath.stripSuffix("/") + s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    val cached = df.cache()
+    // acquire, not cache(): on a fresh table appendNew hands us the
+    // frame it already cached for its own count — re-caching would
+    // warn and unpersisting here would yank its cache mid-method
+    val (cached, owned) = graft.quality.CacheScope.acquire(df)
     val n = cached.count()
     if (n > 0) {
       cached.write.mode(SaveMode.Overwrite).parquet(staging)
@@ -171,7 +174,7 @@ object IdempotentAppend {
       }
       fs.delete(new Path(staging), true)
     }
-    cached.unpersist()
+    if (owned) cached.unpersist()
     n
   }
 
