@@ -68,11 +68,12 @@ object SkewTelemetry {
               last = Some(ev)
               if (ev.oversizedBuckets > 0) {
                 log.warn(
-                  s"$name: ${ev.oversizedBuckets} oversized bucket(s), " +
+                  s"$name: ${ev.oversizedBuckets} oversized group(s), " +
                     s"largest ${ev.maxBucketSize} members; routed through the linear " +
                     s"representative path, declining ${ev.skippedPairs} candidate pair(s). " +
-                    "Raise maxBucketSize for exact all-pairs semantics on these buckets, " +
-                    "or widen banding to shrink buckets.")
+                    "Raise the operator's size cap for exact all-pairs semantics on " +
+                    "these groups, or re-partition the space (wider banding / more " +
+                    "centroids) to shrink them.")
               }
             }
           }

@@ -491,10 +491,21 @@ object Similarity {
       sized.filter(col("_csize") <= maxClusterSize), idCol, vecCol, "_cid", threshold)
       .select(col("id_b").as(idCol))
     // Oversized clusters: linear min-id representative — one verified
-    // candidate per member, never B² pairs on a hot key.
+    // candidate per member, never B² pairs on a hot key. The
+    // fall-through is observable, not silent: cluster count / max size
+    // / declined pair count ride the reps aggregate as an observe()
+    // metric (one row per oversized cluster, zero extra jobs) and are
+    // logged by SkewTelemetry after the action.
+    graft.quality.SkewTelemetry.ensureRegistered(df.sparkSession)
     val big = sized.filter(col("_csize") > maxClusterSize)
     val reps = big.groupBy(col("_cid"))
-      .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"))
+      .agg(min_by(struct(col(idCol), col(vecCol)), col(idCol)).as("_rep"),
+        max(col("_csize")).as("_csz"))
+      .observe(graft.quality.SkewTelemetry.nextMetricName("semdedup"),
+        count(lit(1)).as("oversized_clusters"),
+        coalesce(max(col("_csz")), lit(0L)).as("max_cluster_size"),
+        coalesce(sum(shiftright((col("_csz") - 1) * (col("_csz") - 2), 1)), lit(0L))
+          .as("skipped_pairs"))
       .select(col("_cid"),
         col(s"_rep.$idCol").as("_rep_id"), col(s"_rep.$vecCol").as("_rep_vec"))
     val losersBig = big.join(reps, Seq("_cid"))

@@ -252,10 +252,24 @@ class SimilaritySpec extends SparkSpec {
     }
     val df = rows.toDF("vec_id", "embedding", "label")
     val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+    graft.quality.SkewTelemetry.reset()
     val out = Similarity
       .semDedup(df, "vec_id", "embedding", cents, 0.9, maxClusterSize = 64)
       .select("vec_id").as[Long].collect().toSet
     assert(out == Set(0L, 1L)) // min id of each cluster
+    // the fall-through is observable: both oversized clusters are
+    // counted and the declined pair volume is reported (async listener)
+    val deadline = System.currentTimeMillis() + 15000
+    var ev = graft.quality.SkewTelemetry.lastEvent
+    while (ev.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ev = graft.quality.SkewTelemetry.lastEvent
+    }
+    assert(ev.nonEmpty, "no skew observation arrived within 15s")
+    assert(ev.get.metric.contains("semdedup"))
+    assert(ev.get.oversizedBuckets == 2)
+    assert(ev.get.maxBucketSize == 1600)
+    assert(ev.get.skippedPairs > 0)
   }
 
   test("seedCentroids: deterministic id-ordered selection, cap applies") {
