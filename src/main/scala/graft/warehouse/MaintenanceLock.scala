@@ -59,8 +59,13 @@ object MaintenanceLock {
     }
   }
 
-  /** Run `body` holding the table's maintenance lock; always releases
-    * on exit. Fails fast if another maintenance holds it. */
+  /** Run `body` holding the table's maintenance lock. Releases on
+    * SUCCESS only: a failed rewrite can leave `.old` as the table's
+    * only complete copy, and releasing then would let appends run
+    * against (and mkdir over) a broken table — the lock stays held so
+    * every writer keeps refusing until the state is triaged, exactly
+    * the crash story above. Fails fast if another maintenance holds
+    * it. */
   def withLock[T](fs: FileSystem, tablePath: String, op: String)(body: => T): T = {
     val p = lockPath(tablePath)
     // create(..., overwrite = false) is the atomic claim: exactly one
@@ -75,8 +80,9 @@ object MaintenanceLock {
       }
     try out.write(s"$op ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    try body
-    finally release(fs, tablePath)
+    val result = body // a throw here keeps the lock — see scaladoc
+    release(fs, tablePath)
+    result
   }
 
   def release(fs: FileSystem, tablePath: String): Unit = {

@@ -163,4 +163,22 @@ class WarehouseSpec extends SparkSpec {
     assert(r.rows == 101)
     assert(!MaintenanceLock.isLocked(fs, path))
   }
+
+  test("maintenance lock survives a failed rewrite: writers keep refusing until triage") {
+    import org.apache.hadoop.fs.FileSystem
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = java.nio.file.Files.createTempDirectory("graft-lock-fail")
+      .resolve("t").toString
+    // a failed body may have left .old as the only complete copy —
+    // the lock must stay held, not auto-release
+    val e = intercept[RuntimeException] {
+      MaintenanceLock.withLock(fs, path, "failing-rewrite") {
+        throw new RuntimeException("rewrite failed mid-swap")
+      }
+    }
+    assert(e.getMessage.contains("mid-swap"))
+    assert(MaintenanceLock.isLocked(fs, path))
+    MaintenanceLock.release(fs, path)
+    assert(!MaintenanceLock.isLocked(fs, path))
+  }
 }
