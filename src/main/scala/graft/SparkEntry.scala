@@ -1424,6 +1424,7 @@ object SparkEntry {
   private val NearDupThreshold = 0.9
   private val MinhashMinAgree = // mirror of TextDedup.nearDupPairsOfHashed
     math.max(0, math.ceil((NearDupThreshold - 0.25) * MinhashH).toInt)
+  private val MinhashMaxBucket = text.TextDedup.DefaultMaxBucketSize
   private val PermASql = hlist((0 until MinhashH).map(GHash.permA))
   private val PermBSql = hlist((0 until MinhashH).map(GHash.permB))
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
@@ -1471,11 +1472,25 @@ object SparkEntry {
     * the all-pairs MinHash ops (a pair is a candidate iff some band's
     * slices FULLY agree, which is exactly BucketPairs' first-agreeing-
     * band emission condition). */
+  /** LSH candidate set with the bucket-size gate replicated: a pair's
+    * first fully-agreeing band is MIN(band) over its slice collisions;
+    * the pair is a candidate if THAT band's bucket is at or under
+    * [[graft.text.TextDedup.DefaultMaxBucketSize]] (all-pairs branch)
+    * or if its smaller id IS the bucket's min-id representative
+    * (linear branch) — byte-for-byte the kernel gate, so the oracle
+    * stays green even on a corpus with a hot bucket. */
   private val BandSliceCte =
     s"""bands AS (SELECT rep_id, band, array_slice(sig, band*$MinhashRpb+1, band*$MinhashRpb+$MinhashRpb) AS bslice
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS band) b),
-       |cand AS (SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bslice = b.bslice AND a.rep_id < b.rep_id)""".stripMargin
+       |bsizes AS (SELECT band, bslice, COUNT(*) AS bsz, MIN(rep_id) AS bmin
+       |  FROM bands GROUP BY band, bslice),
+       |coll AS (SELECT a.rep_id AS ra, b.rep_id AS rb, MIN(a.band) AS fb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bslice = b.bslice AND a.rep_id < b.rep_id
+       |  GROUP BY a.rep_id, b.rep_id),
+       |cand AS (SELECT c.ra, c.rb FROM coll c
+       |  JOIN bands ab ON ab.rep_id = c.ra AND ab.band = c.fb
+       |  JOIN bsizes s ON s.band = c.fb AND s.bslice = ab.bslice
+       |  WHERE s.bsz <= $MinhashMaxBucket OR c.ra = s.bmin)""".stripMargin
 
   /** Rep pairs surviving the minAgree prefilter + exact-jaccard verify
     * — the output pair set of nearDupPairsOfHashed. */
@@ -1524,9 +1539,15 @@ object SparkEntry {
   /** Where the v7 query persists its fitted KMeans centroids — a fixed
     * path (not a scratchDir) so the static oracle SQL can read_parquet
     * the same files after Verify has run. k×dim doubles round-trip
-    * parquet exactly, so the replay is bit-identical to v4's. */
+    * parquet exactly, so the replay is bit-identical to v4's.
+    * User-suffixed so two users on one host never collide on /tmp
+    * permissions. Single-flow assumption (the driver's contract): the
+    * oracle replays the LAST Verify run's centroids — running Verify
+    * at corpus A, then checking a stale dump from corpus B against it,
+    * reads A's centroids; re-run Verify for the corpus being checked. */
   private val v7CentroidsPath =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_v7_centroids").toString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_v7_centroids_${System.getProperty("user.name", "anon")}").toString
 
   /** Unrounded cosine of two FLOAT[] expressions (CosineSimilarity
     * replay — same double arithmetic as the v1/v2 oracles). */

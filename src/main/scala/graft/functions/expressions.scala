@@ -436,6 +436,7 @@ case class BucketRepPairs(
     val band = b.asInstanceOf[Int]
     val minAgree = a.asInstanceOf[Int]
     val n = members.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val ids = new Array[Long](n)
     val sigs = new Array[ArrayData](n)
     var repIdx = 0

@@ -1,6 +1,5 @@
 package graft.quality
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
@@ -39,7 +38,12 @@ object SkewTelemetry {
   val MetricPrefix = "graft_skew_"
 
   private val callSeq = new AtomicLong(0)
-  private val registered = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: the registry must not pin discarded sessions
+  // (session-per-job services) in memory forever; the listener itself
+  // captures no session reference, so the session stays collectable.
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   @volatile private var last: Option[SkewEvent] = None
 
   /** Most recent skew observation in this JVM (None until a gated

@@ -86,6 +86,7 @@ object IdempotentAppend {
       incomingCount: Option[Long] = None,
   ): UpsertResult = {
     val (cached, owned) = graft.quality.CacheScope.acquire(batch)
+    try {
     val batchCount = cached.count()
     val incoming = incomingCount.getOrElse(batchCount)
 
@@ -115,8 +116,10 @@ object IdempotentAppend {
       }
 
     val insertedCount = atomicAppend(spark, toInsert, tablePath)
-    if (owned) cached.unpersist()
     UpsertResult(incoming, insertedCount, incoming - insertedCount)
+    // finally, not a tail call: a lock-refused (or failed) append must
+    // not leak the batch's InMemoryRelation for the session lifetime
+    } finally if (owned) cached.unpersist()
   }
 
   /** Full upsert: in-batch first-wins dedup, anti-join against the
@@ -151,31 +154,44 @@ object IdempotentAppend {
     // frame it already cached for its own count — re-caching would
     // warn and unpersisting here would yank its cache mid-method
     val (cached, owned) = graft.quality.CacheScope.acquire(df)
-    val n = cached.count()
-    if (n > 0) {
-      cached.write.mode(SaveMode.Overwrite).parquet(staging)
-      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      // Writer exclusion vs table maintenance (compact/update-schema
-      // snapshot-read -> swap): an append published during that window
-      // would be destroyed with the retired .old copy. Fail fast and
-      // retryable instead; staging stays for the retry.
-      graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
-      val target = new Path(tablePath)
-      if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
-        throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")
-      }
-      val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
-      parts.foreach { p =>
-        val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
-        if (!fs.rename(p.getPath, dst)) {
-          throw new java.io.IOException(
-            s"atomicAppend: rename ${p.getPath} -> $dst failed; staging left at $staging")
+    try {
+      val n = cached.count()
+      if (n > 0) {
+        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        // Writer exclusion vs table maintenance (compact/update-schema
+        // snapshot-read -> swap): an append published during that
+        // window would be destroyed with the retired .old copy. Fail
+        // fast and retryable instead. Checked BEFORE the staging write
+        // (a refused append should not leave a full batch copy on
+        // disk) and re-checked before the publish renames to narrow
+        // the advisory race window.
+        graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+        cached.write.mode(SaveMode.Overwrite).parquet(staging)
+        // lock-refusal here is clean to retry from scratch — drop the
+        // staged copy instead of leaking it (rename FAILURES below
+        // still keep staging for inspection, that path is I/O damage)
+        try graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+        catch {
+          case e: IllegalStateException =>
+            fs.delete(new Path(staging), true)
+            throw e
         }
+        val target = new Path(tablePath)
+        if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
+          throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")
+        }
+        val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
+        parts.foreach { p =>
+          val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
+          if (!fs.rename(p.getPath, dst)) {
+            throw new java.io.IOException(
+              s"atomicAppend: rename ${p.getPath} -> $dst failed; staging left at $staging")
+          }
+        }
+        fs.delete(new Path(staging), true)
       }
-      fs.delete(new Path(staging), true)
-    }
-    if (owned) cached.unpersist()
-    n
+      n
+    } finally if (owned) cached.unpersist()
   }
 
   /** D4: true merge for the (small) extraction-metadata table —

@@ -191,15 +191,20 @@ object Warehouse {
     if (added.nonEmpty || retyped.nonEmpty ||
       existing.schema.fieldNames.toSeq != declared.fieldNames.toSeq) {
       import org.apache.spark.sql.functions.{col, lit}
-      val evolved = existing.select(declared.fields.map { f =>
-        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toIndexedSeq: _*)
-      // same writer-exclusion window as compact: the lazy `existing`
-      // reads the live files inside publishAtomic's write, so the lock
-      // spans the whole snapshot-read -> swap rewrite
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       MaintenanceLock.withLock(fs, path, "update-schema") {
+        // The snapshot read happens INSIDE the lock: `spark.read`
+        // lists the table's part-files eagerly, so a frame built from
+        // the inspection read above would be blind to rows a
+        // concurrent append landed since — and publishAtomic would
+        // destroy them with the retired .old. Re-list fresh under
+        // writer exclusion, then rewrite.
+        val fresh = spark.read.option("mergeSchema", "true").parquet(path)
+        val freshHave = fresh.schema.fields.map(f => f.name -> f.dataType).toMap
+        val evolved = fresh.select(declared.fields.map { f =>
+          if (freshHave.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
         publishAtomic(spark, path, evolved)
       }
     }
