@@ -1,7 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
+
+/** Benchmark harness with an interleaved-round methodology.
+  *
+  * Round-6 post-mortem: the same HEAD measured 52.2–64.9 s at sf0.1
+  * across runs — a ±12% spread larger than any real per-query delta,
+  * driven by JIT/first-touch/contention noise landing on whichever
+  * query ran first (td5 measured 2.57 s at sf0.1 but 0.296 s at sf1 on
+  * 10× the data). The old per-query min-of-3-ADJACENT design could not
+  * absorb that: a stall spanning three back-to-back runs of one query
+  * poisons all three samples.
+  *
+  * The fix is structural:
+  *   - fixed (sorted) query order, so every run visits the suite
+  *     identically;
+  *   - a whole-suite warm-up at sf0.001 (JIT/codegen) and then ONE
+  *     untimed whole-suite pass at the measured scale (page cache,
+  *     AQE statistics, broadcast builds, thread-pool inflation);
+  *   - R ≥ 3 timed ROUNDS, each visiting every query once — the k
+  *     samples for a query are separated by a full suite pass, so a
+  *     transient stall lands on at most one of them; per-query time is
+  *     the min across rounds;
+  *   - a printed dispersion stat over the best-3 round totals;
+  *     spread > 5% triggers extra rounds (up to 6 total) and, if still
+  *     unconverged, marks the line "dispersion_ok":false — the number
+  *     is then NOT authoritative and must not adjudicate a regression.
+  *
+  * Scale-bench gating: v2/v5/td2 are the documented brute-force exact
+  * baselines for the LSH/banded scale paths (quadratic by definition,
+  * ARCHITECTURE.md scale appendix). At scale factor ≥ 1 (the synthetic
+  * sf1 corpus) they are skipped — LOUDLY, listed in the JSON — so the
+  * scale headline measures the designed scale paths, not a quadratic
+  * everyone already understands. The sf0.1 driver suite is unchanged.
+  */
 object Bench {
+
+  /** Exact-baseline queries: kept in the correctness suite and the
+    * sf0.1 bench, skipped (listed, never silent) at scale ≥ sf1. */
+  val baselineOnly: Set[String] =
+    Set("v2_cosine_pairs", "v5_embed_dedup", "td2_ngram_jaccard")
+
+  /** Scale factor parsed from the corpus dir name ("sf0.1" → 0.1,
+    * "sf1" → 1.0); unknown names conservatively bench everything. */
+  def scaleFactorOf(sfDir: String): Option[Double] =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(
+      new java.io.File(sfDir).getName)
+      .map(_.group(1).toDouble)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Defaults.cpus
@@ -18,66 +64,108 @@ object Bench {
       // are small enough that losing parallelism hurts more than task
       // overhead. Keep Spark's default.)
       // The periodic full GC that drives ContextCleaner reclamation
-      // must NOT fire inside the timed phase: a System.gc() on this
-      // heap pauses multi-seconds and lands on whichever query is
-      // running (observed: +8 s on a 1 s query). The timed phase is
-      // well under this interval, so reclamation happens exactly once
-      // — in the explicit post-warmup System.gc() below.
+      // must NOT fire inside a timed round: a System.gc() on this heap
+      // pauses multi-seconds and lands on whichever query is running
+      // (observed: +8 s on a 1 s query). Reclamation happens only at
+      // the explicit untimed round boundaries below.
       .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup at the smallest scale factor: first executions in a fresh
-    // JVM pay JIT/codegen compilation (interpreted Catalyst eval is
-    // ~50-100x slower pre-C2), which is startup cost, not workload.
+
+    val skipAtScale = scaleFactorOf(sfDir).exists(_ >= 1.0)
+    val order = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => skipAtScale && baselineOnly(n))
+    val skipped =
+      if (skipAtScale) SparkEntry.queries.keys.toSeq.sorted.filter(baselineOnly)
+      else Seq.empty
+    if (skipped.nonEmpty)
+      System.err.println(
+        s"[bench] scale factor >= 1: skipping documented brute-force " +
+          s"baselines ${skipped.mkString(", ")} (exact references for the " +
+          s"LSH/banded scale paths; quadratic by definition)")
+
+    def runOnce(name: String): Unit = {
+      // noop sink, NOT count(): count() lets Catalyst prune every
+      // projected expression, so a projection-only query would "time"
+      // nothing but the scan — the noop write evaluates every output
+      // column (same work Verify's parquet dump measures) without I/O.
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      } catch { case NonFatal(_) => () }
+      // Operators may cache multi-consumer intermediates internally;
+      // drop them between queries so one query's working set never
+      // lands on another's measurement.
+      spark.catalog.clearCache()
+    }
+
+    // Phase 1 — JIT/codegen warm-up at the smallest scale factor:
+    // first executions in a fresh JVM pay interpreted-Catalyst +
+    // compilation cost (~50-100× slower pre-C2), which is startup
+    // cost, not workload.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case NonFatal(_) => () }
+      order.foreach { name =>
+        try {
+          SparkEntry.queries(name)(spark, warmDir)
+            .write.mode("overwrite").format("noop").save()
+        } catch { case NonFatal(_) => () }
       }
-    }
-    // Reclaim pre-timing broadcasts/shuffles unconditionally — with
-    // periodicGC pushed past the run length this is the ONE GC-driven
-    // ContextCleaner sweep, so it must happen on the no-warmup path too.
-    spark.catalog.clearCache()
-    System.gc()
-    Thread.sleep(2000)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // One UNTIMED execution at the benchmark scale first: the
-      // sf0.001 warmup above covers JIT/codegen, but data-dependent
-      // state (page cache for these exact files, AQE statistics,
-      // broadcast builds, thread-pool inflation for the larger task
-      // counts) only materializes at the measured scale — round 3/4
-      // showed min-of-2 without it swinging >2x on identical code
-      // (tp2 2.37 -> 5.11 s), which is environment, not workload.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
-      // Then three timed executions, report the min: a transient
-      // stall (CPU contention, page cache miss, GC) lands on one run,
-      // not all — min-of-k measures the workload, not the
-      // environment. State is safe: lifecycle queries use fresh temp
-      // dirs per invocation.
-      val dt = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink, NOT count(): count() lets Catalyst prune every
-        // projected expression, so a projection-only query would
-        // "time" nothing but the scan — the noop write evaluates every
-        // output column (same work Verify's parquet dump measures)
-        // without I/O.
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case NonFatal(_) => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Operators may cache multi-consumer intermediates internally;
-        // drop them between runs (outside the timed window) so one
-        // run's working set never lands on another's measurement.
-        spark.catalog.clearCache()
-        t
-      }.min
-      name -> dt
     }
-    val (line, fullJson) = renderLines(results, sfDir)
+
+    // Phase 2 — ONE untimed whole-suite pass at the measured scale:
+    // sf0.001 covers JIT, but data-dependent state (page cache for
+    // these exact files, AQE statistics, broadcast builds, thread-pool
+    // inflation for the larger task counts) only materializes here.
+    // Round 3/4 showed timing without it swings >2× on identical code.
+    order.foreach(runOnce)
+
+    def roundBoundary(): Unit = {
+      // The ONE GC-driven ContextCleaner sweep per round, at an
+      // untimed boundary, so accumulated broadcast/shuffle state from
+      // round N never pauses a query in round N+1.
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(2000)
+    }
+    roundBoundary()
+
+    // Phase 3 — timed interleaved rounds.
+    val minRounds = 3
+    val maxRounds = 6
+    val maxSpreadPct = 5.0
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def bestSpreadPct(): Double = {
+      val totals = rounds.map(_.values.sum).sorted.take(minRounds)
+      if (totals.size < 2 || totals.head <= 0) 0.0
+      else (totals.last - totals.head) / totals.head * 100.0
+    }
+    var r = 0
+    while (r < minRounds || (r < maxRounds && bestSpreadPct() > maxSpreadPct)) {
+      val times = order.map { name =>
+        val t0 = System.nanoTime()
+        runOnce(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      rounds += times
+      r += 1
+      System.err.println(
+        f"[bench] round $r/${maxRounds} total ${times.values.sum}%.3f s" +
+          (if (r >= minRounds) f", best-3 spread ${bestSpreadPct()}%.2f%%" else ""))
+      if (r < maxRounds) roundBoundary()
+    }
+
+    // Per-query time = min across rounds: the samples are non-adjacent
+    // (separated by a full suite pass), so a transient stall (CPU
+    // contention, page-cache miss, GC) can poison at most one of them.
+    val results: Map[String, Double] =
+      order.map(n => n -> rounds.map(_(n)).min).toMap
+    val spread = bestSpreadPct()
+
+    val (line, fullJson) =
+      renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct, skipped)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -89,26 +177,42 @@ object Bench {
   /** (printed stdout line, BENCH_FULL.json content).
     *
     * The harness that invokes this main captures only a bounded tail of
-    * stdout (~2 KB) and parses the JSON line out of it. With 90 queries
-    * at full double precision the line exceeds that window and the
-    * start of the JSON gets truncated away — so the printed line must
-    * stay short: 3-decimal times, slowest 30 queries inline, the rest
-    * folded into other_sec/other_n. The complete per-query map goes to
-    * BENCH_FULL.json on disk. BenchSpec pins the size bound. */
-  def renderLines(results: Map[String, Double], sfDir: String): (String, String) = {
+    * stdout (~2 KB) and parses the JSON line out of it. With 100+
+    * queries at full double precision the line exceeds that window and
+    * the start of the JSON gets truncated away — so the printed line
+    * must stay short: 3-decimal times, slowest 30 queries inline, the
+    * rest folded into other_sec/other_n. The complete per-query map,
+    * per-round provenance and skip list go to BENCH_FULL.json on disk.
+    * BenchSpec pins the size bound.
+    *
+    * `dispersion_ok:false` means the best-3 round totals still spread
+    * > 5% after 6 interleaved rounds: the environment was too noisy
+    * and this number must NOT adjudicate a regression — rerun
+    * exclusively. */
+  def renderLines(
+      results: Map[String, Double],
+      sfDir: String,
+      nRounds: Int = 0,
+      spreadPct: Double = 0.0,
+      dispersionOk: Boolean = true,
+      skipped: Seq[String] = Seq.empty): (String, String) = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = results.toSeq.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(30)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val meth =
+      s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,"queries":$qs,""" +
         s""""other_sec":${f3(rest.map(_._2).sum)},"other_n":${rest.size},"sf":"$sfDir"}"""
     val full = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,""" +
+        s""""skipped_baseline":$skippedJson,"queries":$full,"sf":"$sfDir"}"""
     (line, fullJson)
   }
 }

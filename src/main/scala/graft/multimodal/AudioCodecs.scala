@@ -39,15 +39,55 @@ object AudioCodec {
   )
 }
 
-/** Real WAV (RIFF PCM) codec on `javax.sound.sampled`. Supports the
-  * 16-bit signed PCM profile that synthesized fixtures and the
-  * overwhelming majority of real WAV corpora use; anything the JDK
-  * parser rejects (or non-16-bit streams) returns None and flows to
-  * the caller's stub fallback.
+/** Real WAV (RIFF PCM) codec. The hot path is a direct RIFF chunk
+  * parse ([[RiffPcm]]) for the 16-bit little-endian PCM profile that
+  * synthesized fixtures and the overwhelming majority of real WAV
+  * corpora use: `javax.sound`'s `AudioSystem.getAudioInputStream`
+  * costs ~110 µs/record in SPI provider lookup alone (measured,
+  * ARCHITECTURE.md scale appendix) — 5× the image path's entire
+  * per-record decode — which dominates any real audio corpus. The
+  * javax path remains as the fallback for everything the fast parser
+  * declines (AIFF/AU containers, big-endian or non-16-bit streams),
+  * so the accepted format set only grows. Payloads neither parser
+  * accepts return None and flow to the caller's stub fallback.
   */
 final class WavCodec extends AudioCodec {
 
   override def decode(payload: Array[Byte]): Option[AudioCodec.Decoded] =
+    RiffPcm.parse(payload) match {
+      case Some(c) =>
+        // Identical arithmetic to the javax path below: the "bytes"
+        // there are exactly this data chunk, so rms/peak/nFrames agree
+        // bit-for-bit and the DuckDB oracle replay is unaffected.
+        val frameSize = c.channels * 2
+        val nSamples = c.dataLen / 2
+        var i = 0
+        var sumSq = 0.0
+        var peak = 0
+        while (i < nSamples) {
+          val lo = payload(c.dataOff + 2 * i) & 0xff
+          val hi = payload(c.dataOff + 2 * i + 1)
+          val v = (hi << 8) | lo // sign-extended via hi byte
+          sumSq += v.toDouble * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val nFrames = (c.dataLen / frameSize).toLong
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+        Some(AudioCodec.Decoded(
+          sampleRate = c.sampleRate,
+          channels = c.channels,
+          bitDepth = 16,
+          nFrames = nFrames,
+          durationMs = nFrames * 1000.0 / c.sampleRate,
+          rms = rms,
+          peak = peak,
+        ))
+      case None => decodeJavax(payload)
+    }
+
+  private def decodeJavax(payload: Array[Byte]): Option[AudioCodec.Decoded] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
@@ -92,6 +132,19 @@ final class WavCodec extends AudioCodec {
 
   override def decimate(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
     require(factor > 0, s"decimation factor must be positive: $factor")
+    RiffPcm.parse(payload) match {
+      case Some(c) =>
+        val frameSize = c.channels * 2
+        val nFrames = c.dataLen / frameSize
+        val kept = (nFrames + factor - 1) / factor
+        val outRate = c.sampleRate / factor
+        Some(WavCodec.writeWav(outRate, c.channels, kept, (f, buf, off) =>
+          System.arraycopy(payload, c.dataOff + f * factor * frameSize, buf, off, frameSize)))
+      case None => decimateJavax(payload, factor)
+    }
+  }
+
+  private def decimateJavax(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
@@ -113,6 +166,58 @@ final class WavCodec extends AudioCodec {
       case _: UnsupportedAudioFileException => None
       case _: java.io.IOException           => None
     }
+}
+
+/** Direct RIFF/WAVE chunk walker for the 16-bit little-endian signed
+  * PCM profile — the zero-allocation replacement for the per-record
+  * `AudioSystem` SPI provider lookup. Anything outside that profile
+  * (non-RIFF container, compressed/extensible format codes, other bit
+  * depths, malformed or truncated headers) returns None and the caller
+  * falls back to javax, so this parser only ever needs to be RIGHT,
+  * never complete. */
+private[multimodal] object RiffPcm {
+
+  /** fmt + data chunk facts needed to decode in place: the data chunk
+    * is payload(dataOff until dataOff + dataLen). */
+  final case class Chunks(sampleRate: Int, channels: Int, dataOff: Int, dataLen: Int)
+
+  def parse(b: Array[Byte]): Option[Chunks] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int, s: String): Boolean =
+      b(o) == s.charAt(0) && b(o + 1) == s.charAt(1) &&
+        b(o + 2) == s.charAt(2) && b(o + 3) == s.charAt(3)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    // Chunks are word-aligned: an odd-sized chunk carries a pad byte.
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val size = u32(off + 4)
+      if (size > Int.MaxValue - 8 || off + 8 + size > b.length) return None
+      if (tag(off, "fmt ")) {
+        if (size < 16) return None
+        val formatCode = u16(off + 8)
+        channels = u16(off + 10)
+        sampleRate = u32(off + 12).toInt
+        val bits = u16(off + 22)
+        // format code 1 = integer PCM; 0xFFFE (extensible) and
+        // compressed codes go to javax, as do non-16-bit streams.
+        fmtOk = formatCode == 1 && bits == 16 && channels > 0 && sampleRate > 0
+        if (!fmtOk) return None
+      } else if (tag(off, "data")) {
+        dataOff = off + 8
+        dataLen = size.toInt
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmtOk && dataOff >= 0) Some(Chunks(sampleRate, channels, dataOff, dataLen))
+    else None
   }
 }
 

@@ -17,15 +17,40 @@ class BenchSpec extends AnyFunSuite {
 
   test("printed bench line stays under 1 KB regardless of query-map growth") {
     // worst realistic shape: every registered query with a slow time
-    // (7+ chars each formatted) plus a long sf dir
+    // (7+ chars each formatted) plus a long sf dir and full methodology
     val results = SparkEntry.queries.keys.map(k => k -> 123.456).toMap
-    val (line, _) = Bench.renderLines(results, "/root/testdata/sf0.1")
+    val (line, _) =
+      Bench.renderLines(results, "/root/testdata/sf0.1", 6, 12.345, false,
+        Bench.baselineOnly.toSeq.sorted)
     assert(line.length < 1024, s"bench line is ${line.length} B; driver tail-capture is ~2 KB")
     assert(!line.contains("\n"))
     // and it still carries the contract fields the driver parses
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.contains(""""queries":{"""))
     assert(line.contains(""""other_sec":"""))
+    // plus the round-7 methodology fields the spread gate reads
+    assert(line.contains(""""rounds":6"""))
+    assert(line.contains(""""spread_pct":12.345"""))
+    assert(line.contains(""""dispersion_ok":false"""))
+  }
+
+  test("scale factor parses from the corpus dir name") {
+    assert(Bench.scaleFactorOf("/root/testdata/sf0.1").contains(0.1))
+    assert(Bench.scaleFactorOf("/root/testdata/sf0.001").contains(0.001))
+    assert(Bench.scaleFactorOf("/tmp/graft-sf1").contains(1.0))
+    assert(Bench.scaleFactorOf("/tmp/sf10").contains(10.0))
+    assert(Bench.scaleFactorOf("/tmp/some-corpus").isEmpty)
+  }
+
+  test("baseline-only queries are real, registered, and listed in the full JSON when skipped") {
+    // the gate must reference live query names — a rename that orphans
+    // the set would silently stop skipping anything at scale
+    assert(Bench.baselineOnly.subsetOf(SparkEntry.queries.keySet))
+    val results = Map("v3_lsh_topk" -> 1.0)
+    val (_, full) =
+      Bench.renderLines(results, "/tmp/sf1", 3, 1.0, true,
+        Bench.baselineOnly.toSeq.sorted)
+    assert(full.contains(""""skipped_baseline":["td2_ngram_jaccard","v2_cosine_pairs","v5_embed_dedup"]"""))
   }
 
   test("exactly one unpartitioned Window.orderBy site in main sources (w2_mom_delta)") {
