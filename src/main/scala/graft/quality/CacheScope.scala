@@ -1,6 +1,6 @@
 package graft.quality
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
@@ -27,9 +27,21 @@ import org.apache.spark.storage.StorageLevel
   * or failure. Re-running the returned frame afterwards recomputes
   * instead of reading the cache — correct, just unscoped — so this is
   * for single-materialization operator internals, not for frames a
-  * caller iterates over. A frame the caller never materializes keeps
-  * its (unfilled) cache entry until `clearCache()` — same hygiene as
-  * any abandoned cache.
+  * caller iterates over. A frame the caller never materializes is
+  * reclaimed too: after [[MaxUnconsumedCompletions]] unrelated query
+  * completions the listener gives up waiting, unpersists the (unfilled)
+  * entry and unregisters itself — an abandoned frame costs a bounded
+  * number of plan scans, never a session-lifetime listener.
+  *
+  * [[shared]] extends the lifetime across a multi-action COMPOSITION:
+  * inside the block, scoped caches skip the per-action release, so a
+  * caller that materializes two branches separately (lexical top-k,
+  * then a fusion reusing it) hits the cache on the second action
+  * instead of recomputing the shared prefix. At block end each cache
+  * is released by whichever edge applies: already materialized →
+  * unpersisted immediately; still lazy (the block only CONSTRUCTED
+  * plans, the driver runs them later) → handed the normal
+  * until-action listener.
   *
   * If the frame's plan is already cached (an enclosing pipeline such
   * as the curation compositions holds the same prefix), it is
@@ -37,6 +49,15 @@ import org.apache.spark.storage.StorageLevel
   * cache already cached data" warning) and no release — the outer
   * owner keeps its lifetime. */
 object CacheScope {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Unrelated query completions an unconsumed scoped cache survives
+    * before the listener reclaims it anyway. Large enough that a
+    * construct-then-run flow (even with concurrent sibling queries
+    * completing in between) never loses its cache early; small enough
+    * that an abandoned frame's listener dies the same session. */
+  val MaxUnconsumedCompletions = 64
 
   /** Cache unless the plan is already cached; `owned` tells the caller
     * whether the unpersist duty is theirs. For the eager
@@ -48,39 +69,95 @@ object CacheScope {
     if (df.storageLevel != StorageLevel.NONE) (df, false)
     else (df.cache(), true)
 
+  /** One open [[shared]] block per thread; scoped caches defer their
+    * release to block end instead of the next consuming action. */
+  private final class SharedScope {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  }
+  private val currentScope = new ThreadLocal[SharedScope]
+
+  /** Run `body` with cache lifetimes extended to the block: every
+    * [[cachedUntilAction]] frame created inside survives across the
+    * block's actions (a fusion materializing its retriever branches
+    * separately reuses, not recomputes, the shared prefix). On exit,
+    * caches the block already materialized are unpersisted on the
+    * spot; caches the block only constructed (consumed later, by the
+    * driver) get the standard consumed-or-expired listener. Nested
+    * blocks join the outermost scope. */
+  def shared[T](body: => T): T = {
+    val outer = currentScope.get()
+    val scope = if (outer != null) outer else new SharedScope
+    if (outer == null) currentScope.set(scope)
+    try body
+    finally if (outer == null) {
+      currentScope.remove()
+      scope.frames.foreach { cached =>
+        val loaded =
+          try cached.queryExecution.withCachedData.collectFirst {
+            case r: InMemoryRelation => r.cacheBuilder.isCachedColumnBuffersLoaded
+          }.getOrElse(false)
+          catch { case _: Exception => true } // fail toward release-now
+        if (loaded) cached.unpersist(blocking = false)
+        else releaseAfterConsumption(cached)
+      }
+      scope.frames.clear()
+    }
+  }
+
   def cachedUntilAction(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else {
       val cached = df.cache()
-      val spark = df.sparkSession
-      // The cache's identity inside any consuming query's plan: after
-      // substitution the consumer carries an InMemoryRelation sharing
-      // this builder instance (reference equality — canonicalization
-      // games can't confuse two caches).
-      val builder = cached.queryExecution.withCachedData.collectFirst {
-        case r: InMemoryRelation => r.cacheBuilder
-      }
-      val released = new AtomicBoolean(false)
-      val listener: QueryExecutionListener = new QueryExecutionListener {
-        private def maybeRelease(qe: QueryExecution): Unit = {
-          // fail open on both edges (no builder found / plan access
-          // throws): release rather than leak
-          val consumed = builder.isEmpty ||
-            (try qe.withCachedData
-              .collect { case r: InMemoryRelation => r.cacheBuilder }
-              .exists(b => builder.exists(_ eq b))
-            catch { case _: Exception => true })
-          if (consumed && released.compareAndSet(false, true)) {
-            cached.unpersist(blocking = false)
-            spark.listenerManager.unregister(this)
-          }
-        }
-        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          maybeRelease(qe)
-        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-          maybeRelease(qe)
-      }
-      spark.listenerManager.register(listener)
+      val scope = currentScope.get()
+      if (scope != null) scope.frames += cached
+      else releaseAfterConsumption(cached)
       cached
     }
+
+  private def releaseAfterConsumption(cached: DataFrame): Unit = {
+    val spark = cached.sparkSession
+    // The cache's identity inside any consuming query's plan: after
+    // substitution the consumer carries an InMemoryRelation sharing
+    // this builder instance (reference equality — canonicalization
+    // games can't confuse two caches).
+    val builder = cached.queryExecution.withCachedData.collectFirst {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+    val released = new AtomicBoolean(false)
+    val misses = new AtomicInteger(0)
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def release(): Unit =
+        if (released.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        // fail open on both edges (no builder found / plan access
+        // throws): release rather than leak — loudly, because a
+        // premature release turns the next consumer into a recompute.
+        val consumed = builder match {
+          case None =>
+            log.debug("scoped cache has no InMemoryRelation builder; " +
+              "fail-open releasing on the next completed query")
+            true
+          case Some(b) =>
+            try qe.withCachedData
+              .collect { case r: InMemoryRelation => r.cacheBuilder }
+              .exists(_ eq b)
+            catch { case _: Exception => true }
+        }
+        if (consumed) release()
+        else if (misses.incrementAndGet() >= MaxUnconsumedCompletions) {
+          log.debug(s"scoped cache never consumed after $MaxUnconsumedCompletions " +
+            "query completions; reclaiming the abandoned entry")
+          release()
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 }

@@ -46,12 +46,51 @@ object SkewTelemetry {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   @volatile private var last: Option[SkewEvent] = None
 
+  /** Recent events keyed by metric name, bounded: two concurrently
+    * completing gated queries must not clobber each other's report
+    * (the single `lastEvent` slot can), and a bench run firing
+    * hundreds of observations must not grow without bound —
+    * insertion-order eviction past [[RecentCap]]. */
+  private val RecentCap = 64
+  private val recent =
+    new java.util.LinkedHashMap[String, SkewEvent](RecentCap, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SkewEvent]): Boolean = size() > RecentCap
+    }
+
+  /** Per-operator-family WARN rate limit: the first oversized-bucket
+    * event for a family (metric name minus the call counter) logs at
+    * WARN with full detail; repeats fold into a suppressed counter and
+    * log at DEBUG. At production scale an adversarial corpus fires the
+    * gate on every micro-batch — one WARN per site per session keeps
+    * the signal above the flood it would otherwise become. */
+  private val warned = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
   /** Most recent skew observation in this JVM (None until a gated
     * operator has run an action). Volatile read — specs poll it. */
   def lastEvent: Option[SkewEvent] = last
 
+  /** The event observed under `metric`, if still within the bounded
+    * recent window — the race-free alternative to [[lastEvent]] for
+    * programmatic consumers that know their observation name. */
+  def eventFor(metric: String): Option[SkewEvent] =
+    recent.synchronized(Option(recent.get(metric)))
+
+  /** WARN lines suppressed so far for an operator family (e.g.
+    * "minhash") — 0 until the second oversized event for that family. */
+  def suppressedWarnings(family: String): Long =
+    Option(warned.get(family)).map(_.get()).getOrElse(0L)
+
   /** Test hook: forget past events so a spec can assert on its own. */
-  def reset(): Unit = last = None
+  def reset(): Unit = {
+    last = None
+    recent.synchronized(recent.clear())
+    warned.clear()
+  }
+
+  /** `graft_skew_minhash_13` → `minhash`: the rate-limit key. */
+  private[quality] def familyOf(metric: String): String =
+    metric.stripPrefix(MetricPrefix).replaceAll("_\\d+$", "")
 
   /** Unique-within-query observation name. Spark requires observation
     * names be unique per query; a JVM-wide counter keeps two dedup
@@ -70,14 +109,26 @@ object SkewTelemetry {
               def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
               val ev = SkewEvent(name, at(0), at(1), at(2))
               last = Some(ev)
+              recent.synchronized(recent.put(name, ev): Unit)
               if (ev.oversizedBuckets > 0) {
-                log.warn(
-                  s"$name: ${ev.oversizedBuckets} oversized group(s), " +
-                    s"largest ${ev.maxBucketSize} members; routed through the linear " +
-                    s"representative path, declining ${ev.skippedPairs} candidate pair(s). " +
-                    "Raise the operator's size cap for exact all-pairs semantics on " +
-                    "these groups, or re-partition the space (wider banding / more " +
-                    "centroids) to shrink them.")
+                val family = familyOf(name)
+                val prior = warned.putIfAbsent(family, new AtomicLong(0))
+                if (prior == null) {
+                  log.warn(
+                    s"$name: ${ev.oversizedBuckets} oversized group(s), " +
+                      s"largest ${ev.maxBucketSize} members; routed through the linear " +
+                      s"representative path, declining ${ev.skippedPairs} candidate pair(s). " +
+                      "Raise the operator's size cap for exact all-pairs semantics on " +
+                      "these groups, or re-partition the space (wider banding / more " +
+                      "centroids) to shrink them. Further '" + family + "' skew events " +
+                      "this session log at DEBUG with a suppressed count.")
+                } else {
+                  val n = prior.incrementAndGet()
+                  log.debug(
+                    s"$name: ${ev.oversizedBuckets} oversized group(s), largest " +
+                      s"${ev.maxBucketSize}, declining ${ev.skippedPairs} pair(s) " +
+                      s"($n '$family' WARN(s) suppressed this session)")
+                }
               }
             }
           }

@@ -143,6 +143,20 @@ class TextDedupSpec extends SparkSpec {
     assert(ev.get.maxBucketSize > 16)
     // (B−1)(B−2)/2 per oversized bucket — the declined candidate count
     assert(ev.get.skippedPairs > 0)
+    // the bounded per-metric map holds the same event, race-free
+    assert(graft.quality.SkewTelemetry.eventFor(ev.get.metric).contains(ev.get))
+    // rate limit: the first oversized event WARNed; a second run of the
+    // same operator family folds into the suppressed counter
+    assert(graft.quality.SkewTelemetry.suppressedWarnings("minhash") == 0L)
+    TextDedup
+      .minhashNearDupPairs(boilerplateDocs(100), "doc_id", "text", threshold = 0.9,
+        k = 1, maxBucketSize = 16)
+      .count()
+    val deadline2 = System.currentTimeMillis() + 15000
+    while (graft.quality.SkewTelemetry.suppressedWarnings("minhash") == 0L &&
+      System.currentTimeMillis() < deadline2) Thread.sleep(50)
+    assert(graft.quality.SkewTelemetry.suppressedWarnings("minhash") >= 1L,
+      "second oversized event for the family must be suppressed, not re-WARNed")
   }
 
   test("verifyJaccard computes exact jaccard on candidate pairs") {
