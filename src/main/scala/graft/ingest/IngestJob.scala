@@ -112,7 +112,14 @@ object IngestJob {
     * CLI prints, and appends only genuinely new natural keys to the
     * target table (reference §3.1 steps 1–6). The `strict` gate of
     * database_management.py:172-175 is the caller's decision on the
-    * returned counts. */
+    * returned counts.
+    *
+    * The whole load runs in a [[graft.quality.CacheScope.shared]]
+    * block: the parsed-JSONL and annotated frames stay cached across
+    * the load's several actions (corrupt count, upsert write, report
+    * aggregates, run-id probe) and are released at block end — on
+    * success AND on exception, which the previous manual
+    * cache()/unpersist() pair did not guarantee. */
   def load(
       spark: SparkSession,
       source: String,
@@ -120,7 +127,7 @@ object IngestJob {
       tablePath: String,
       runId: String = java.util.UUID.randomUUID().toString,
       nowMs: Long = System.currentTimeMillis(),
-  ): LoadResult = {
+  ): LoadResult = graft.quality.CacheScope.shared {
     val schema = Schemas.readSchemas(source)
     val raw = JsonlSource.readJsonlWithVariant(spark, jsonlPath, schema)
     val (good, bad) = JsonlSource.splitCorrupt(raw)
@@ -129,7 +136,8 @@ object IngestJob {
     val variant = col(JsonlSource.VariantCol)
     val allRules =
       rules(source, nowMs, isMissing = Rules.variantMissing(variant)) ++ typeRules(source)
-    val annotated = Validator.annotate(enriched, allRules).cache()
+    val annotated =
+      graft.quality.CacheScope.cachedUntilAction(Validator.annotate(enriched, allRules))
     val valid = Validator.validRecords(annotated).drop(JsonlSource.VariantCol)
 
     val keys = Schemas.naturalKeys(source)
@@ -158,8 +166,6 @@ object IngestJob {
       case null => runId
       case id => id // min() = deterministic pick if a file mixes runs
     }
-    annotated.unpersist()
-    raw.unpersist() // splitCorrupt cached it for the good/bad split
     LoadResult(source, report, upsert, effectiveRunId)
   }
 

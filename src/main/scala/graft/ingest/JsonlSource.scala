@@ -94,7 +94,17 @@ object JsonlSource {
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
     * branches re-read the scan anyway. */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
-    val cached = df.cache()
+    // The cache is load-bearing, not advisory: Spark disallows querying
+    // ONLY the internal corrupt-record column from raw JSON
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the `bad` branch is legal
+    // exactly while the parse is cached. Inside a CacheScope.shared
+    // block (IngestJob.load) the scope keeps it cached across all the
+    // load's actions and releases at block end even on exception;
+    // standalone callers own a plain cache (unpersist when done).
+    val cached =
+      if (graft.quality.CacheScope.inShared)
+        graft.quality.CacheScope.cachedUntilAction(df)
+      else df.cache()
     val good = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = cached.filter(col(CorruptCol).isNotNull)
     (good, bad)

@@ -104,6 +104,12 @@ object CacheScope {
     }
   }
 
+  /** True while the calling thread is inside a [[shared]] block —
+    * lets an operator pick scope-managed caching only when a scope
+    * exists to manage it (e.g. a split whose branches must BOTH stay
+    * queryable keeps a caller-owned cache standalone). */
+  def inShared: Boolean = currentScope.get() != null
+
   def cachedUntilAction(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else {

@@ -47,6 +47,58 @@ class CacheScopeSpec extends SparkSpec {
     }
   }
 
+  /** listListeners() is private[sql]; bytecode-public, so reflect. */
+  private def listenerCount: Int =
+    spark.listenerManager.getClass.getMethod("listListeners")
+      .invoke(spark.listenerManager).asInstanceOf[Array[_]].length
+
+  test("abandoned frames are reclaimed: never-materialized scoped caches leave no listener or entry") {
+    spark.catalog.clearCache()
+    val before = listenerCount
+    // three frames the caller builds and then walks away from
+    (1 to 3).foreach { i =>
+      CacheScope.cachedUntilAction((1 to 10 * i).toDF("n"))
+      ()
+    }
+    // unrelated queries only — none consumes the abandoned caches
+    (1 to CacheScope.MaxUnconsumedCompletions + 2).foreach { _ =>
+      spark.range(2).count(): Unit
+    }
+    assert(eventually()(cacheEmpty),
+      "abandoned scoped caches were never reclaimed")
+    assert(eventually()(listenerCount <= before),
+      "abandoned scoped caches leaked their QueryExecutionListeners")
+  }
+
+  test("shared scope: cache survives across the block's actions, is released at block end") {
+    spark.catalog.clearCache()
+    CacheScope.shared {
+      val df = CacheScope.cachedUntilAction((1 to 100).toDF("n"))
+      assert(df.count() == 100)
+      // first action completed; outside a shared block the listener
+      // would release here — inside, the cache must survive
+      Thread.sleep(500)
+      assert(df.storageLevel != StorageLevel.NONE,
+        "shared-scoped cache released after the first action, before block end")
+      assert(df.filter($"n" > 50).count() == 50)
+    }
+    assert(eventually()(cacheEmpty),
+      "shared-scoped cache survived the end of its block")
+  }
+
+  test("shared scope: a plan only constructed in the block is released after its later action") {
+    spark.catalog.clearCache()
+    var df: DataFrame = null
+    CacheScope.shared {
+      df = CacheScope.cachedUntilAction((1 to 64).toDF("n"))
+    }
+    // never materialized inside the block → handed the until-action
+    // listener; the driver-run action consumes and releases it
+    assert(df.count() == 64)
+    assert(eventually()(cacheEmpty),
+      "construct-only shared cache survived its consuming action")
+  }
+
   test("operator caches are action-scoped: no InMemoryRelation survives a completed minhash/bm25 query") {
     spark.catalog.clearCache()
     val docs = (0 until 50)
