@@ -21,6 +21,10 @@ import graft.warehouse.Warehouse
   *   update-schema [all|<source>]    evolve stored tables to the current
   *       declared schemas (add-column NULL backfill + re-type casts,
   *       atomic rewrite — the reference's ALTER migration analog)
+  *   maintenance-status <source>     inspect a held maintenance lock
+  *       (operation + age); a crashed rewrite keeps its lock by design
+  *   unlock <source> --force         clear a stale maintenance lock after
+  *       manual triage (refuses without --force)
   *
   * Every command takes `--warehouse <dir>` (or env GRAFT_WAREHOUSE) in
   * place of the reference's DB connection config. Commands return an
@@ -81,11 +85,16 @@ object Cli {
         case Seq("compact", source) =>
           compact(spark, warehouse, source,
             targetMb = flags.get("target-mb").map(_.toLong).getOrElse(128L))
+        case Seq("maintenance-status", source) =>
+          maintenanceStatus(spark, warehouse, source)
+        case Seq("unlock", source) =>
+          unlock(spark, warehouse, source, force = flags.contains("force"))
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}")
           System.err.println(
             "commands: setup | load-data | stats | aggregate-export | clear-table | " +
-              "refresh-views | backfill | update-schema | compact")
+              "refresh-views | backfill | update-schema | compact | " +
+              "maintenance-status | unlock")
           1
       }
     } catch {
@@ -104,7 +113,7 @@ object Cli {
     * directory literally named `true`, or swallow `--strict` as a
     * report path and quietly disable the strict gate). */
   private[graft] def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
-    val boolFlags = Set("strict", "confirm")
+    val boolFlags = Set("strict", "confirm", "force")
     val flags = Map.newBuilder[String, String]
     val positional = Seq.newBuilder[String]
     var i = 0
@@ -160,6 +169,61 @@ object Cli {
         Warehouse.declaredTable(warehouse, source)._1, targetMb * 1024 * 1024)
       println(s"compact $source: ${r.filesBefore} -> ${r.filesAfter} files, ${r.rows} rows")
       0
+    }
+  }
+
+  /** Triage surface for the crash-keeps-the-lock design
+    * ([[graft.warehouse.MaintenanceLock.withLock]]): a rewrite that
+    * died mid-flight intentionally leaves `<table>.lock` so appends
+    * keep refusing; these two commands are how an operator inspects
+    * and clears that state without raw filesystem surgery. */
+  private def maintenanceStatus(
+      spark: SparkSession, warehouse: String, source: String): Int = {
+    if (!Schemas.schemas.contains(source) && !Schemas.referenceTables.contains(source)) {
+      System.err.println(s"unknown table type: $source"); 1
+    } else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val table = Warehouse.declaredTable(warehouse, source)._1
+      graft.warehouse.MaintenanceLock.status(fs, table) match {
+        case None =>
+          println(s"maintenance-status $source: unlocked"); 0
+        case Some(st) =>
+          val age = st.ageMs(System.currentTimeMillis())
+            .map(ms => f"${ms / 1000.0}%.1f s ago")
+            .getOrElse("claim time unparseable")
+          println(s"maintenance-status $source: LOCKED by '${st.op}' ($age)")
+          println(s"  lock: ${graft.warehouse.MaintenanceLock.lockPath(table)}")
+          println("  appends refuse while held. If the maintenance process is dead, " +
+            s"inspect $table (and any $table.old) then `unlock $source --force`.")
+          0
+      }
+    }
+  }
+
+  private def unlock(
+      spark: SparkSession, warehouse: String, source: String, force: Boolean): Int = {
+    if (!Schemas.schemas.contains(source) && !Schemas.referenceTables.contains(source)) {
+      System.err.println(s"unknown table type: $source"); 1
+    } else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val table = Warehouse.declaredTable(warehouse, source)._1
+      graft.warehouse.MaintenanceLock.status(fs, table) match {
+        case None =>
+          println(s"unlock $source: no maintenance lock held"); 0
+        case Some(st) if !force =>
+          // deliberate friction: the lock may be protecting the only
+          // complete copy of the table (in `.old`) after a crashed
+          // rewrite — same reason clear-table demands --confirm
+          System.err.println(
+            s"unlock $source: lock held by '${st.op}'. Verify no maintenance " +
+              "process is alive and the table directory is complete, then re-run " +
+              "with --force")
+          1
+        case Some(st) =>
+          graft.warehouse.MaintenanceLock.release(fs, table)
+          println(s"unlock $source: removed lock held by '${st.op}'")
+          0
+      }
     }
   }
 

@@ -89,4 +89,33 @@ object MaintenanceLock {
     fs.delete(lockPath(tablePath), false)
     ()
   }
+
+  /** What a held lock says, for triage: the operation that claimed it,
+    * when (epoch millis, None for a body that does not parse), and the
+    * raw body for display. */
+  final case class LockStatus(op: String, claimedAtMs: Option[Long], raw: String) {
+    def ageMs(nowMs: Long): Option[Long] = claimedAtMs.map(nowMs - _)
+  }
+
+  /** Read the lock without touching it: None when the table is not
+    * under maintenance. The body is `"<op> <epochMillis>"` as written
+    * by [[withLock]]; an unreadable or foreign body still reports,
+    * with what it found, so triage never dead-ends. */
+  def status(fs: FileSystem, tablePath: String): Option[LockStatus] = {
+    val p = lockPath(tablePath)
+    if (!fs.exists(p)) None
+    else {
+      val raw =
+        try {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+          finally in.close()
+        } catch { case _: Exception => "<unreadable>" }
+      raw.split(' ') match {
+        case parts if parts.length >= 2 && parts.last.forall(_.isDigit) && parts.last.nonEmpty =>
+          Some(LockStatus(parts.init.mkString(" "), Some(parts.last.toLong), raw))
+        case _ => Some(LockStatus(raw, None, raw))
+      }
+    }
+  }
 }

@@ -129,6 +129,47 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("compact", "nope", "--warehouse", wh)) == 1)
   }
 
+  test("maintenance-lock triage: crashed rewrite -> append refused -> status -> unlock --force -> append ok") {
+    val wh = tmp("graft-cli-lock")
+    assert(Cli.run(spark, Seq("setup", "entsoe", "--warehouse", wh)) == 0)
+    val jsonl = Files.createTempDirectory("graft-cli-lk").resolve("in.jsonl")
+    Files.writeString(jsonl, entsoe(1577836800000L, "Plant L", 10.0))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl.toString, "--warehouse", wh)) == 0)
+
+    // simulate a maintenance crash: the failed rewrite keeps its lock
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val table = graft.warehouse.Warehouse.declaredTable(wh, "entsoe")._1
+    intercept[RuntimeException] {
+      graft.warehouse.MaintenanceLock.withLock(fs, table, "compact") {
+        throw new RuntimeException("rewrite died mid-flight")
+      }
+    }
+
+    // writers refuse while the lock is held (load fails, exit 1)
+    val jsonl2 = Files.createTempDirectory("graft-cli-lk2").resolve("in.jsonl")
+    Files.writeString(jsonl2, entsoe(1577840400000L, "Plant M", 20.0))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl2.toString, "--warehouse", wh)) == 1)
+
+    // status reports the holding op; unlock without --force refuses
+    val st = graft.warehouse.MaintenanceLock.status(fs, table)
+    assert(st.exists(_.op == "compact"))
+    assert(st.flatMap(_.ageMs(System.currentTimeMillis())).exists(_ >= 0))
+    assert(Cli.run(spark, Seq("maintenance-status", "entsoe", "--warehouse", wh)) == 0)
+    assert(Cli.run(spark, Seq("unlock", "entsoe", "--warehouse", wh)) == 1)
+    assert(graft.warehouse.MaintenanceLock.isLocked(fs, table))
+
+    // forced unlock clears it; the append goes through again
+    assert(Cli.run(spark, Seq("unlock", "entsoe", "--warehouse", wh, "--force")) == 0)
+    assert(!graft.warehouse.MaintenanceLock.isLocked(fs, table))
+    assert(Cli.run(spark, Seq("load-data", "entsoe", jsonl2.toString, "--warehouse", wh)) == 0)
+    assert(spark.read.parquet(table).count() == 2)
+    // status/unlock on an unlocked table are clean no-ops; unknown table exits 1
+    assert(Cli.run(spark, Seq("maintenance-status", "entsoe", "--warehouse", wh)) == 0)
+    assert(Cli.run(spark, Seq("unlock", "entsoe", "--warehouse", wh)) == 0)
+    assert(Cli.run(spark, Seq("maintenance-status", "nope", "--warehouse", wh)) == 1)
+  }
+
   test("update-schema and compact reach the reference tables, not just fact sources") {
     val wh = tmp("graft-cli-ref-maint")
     assert(Cli.run(spark, Seq("setup", "--warehouse", wh)) == 0) // creates both families
