@@ -418,6 +418,58 @@ case class BucketPairs(
   * on ≥ minAgree components. The recall trade on a hot bucket is
   * documented at the call site: members similar to each other but not
   * to the representative are not proposed. */
+/** rep_first_band(repSig, sig, rowsPerBand, minAgree) — the per-ROW
+  * form of [[BucketRepPairs]]'s emission rule, for the flat-memory
+  * oversized-bucket path: returns the FIRST band index on which the
+  * two signatures fully agree, or -1 when there is none or total
+  * agreement is below `minAgree`. A caller that has joined each
+  * member row to its bucket's min-id representative emits the
+  * (rep, member) pair where `rep_first_band(...) = band` — exactly
+  * the rows [[BucketRepPairs]] would produce from the collected
+  * member list, with no per-bucket array materialization at all. */
+case class RepFirstBand(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    fourth: Expression,
+) extends QuaternaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_rep_first_band"
+
+  override def nullSafeEval(xa: Any, ya: Any, r: Any, a: Any): Any = {
+    val x = xa.asInstanceOf[ArrayData]
+    val y = ya.asInstanceOf[ArrayData]
+    val rpb = r.asInstanceOf[Int]
+    val minAgree = a.asInstanceOf[Int]
+    val h = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var k = 0
+    while (k < h) {
+      if (x.getLong(k) == y.getLong(k)) agree += 1
+      k += 1
+    }
+    if (agree < minAgree) return -1
+    var firstBand = -1
+    var bd = 0
+    while (firstBand == -1 && (bd + 1) * rpb <= h) {
+      var p = bd * rpb
+      var all = true
+      while (all && p < (bd + 1) * rpb) {
+        if (x.getLong(p) != y.getLong(p)) all = false
+        p += 1
+      }
+      if (all) firstBand = bd
+      bd += 1
+    }
+    firstBand
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 case class BucketRepPairs(
     first: Expression,
     second: Expression,
@@ -590,6 +642,8 @@ object GraftFunctions {
       args => BucketPairs(args(0), args(1), args(2), args(3))),
     desc("graft_bucket_rep_pairs", "min-id-representative LSH candidate pairs for an oversized bucket",
       args => BucketRepPairs(args(0), args(1), args(2), args(3))),
+    desc("graft_rep_first_band", "first fully-agreeing band of two minhash signatures, -1 below min agreement",
+      args => RepFirstBand(args(0), args(1), args(2), args(3))),
     desc("graft_srp_sig", "sign-random-projection LSH signature of a numeric array",
       args => SrpSignature(args(0), args.lift(1).getOrElse(Literal(16)),
         args.lift(2).getOrElse(Literal(0)))),

@@ -224,16 +224,26 @@ object TextDedup {
     *     sorted-merge kernel.
     *
     * Skew: the all-pairs kernel runs only inside buckets of at most
-    * `maxBucketSize` members. Larger buckets — the adversarial /
+    * `maxBucketSize` members; larger buckets — the adversarial /
     * boilerplate-heavy case where O(B²) on one shuffle key is the
-    * classic scale killer — fall through to the linear
-    * [[graft.functions.BucketRepPairs]] kernel: every member proposed
-    * against only the bucket's min-id representative, O(B) per bucket
-    * at any skew. Both kernels emit a pair only at its first
-    * fully-agreeing band, so the branches compose without a DISTINCT.
-    * The fall-through is never silent: oversized-bucket count, max
-    * size, and the number of declined candidate pairs are collected
-    * as an `observe()` metric in the same query and logged by
+    * classic scale killer — take the linear representative path:
+    * every member proposed against only the bucket's min-id
+    * representative, O(B) per bucket at any skew. The routing is
+    * two-phase so MEMORY is flat too, not just compute: a bounded-
+    * buffer aggregate (count + min-id — 16 bytes, map-side
+    * combinable, so a hot key never concentrates member rows on one
+    * reducer) sizes every bucket, then member rows join their
+    * bucket's narrow stats row and split — ≤ cap into the
+    * collected-list all-pairs kernel (buffer bounded by the cap,
+    * since oversized buckets never reach it), > cap into a narrow
+    * per-row [[graft.functions.RepFirstBand]] check against the
+    * representative signature fetched per OVERSIZED bucket only,
+    * with NO member list materialized anywhere. Both
+    * branches emit a pair only at its first fully-agreeing band, so
+    * they compose without a DISTINCT. The fall-through is never
+    * silent: oversized-bucket count, max size, and the number of
+    * declined candidate pairs ride the sizing aggregate as an
+    * `observe()` metric and are logged by
     * [[graft.quality.SkewTelemetry]]. The recall trade mirrors
     * semDedup's cap: a hot bucket proposes only pairs involving its
     * representative — and LSH hot buckets are near-dup blobs where
@@ -261,42 +271,88 @@ object TextDedup {
     }
     val rpb = numHashes / bands
     val minAgree = math.max(0, math.ceil((threshold - 0.25) * numHashes).toInt)
-    val banded = hashed
+    // Signatures cached pre-explode (one narrow sig row per doc): the
+    // banded frame below is referenced by the sizing aggregate and
+    // both gate branches, and without the cache every reference would
+    // recompute the minhash signatures from the shingles. (Caching
+    // post-explode was measured strictly worse: the banded rows are
+    // bands× wider than the sig rows and the cache write dominates.)
+    val sigs = CacheScope.cachedUntilAction(hashed
       // a NULL id would read as 0 inside the pair kernel (getLong on a
       // null field), fabricating (0, realId) pairs; the old self-join
       // dropped them via null-propagating comparison — keep that.
       .filter(col(idCol).isNotNull)
-      .withColumn("_sig", minhashSignature(col("sh"), numHashes))
-      .select(col(idCol), col("_sig"),
+      .select(col(idCol).cast("long").as("_mid"),
+        minhashSignature(col("sh"), numHashes).as("_sig")))
+    val banded = sigs
+      .select(col("_mid"), col("_sig"),
         explode(bandKeys(col("_sig"), bands, rpb)).as("bb"))
-      .select(col(idCol).cast("long").as("_mid"), col("_sig"),
+      .select(col("_mid"), col("_sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bsz = size(col("_members")).cast("long")
-    val over = bsz > maxBucketSize
-    // Size gate as ONE conditional kernel call — a single pass over
-    // the bucket aggregate, no union, no second aggregate scan. The
-    // skew metrics ride the same query via observe (zero extra jobs).
+    val over = col("_n") > maxBucketSize
+    // Two-phase size gate, flat memory at ANY skew. Phase 1 computes
+    // per-(band,bucket) count + min-id representative in a CONSTANT
+    // 16-byte aggregation buffer — count/min combine map-side, so even
+    // a bucket holding half the corpus arrives at its reducer as one
+    // row per map partition, never as B member structs. Keeping the
+    // rep SIGNATURE out of this frame keeps its rows ~24 bytes, narrow
+    // enough to broadcast for the routing join below; oversized
+    // buckets (the only consumers of the rep sig) fetch it separately.
+    // The skew metrics ride this bounded aggregate via observe (zero
+    // extra jobs); the frame is cached so its consumers share one
+    // evaluation and the metrics report exactly once.
+    val stats = CacheScope.cachedUntilAction(banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"),
+        min(col("_mid")).as("_rep_id"))
+      .filter(col("_n") > 1)
+      .observe(SkewTelemetry.nextMetricName("minhash"),
+        sum(when(over, 1L).otherwise(0L)).as("oversized_buckets"),
+        coalesce(max(when(over, col("_n"))), lit(0L)).as("max_bucket_size"),
+        coalesce(sum(when(over, shiftright((col("_n") - 1) * (col("_n") - 2), 1))),
+          lit(0L)).as("skipped_pairs")))
+    // Phase 2 routes member rows by their bucket's size. The join is
+    // on (band,bucket): stats is one narrow row per bucket (hot
+    // buckets are NOT hot here), so Catalyst broadcasts it when small
+    // and AQE skew-splits the sort-merge fallback when not — either
+    // way no single task owns a hot bucket's members.
+    val joined = banded.join(stats, Seq("band", "bucket"))
+    // ≤ cap: the exact all-pairs kernel over a collected member list
+    // whose aggregation buffer is BOUNDED by maxBucketSize — oversized
+    // buckets' rows never reach this collect_list.
     // explode_outer, not explode: InferFiltersFromGenerate would bolt
     // a size()>0 pre-filter onto a plain explode and re-evaluate the
     // kernel per row (the tp6 lesson); the rule skips outer
     // generates, and the null rows from empty arrays die in the
     // verify joins' inner equi-join below.
-    val candidates = banded
+    val smallPairs = joined
+      .filter(col("_n") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("_mid"), col("_sig"))).as("_members"))
-      .filter(size(col("_members")) > 1)
-      .observe(SkewTelemetry.nextMetricName("minhash"),
-        sum(when(over, 1L).otherwise(0L)).as("oversized_buckets"),
-        coalesce(max(when(over, bsz)), lit(0L)).as("max_bucket_size"),
-        coalesce(sum(when(over, shiftright((bsz - 1) * (bsz - 2), 1))), lit(0L))
-          .as("skipped_pairs"))
-      .withColumn("_pairs", when(over,
-          call_function("graft_bucket_rep_pairs",
-            col("_members"), lit(rpb), col("band"), lit(minAgree)))
-        .otherwise(call_function("graft_bucket_pairs",
-          col("_members"), lit(rpb), col("band"), lit(minAgree))))
+      .withColumn("_pairs", call_function("graft_bucket_pairs",
+        col("_members"), lit(rpb), col("band"), lit(minAgree)))
       .select(explode_outer(col("_pairs")).as("_p"))
       .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+    // > cap: the linear representative path as a NARROW per-row check
+    // against the joined-in representative — no member list exists
+    // anywhere. The rep's signature is fetched by a separate join
+    // (one row per OVERSIZED bucket only — degenerate corpora have
+    // few such buckets by construction: at most |rows|/cap exist) so
+    // the big routing join above stays signature-free.
+    // graft_rep_first_band replicates BucketRepPairs' emission rule
+    // (first fully-agreeing band + minAgree), so the branches still
+    // compose without a DISTINCT.
+    val repSigs = sigs
+      .join(stats.filter(over).select(col("band"), col("bucket"),
+        col("_rep_id").as("_rid")), col("_mid") === col("_rid"))
+      .select(col("band"), col("bucket"), col("_sig").as("_rep_sig"))
+    val overPairs = joined
+      .filter(over && col("_mid") =!= col("_rep_id"))
+      .join(repSigs, Seq("band", "bucket"))
+      .filter(call_function("graft_rep_first_band",
+        col("_rep_sig"), col("_sig"), lit(rpb), lit(minAgree)) === col("band"))
+      .select(col("_rep_id").as("id_a"), col("_mid").as("id_b"))
+    val candidates = smallPairs.unionByName(overPairs)
     val sh = hashed.select(col(idCol), col("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")

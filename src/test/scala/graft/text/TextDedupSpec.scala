@@ -159,6 +159,79 @@ class TextDedupSpec extends SparkSpec {
       "second oversized event for the family must be suppressed, not re-WARNed")
   }
 
+  test("band-shuffle skew: a 50%-hot bucket never concentrates member rows on one task") {
+    // 8000 boilerplate docs (distinct shingle sets, so the fingerprint
+    // collapse cannot shrink them) land ~97% in ONE bucket per band.
+    // Under the old collected-list design each hot (band,bucket) key
+    // shipped its ~n member structs to ONE reducer task (~n records on
+    // that task). The two-phase design never shuffles the hot members
+    // at all: the sizing aggregate map-side combines to one row per
+    // bucket per mapper, the stats join broadcasts, and the rep check
+    // is narrow — so no task should read anywhere near n shuffle
+    // records.
+    val n = 8000
+    val docs = boilerplateDocs(n)
+
+    // Record counts are meaningless under AQE's size-based coalescing
+    // (tiny healthy shuffles legally merge into one task); BYTES
+    // against a shrunk advisory partition size are the honest metric:
+    // coalescing keeps every merged partition near the advisory, so
+    // only an unsplittable hot AGGREGATE key can blow past it.
+    val advisory = 65536L
+    val taskShuffleBytes =
+      scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
+          taskShuffleBytes.put(te.taskInfo.taskId, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    // 32 reducer partitions (the suite default of 4 makes even a
+    // HEALTHY uniform shuffle of this corpus ~700 KB/task) and AQE
+    // bars scaled to the fixture's KBs (the factor-vs-median rule is
+    // untouched). The discriminator this leaves: uniform shuffles
+    // divide by the partition count; a single hot KEY cannot be split
+    // and concentrates the same bytes on one task at ANY partition
+    // count — exactly what the old collected-list sizing did.
+    val tuned = Seq(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> advisory.toString)
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = TextDedup
+        .minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9,
+          k = 1, maxBucketSize = 64)
+        .count()
+      assert(pairs >= n / 2, s"rep pairs should cover the hot cluster, got $pairs")
+      // task-end events arrive asynchronously; wait for the flow to settle
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (taskShuffleBytes.size != last && System.currentTimeMillis() < deadline) {
+        last = taskShuffleBytes.size
+        Thread.sleep(300)
+      }
+      val maxRead = taskShuffleBytes.values.foldLeft(0L)(math.max)
+      // The old collected-list design shipped the hot bucket's ~n
+      // member structs (~2 MB here) to one reducer — 30x the advisory.
+      // The flat design's worst task stays within a few advisory units
+      // (hash imbalance over 32 unsplittable-but-small partitions);
+      // 8x is the generous, version-robust line between the two.
+      assert(maxRead <= 8 * advisory,
+        s"one task read $maxRead shuffle bytes (advisory $advisory) — a hot " +
+          "bucket's members concentrated; the sizing aggregate is no longer flat")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("verifyJaccard computes exact jaccard on candidate pairs") {
     val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
     val j = TextDedup.verifyJaccard(pairs, docs, "doc_id", "text", k = 1)
