@@ -980,8 +980,10 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val cents = Similarity.kmeansCentroids(e, "embedding", k = 16,
         sampleFraction = 0.5)
+      v7CorpusKey = v7CorpusKeyFor(dir)
       s.createDataFrame(cents).toDF("cid", "cvec")
-        .repartition(1).write.mode("overwrite").parquet(v7CentroidsPath)
+        .repartition(1).write.mode("overwrite")
+        .parquet(v7CentroidsPathFor(v7CorpusKeyFor(dir)))
       Similarity.ivfTopKWithCentroids(e, q, "vec_id", "embedding",
         "query_id", "qvec", k = 10, cents, nprobe = 4)
     }),
@@ -1536,18 +1538,25 @@ object SparkEntry {
   private def signedSql(u: String): String =
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - $M64 ELSE $u END AS BIGINT)"
 
-  /** Where the v7 query persists its fitted KMeans centroids — a fixed
-    * path (not a scratchDir) so the static oracle SQL can read_parquet
-    * the same files after Verify has run. k×dim doubles round-trip
-    * parquet exactly, so the replay is bit-identical to v4's.
-    * User-suffixed so two users on one host never collide on /tmp
-    * permissions. Single-flow assumption (the driver's contract): the
-    * oracle replays the LAST Verify run's centroids — running Verify
-    * at corpus A, then checking a stale dump from corpus B against it,
-    * reads A's centroids; re-run Verify for the corpus being checked. */
-  private val v7CentroidsPath =
+  /** Where the v7 query persists its fitted KMeans centroids, so the
+    * oracle SQL can read_parquet the same files after Verify has run.
+    * k×dim doubles round-trip parquet exactly, so the replay is
+    * bit-identical to v4's. The path is keyed by user (two users on
+    * one host never collide on /tmp permissions) AND by a hash of the
+    * corpus dir: a Verify/Bench run on another corpus writes a
+    * DIFFERENT path, so stale runs cannot overwrite the centroids a
+    * concurrent oracle check is reading. The volatile key carries the
+    * corpus from the v7 query run to the oracle dump within one
+    * Verify JVM (queries all complete before oracleSql is written);
+    * a JVM that never ran v7 falls back to the "default" key. */
+  @volatile private var v7CorpusKey: String = "default"
+  private def v7CorpusKeyFor(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+  private def v7CentroidsPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_v7_centroids_${System.getProperty("user.name", "anon")}").toString
+      s"graft_v7_centroids_${System.getProperty("user.name", "anon")}_$key").toString
 
   /** Unrounded cosine of two FLOAT[] expressions (CosineSimilarity
     * replay — same double arithmetic as the v1/v2 oracles). */
@@ -2824,7 +2833,7 @@ object SparkEntry {
     // doubles round-trip parquet exactly) instead of re-derived in SQL.
     "v7_ivf_kmeans_topk" ->
       s"""WITH cents AS (
-         |  SELECT cid, cvec FROM read_parquet('$v7CentroidsPath/*.parquet')),
+         |  SELECT cid, cvec FROM read_parquet('${v7CentroidsPathFor(v7CorpusKey)}/*.parquet')),
          |asn AS (
          |  SELECT vec_id, embedding, cid
          |  FROM embeddings CROSS JOIN cents
