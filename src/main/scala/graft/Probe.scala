@@ -24,7 +24,7 @@ object Probe {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        if (explain) println(df.queryExecution.executedPlan.toString.take(8000))
+        if (explain) println(df.queryExecution.executedPlan.toString.take(24000))
         val cnt = df.count()
         println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$cnt")
       } catch {
