@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *     tiny) BROADCAST against the corpus's (doc, term, tf) postings;
   *     the corpus never cross-joins the query set and only postings
   *     whose term appears in some query survive the join.
-  *   - Corpus statistics are one aggregation each: doc lengths and
-  *     term document-frequencies are vocab-/corpus-sized hash
-  *     aggregates, N and avgdl a single tiny broadcast row.
+  *   - Corpus statistics are one aggregation each: doc lengths are a
+  *     corpus-sized hash aggregate, N and avgdl a single tiny
+  *     broadcast row, and term document-frequencies aggregate only
+  *     the QUERY-term postings (df over pruned postings equals df
+  *     over the corpus for every scorable term) — |Q| keys, not the
+  *     billions-of-terms vocabulary.
   *   - Per-(query, doc) accumulation sums DECIMAL(18,12) term
   *     contributions — exact and order-free under any partitioning
   *     (the [[UnigramLM]] trick), so results are deterministic and
@@ -67,7 +70,20 @@ object Bm25 {
       tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
-    val dfreqAll = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val qterms = queries.select(col(queryIdCol),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(queryTextCol)))).as("_t"))
+      .distinct()
+    // Postings pruned to query terms BEFORE any per-term statistic:
+    // df(t) over the pruned postings equals df(t) over the corpus for
+    // every term that can reach a score (identical results), and the
+    // document-frequency aggregate shrinks from |vocab| — billions of
+    // terms on a web corpus, billions of map-side partials shuffled —
+    // to |query vocabulary|. The pruned frame is cached (it is the
+    // smaller, query-relevant slice of the postings) so the df
+    // aggregate and the scoring chain share one probe pass.
+    val qpost = graft.quality.CacheScope.cachedUntilAction(
+      tf.join(broadcast(qterms.select(col("_t")).distinct()), Seq("_t")))
+    val dfreqAll = qpost.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val dfreq =
       if (maxDfFraction < 1.0)
         // inner joins downstream drop the pruned terms' postings
@@ -75,10 +91,7 @@ object Bm25 {
           .filter(col("_df") <= col("_n") * maxDfFraction)
           .select(col("_t"), col("_df"))
       else dfreqAll
-    val qterms = queries.select(col(queryIdCol),
-        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(queryTextCol)))).as("_t"))
-      .distinct()
-    val joined = tf
+    val joined = qpost
       .join(broadcast(qterms), Seq("_t"))
       .join(dfreq, Seq("_t"))
       .join(dl, Seq(idCol))
