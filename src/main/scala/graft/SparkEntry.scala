@@ -874,6 +874,25 @@ object SparkEntry {
         .minhashDedup(tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
         .select("doc_id")),
 
+    // Duplicate CLUSTERS: connected components over the td3 near-dup
+    // pair graph (iterative min-label propagation; the oracle replays
+    // it as a recursive-CTE label closure over the same GHash pairs).
+    // Every document gets a cluster id — the min doc_id of its
+    // component, its own id for singletons — the form curation uses
+    // to keep one member per cluster or size-stratify clusters.
+    "td10_dup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "doc_id", "text", threshold = 0.9, k = 1)
+      val comp = graft.graph.ConnectedComponents
+        .components(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+
     // SimHash signatures, packed into one BIGINT per doc so the column
     // is sortable/hashable externally (+ banded near-dup pairs in tests).
     // Hash-checked: gmix64(fnv1a(token)) bit votes replay in the oracle.
@@ -2720,6 +2739,35 @@ object SparkEntry {
          |$RepPairsCte
          |SELECT rep_id AS doc_id FROM reps
          |WHERE rep_id NOT IN (SELECT rb FROM reppairs)""".stripMargin,
+
+    // td3's pair graph, then connected components as a recursive-CTE
+    // min-label closure: walk carries every (vertex, reachable label)
+    // over symmetrized edges (set-semantics UNION terminates it), and
+    // MIN(label) per vertex is the component's minimum id — exactly
+    // the fixpoint the Spark min-label propagation reaches.
+    "td10_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes("documents")},
+         |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cs) AS rep_id FROM hs),
+         |$BandSliceCte,
+         |$RepPairsCte,
+         |cross_pairs AS (
+         |  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a, GREATEST(ma.doc_id, mb.doc_id) AS id_b
+         |  FROM reppairs p JOIN mem ma ON ma.rep_id = p.ra JOIN mem mb ON mb.rep_id = p.rb),
+         |intra AS (
+         |  SELECT m1.doc_id AS id_a, m2.doc_id AS id_b
+         |  FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id),
+         |dedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cross_pairs
+         |  UNION SELECT id_b, id_a FROM cross_pairs
+         |  UNION SELECT id_a, id_b FROM intra
+         |  UNION SELECT id_b, id_a FROM intra),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM dedges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN dedges e ON e.src = w.id),
+         |cc AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""".stripMargin,
 
     "td5_simhash_sigs" ->
       s"""WITH ${simhashCtes("documents")}
