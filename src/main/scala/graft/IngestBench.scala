@@ -26,6 +26,9 @@ object IngestBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
+      // off by default in Spark 4.1; prunes the big side of shuffled
+      // inner/semi joins with a runtime bloom at 100 TB scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -57,19 +57,46 @@ object IdempotentAppend {
       }
       .reduce(_ && _)
 
+  /** Batches at or under this many rows take the broadcast key-prune
+    * path in [[newRows]] (~tens of MB of broadcast natural keys at
+    * 1M); larger batches fall back to the shuffled anti-join, whose
+    * skew is AQE-delegated (UpsertSkewSpec). */
+  val BroadcastPruneMaxKeys: Long = 1000000L
+
   /** D2/J3: rows of `incoming` whose natural key is absent from
     * `existing`. Only the key columns of the existing side are read —
     * column pruning reaches the scan, so a wide 100 TB table
-    * contributes just its key columns to the join. */
+    * contributes just its key columns to the join.
+    *
+    * When the caller can bound the batch size (`incomingRowBound`, the
+    * count `appendNew` already takes) and it fits
+    * [[BroadcastPruneMaxKeys]], the existing side is first pruned with
+    * a broadcast LEFT SEMI join on the batch's distinct keys — the
+    * exact-by-construction form of the bloom pre-filter (Spark's
+    * InjectRuntimeFilter covers inner/semi joins but not LeftAnti).
+    * Existing rows matching no incoming key cannot eliminate anything,
+    * so anti(incoming, existing) ≡ anti(incoming, semi(existing,
+    * incoming)) — results are identical while the 100 TB existing
+    * side goes from SHUFFLED-on-key to a narrow broadcast probe, and
+    * the residual anti-join (incoming vs the ≤|batch| matching keys)
+    * broadcasts too: the common-case upsert does zero shuffles. */
   def newRows(
       incoming: DataFrame,
       existing: DataFrame,
       keys: Seq[String],
       nullSafeCols: Set[String] = Set.empty,
+      incomingRowBound: Option[Long] = None,
   ): DataFrame = {
     val existingKeys = existing.select(keys.map(col): _*)
+    val prunedExisting = incomingRowBound match {
+      case Some(n) if n <= BroadcastPruneMaxKeys =>
+        existingKeys.alias("_ex")
+          .join(broadcast(incoming.select(keys.map(col): _*).distinct().alias("_k")),
+            keyCondition("_ex", "_k", keys, nullSafeCols), "left_semi")
+      case _ => existingKeys
+    }
     incoming.alias("_inc")
-      .join(existingKeys.alias("_ex"), keyCondition("_inc", "_ex", keys, nullSafeCols), "left_anti")
+      .join(prunedExisting.alias("_ex"), keyCondition("_inc", "_ex", keys, nullSafeCols), "left_anti")
   }
 
   /** Append an already-deduplicated batch: anti-join against the
@@ -112,7 +139,8 @@ object IdempotentAppend {
             else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
           case _ => existing
         }
-        newRows(cached, pruned, keys, nullSafeCols)
+        newRows(cached, pruned, keys, nullSafeCols,
+          incomingRowBound = Some(batchCount))
       }
 
     val insertedCount = atomicAppend(spark, toInsert, tablePath)

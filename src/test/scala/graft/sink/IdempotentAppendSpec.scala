@@ -80,4 +80,37 @@ class IdempotentAppendSpec extends SparkSpec {
     val nw = IdempotentAppend.newRows(inc, ex, Seq("timestamp_ms", "plant", "id"), Set("id"))
     assert(nw.count() == 0) // NULL ≡ '' under the reference's COALESCE key
   }
+
+  test("broadcast key-prune path: identical result to the shuffled anti-join, no shuffle in the plan") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    // parquet round-trip so keys are data columns and plans are realistic
+    spark.range(0, 20000)
+      .select((col("id") % 500).as("plant_id"), col("id").as("ts"), (col("id") * 2).as("v"))
+      .write.parquet(s"$dir/existing")
+    spark.range(0, 300)
+      .select((col("id") + 400).as("plant_id"), (col("id") + 100000).as("ts"), col("id").as("v"))
+      .write.parquet(s"$dir/incoming")
+    val existing = spark.read.parquet(s"$dir/existing")
+    val incoming = spark.read.parquet(s"$dir/incoming")
+    val keys = Seq("plant_id")
+
+    val viaShuffle = IdempotentAppend.newRows(incoming, existing, keys)
+      .select("plant_id", "ts", "v").collect().toSet
+    val pruned = IdempotentAppend.newRows(incoming, existing, keys,
+      incomingRowBound = Some(300L))
+    val viaPrune = pruned.select("plant_id", "ts", "v").collect().toSet
+    assert(viaPrune == viaShuffle,
+      "broadcast key-prune changed the anti-join's result")
+    // keys 500..599 exist only in incoming -> those rows survive
+    assert(viaPrune.nonEmpty && viaPrune.forall(_.getLong(0) >= 500))
+    // the whole pruned upsert runs on broadcasts: no exchange that
+    // shuffles the existing side (shuffle-free is the point)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected broadcast-only joins on the pruned path:\n$plan")
+    // a bound over the threshold falls back to the shuffled form
+    val fallback = IdempotentAppend.newRows(incoming, existing, keys,
+      incomingRowBound = Some(IdempotentAppend.BroadcastPruneMaxKeys + 1))
+    assert(fallback.select("plant_id", "ts", "v").collect().toSet == viaShuffle)
+  }
 }
