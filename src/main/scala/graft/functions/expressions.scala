@@ -403,30 +403,19 @@ case class BucketPairs(
     copy(first = f, second = s, third = t, fourth = q)
 }
 
-/** bucket_rep_pairs(members, rowsPerBand, band, minAgree) — the
-  * linear fall-through for oversized LSH buckets: instead of the
-  * O(B²) all-pairs enumeration of [[BucketPairs]], every member is
-  * paired ONLY with the bucket's min-id representative — O(B) per
-  * bucket regardless of skew, the same representative trick as
-  * minhashDedupLinear / the embedding LSH dedup.
-  *
-  * Emission rules deliberately mirror [[BucketPairs]] so the two
-  * kernels compose without a post-union DISTINCT: a (rep, member)
-  * pair is emitted only at its FIRST fully-agreeing band (every pair
-  * has exactly one, so whichever bucket owns that band emits it via
-  * its branch's kernel — never both) and only if the signatures agree
-  * on ≥ minAgree components. The recall trade on a hot bucket is
-  * documented at the call site: members similar to each other but not
-  * to the representative are not proposed. */
 /** rep_first_band(repSig, sig, rowsPerBand, minAgree) — the per-ROW
-  * form of [[BucketRepPairs]]'s emission rule, for the flat-memory
-  * oversized-bucket path: returns the FIRST band index on which the
-  * two signatures fully agree, or -1 when there is none or total
-  * agreement is below `minAgree`. A caller that has joined each
-  * member row to its bucket's min-id representative emits the
-  * (rep, member) pair where `rep_first_band(...) = band` — exactly
-  * the rows [[BucketRepPairs]] would produce from the collected
-  * member list, with no per-bucket array materialization at all. */
+  * emission rule of the linear representative path for oversized LSH
+  * buckets: returns the FIRST band index on which the two signatures
+  * fully agree, or -1 when there is none or total agreement is below
+  * `minAgree`. A caller that has joined each member row to its
+  * bucket's min-id representative emits the (rep, member) pair where
+  * `rep_first_band(...) = band` — only at the pair's first
+  * fully-agreeing band, deliberately mirroring [[BucketPairs]] so the
+  * small-bucket all-pairs branch and this one compose without a
+  * post-union DISTINCT, with no per-bucket member list materialized
+  * anywhere. The recall trade on a hot bucket is documented at the
+  * call site: members similar to each other but not to the
+  * representative are not proposed. */
 case class RepFirstBand(
     first: Expression,
     second: Expression,
@@ -470,77 +459,6 @@ case class RepFirstBand(
     copy(first = f, second = s, third = t, fourth = q)
 }
 
-case class BucketRepPairs(
-    first: Expression,
-    second: Expression,
-    third: Expression,
-    fourth: Expression,
-) extends QuaternaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))),
-    containsNull = false)
-  override def prettyName: String = "graft_bucket_rep_pairs"
-
-  override def nullSafeEval(m: Any, r: Any, b: Any, a: Any): Any = {
-    val members = m.asInstanceOf[ArrayData]
-    val rpb = r.asInstanceOf[Int]
-    val band = b.asInstanceOf[Int]
-    val minAgree = a.asInstanceOf[Int]
-    val n = members.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val ids = new Array[Long](n)
-    val sigs = new Array[ArrayData](n)
-    var repIdx = 0
-    var i = 0
-    while (i < n) {
-      val row = members.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      sigs(i) = row.getArray(1)
-      if (ids(i) < ids(repIdx)) repIdx = i
-      i += 1
-    }
-    val rep = sigs(repIdx)
-    val repId = ids(repIdx)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var j = 0
-    while (j < n) {
-      if (j != repIdx) {
-        val y = sigs(j)
-        val h = math.min(rep.numElements(), y.numElements())
-        var agree = 0
-        var k = 0
-        while (k < h) {
-          if (rep.getLong(k) == y.getLong(k)) agree += 1
-          k += 1
-        }
-        if (agree >= minAgree) {
-          var firstBand = -1
-          var bd = 0
-          while (firstBand == -1 && (bd + 1) * rpb <= h) {
-            var p = bd * rpb
-            var all = true
-            while (all && p < (bd + 1) * rpb) {
-              if (rep.getLong(p) != y.getLong(p)) all = false
-              p += 1
-            }
-            if (all) firstBand = bd
-            bd += 1
-          }
-          if (firstBand == band) {
-            out += org.apache.spark.sql.catalyst.InternalRow(repId, ids(j))
-          }
-        }
-      }
-      j += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
-    copy(first = f, second = s, third = t, fourth = q)
-}
 
 /** srp_sig(vec, nBits, salt) — sign-random-projection LSH signature
   * as one INT (nBits ≤ 32): bit j = [vec · plane(salt, j) > 0], with
@@ -640,8 +558,6 @@ object GraftFunctions {
       args => JaccardSortedLong(args(0), args(1))),
     desc("graft_bucket_pairs", "LSH candidate pairs within one (band,bucket) member list",
       args => BucketPairs(args(0), args(1), args(2), args(3))),
-    desc("graft_bucket_rep_pairs", "min-id-representative LSH candidate pairs for an oversized bucket",
-      args => BucketRepPairs(args(0), args(1), args(2), args(3))),
     desc("graft_rep_first_band", "first fully-agreeing band of two minhash signatures, -1 below min agreement",
       args => RepFirstBand(args(0), args(1), args(2), args(3))),
     desc("graft_srp_sig", "sign-random-projection LSH signature of a numeric array",

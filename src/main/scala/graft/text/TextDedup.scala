@@ -339,7 +339,7 @@ object TextDedup {
     // (one row per OVERSIZED bucket only — degenerate corpora have
     // few such buckets by construction: at most |rows|/cap exist) so
     // the big routing join above stays signature-free.
-    // graft_rep_first_band replicates BucketRepPairs' emission rule
+    // graft_rep_first_band carries the representative-path emission rule
     // (first fully-agreeing band + minAgree), so the branches still
     // compose without a DISTINCT.
     val repSigs = sigs
