@@ -37,4 +37,32 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty pair set yields an empty labeling") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("law: random graphs match a driver-side union-find (fixed seeds)") {
+    import org.scalacheck.{Gen, rng}
+    val edgeGen = for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L) if a != b
+    } yield (a, b)
+    val graphGen = Gen.listOfN(30, edgeGen)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    for (seed <- 1L to 5L) {
+      val edges = graphGen(Gen.Parameters.default, rng.Seed(seed))
+        .getOrElse(fail(s"generator failed for seed $seed"))
+      // union-find roots are component minima because union always
+      // points the larger root at the smaller
+      assert(cc(edges) == unionFind(edges), s"seed $seed")
+    }
+  }
 }
