@@ -160,6 +160,71 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming near-duplicate admission — the incremental-ingest form
+    * of the MinHash dedup family: each micro-batch is first deduped
+    * with the BATCH semantics ([[graft.text.TextDedup.minhashDedup]] —
+    * keep-min-id, jaccard-verified, exact within the batch), then
+    * gated against the PERSISTENT band-bucket index: a document is
+    * admitted only if NONE of its LSH band buckets was registered by a
+    * previously admitted document, and admitted documents register
+    * their buckets. Cross-batch semantics are the LSH candidate curve,
+    * not verified jaccard — the index stores buckets, not signatures,
+    * so a cross-batch collision drops without a verify
+    * (P(drop | jaccard s) = 1−(1−s^r)^b: ~99.5% of s=0.9 near-dups,
+    * ~17% of s=0.5 pairs at the b=6, r=5 defaults — the recall-heavy
+    * trade every streaming LSH gate makes; run the batch
+    * `minhashDedup` over the admitted corpus for verified semantics).
+    *
+    * Both sinks go through [[graft.sink.IdempotentAppend.appendNew]],
+    * so checkpoint redelivery re-admits nothing and re-registers
+    * nothing; a crash between the two appends is healed by the replay
+    * of the same micro-batch. Scale: the gate is one (band,bucket)
+    * join against the index (broadcast-prunable like any upsert) —
+    * the stream never joins the admitted CORPUS, only its bucket
+    * keys. */
+  def drainNearDupGate(
+      df: DataFrame,
+      admittedPath: String,
+      bucketIndexPath: String,
+      checkpointPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9,
+      k: Int = 3,
+      numHashes: Int = 30,
+      bands: Int = 6,
+  ): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+        val local = graft.text.TextDedup.minhashDedup(
+          batch.toDF(), idCol, textCol, threshold, k, numHashes, bands)
+        val buckets = graft.text.TextDedup
+          .minhashBuckets(local, idCol, textCol, k, numHashes, bands)
+        val collided =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath)))
+            buckets.filter(lit(false)).select(col(idCol))
+          else
+            buckets
+              .join(spark.read.parquet(bucketIndexPath), Seq("band", "bucket"), "left_semi")
+              .select(col(idCol)).distinct()
+        val admitted = local.join(collided, Seq(idCol), "left_anti")
+        graft.sink.IdempotentAppend.appendNew(
+          spark, admitted, admittedPath, Seq(idCol), timeCol = None)
+        graft.sink.IdempotentAppend.appendNew(
+          spark,
+          buckets.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+            .select(col("band"), col("bucket")).distinct(),
+          bucketIndexPath, Seq("band", "bucket"), timeCol = None)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed rollup with a watermark: the streaming form
     * of the monthly MV (daily tumbling windows here — month windows
     * are calendar-irregular, so the batch refresh stays the monthly

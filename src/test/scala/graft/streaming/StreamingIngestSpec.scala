@@ -125,6 +125,48 @@ class StreamingIngestSpec extends SparkSpec {
     assert(row.getInt(2) >= 20)
   }
 
+  test("streaming near-dup gate: batch-exact within a drain, bucket-index gate across drains") {
+    val in = Files.createTempDirectory("graft-stream-nd-in")
+    val adm = Files.createTempDirectory("graft-stream-nd-adm").resolve("t").toString
+    val idx = Files.createTempDirectory("graft-stream-nd-idx").resolve("i").toString
+    val common = (0 until 60).map(i => s"w$i").mkString(" ")
+    val distinctDoc = (0 until 40).map(i => s"only$i").mkString(" ")
+    def drain(): Unit = {
+      val ckpt = Files.createTempDirectory("graft-stream-nd-ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema).json(in.toString)
+      StreamingIngest.drainNearDupGate(stream, adm, idx, ckpt,
+        "doc_id", "text", threshold = 0.9, k = 1).awaitTermination()
+    }
+    // drain 1: 1 and 2 are near-dups (min-id 1 wins IN-batch, verified
+    // batch semantics); 3 is unrelated
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"doc_id":1,"text":"$common u1"}
+         |{"doc_id":2,"text":"$common u2"}
+         |{"doc_id":3,"text":"$distinctDoc"}
+         |""".stripMargin)
+    drain()
+    assert(spark.read.parquet(adm).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    // drain 2 (fresh checkpoint, new files): 4 near-dups the ADMITTED
+    // corpus -> dropped by the cross-drain bucket gate; 5 is new
+    val fresh = (0 until 40).map(i => s"fresh$i").mkString(" ")
+    Files.writeString(in.resolve("b.jsonl"),
+      s"""{"doc_id":4,"text":"$common u4"}
+         |{"doc_id":5,"text":"$fresh"}
+         |""".stripMargin)
+    drain()
+    assert(spark.read.parquet(adm).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 5L))
+    // re-drain the same input with another fresh checkpoint: the
+    // key-idempotent sinks admit and register nothing new
+    drain()
+    assert(spark.read.parquet(adm).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 5L))
+  }
+
   test("samplers are stream-safe: streamed output equals the batch result row-for-row") {
     import graft.text.{Sampling, TrainOrder}
     val in = Files.createTempDirectory("graft-stream-smp-in")
