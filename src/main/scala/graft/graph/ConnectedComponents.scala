@@ -11,28 +11,40 @@ import org.apache.spark.sql.functions._
   * (The reference pipeline stops at row-level dedup; this is part of
   * the beyond-reference LLM-curation family.)
   *
-  * Algorithm: iterative min-label propagation to fixpoint — label(v)
-  * starts as v and each round becomes the min over v and its
-  * neighbors' labels; at fixpoint every vertex carries the minimum
-  * vertex id of its component (deterministic, so the output is
-  * oracle-checkable: DuckDB replays it as a recursive-CTE label
-  * closure over the same pairs).
+  * Algorithm: min-label propagation to fixpoint as a DELTA iteration —
+  * label(v) starts as v and becomes the min over v and its neighbors'
+  * labels; at fixpoint every vertex carries the minimum vertex id of
+  * its component (deterministic, so the output is oracle-checkable:
+  * DuckDB replays it as a recursive-CTE label closure over the same
+  * pairs). Labels only ever decrease, so a vertex whose label did NOT
+  * change in round r has nothing new to tell its neighbors in round
+  * r+1 — each round therefore aggregates only over edges incident to
+  * the previous round's CHANGED vertices (the frontier), the classic
+  * semi-naive / delta-iteration evaluation.
   *
   * Scale shape (100 TB):
-  *   - Each round is ONE aggregate (neighbor min per dst — count/min
-  *     buffer, map-side combine, flat at any degree skew: a hub
-  *     vertex's incoming labels combine to one row per mapper) and
-  *     one join back to the labels frame. No collected adjacency
-  *     lists anywhere.
-  *   - Rounds needed = graph diameter. LSH near-dup graphs are
-  *     star-dominated (rep→member pairs from the oversized-bucket
-  *     path; dense blobs from the all-pairs path), so diameter — and
-  *     the round count — is small in practice. `maxIters` bounds the
-  *     loop; non-convergence THROWS rather than returning silently
-  *     wrong labels (no-silent-caps principle).
+  *   - Round 1 is ONE aggregate over the symmetric edge set (the
+  *     groupBy keys ARE the vertex set, so the initial labeling and
+  *     the first propagation fuse into a single min() pass — bounded
+  *     buffer, map-side combine, flat at any degree skew).
+  *   - Rounds 2+ touch only frontier-incident edges. LSH near-dup
+  *     graphs are star-dominated (rep→member pairs from the
+  *     oversized-bucket path; dense blobs from the all-pairs path),
+  *     so the frontier collapses after round 1 and later rounds cost
+  *     ~nothing even though the worst-case round count is still the
+  *     graph diameter. `maxIters` bounds the loop; non-convergence
+  *     THROWS rather than returning silently wrong labels (no-silent-
+  *     caps principle).
+  *   - The edge set is hash-partitioned by src ONCE and materialized
+  *     (eager localCheckpoint): every round's frontier join and the
+  *     round-1 aggregate reuse that layout instead of re-shuffling
+  *     the edges each round — per-round shuffle volume is the
+  *     frontier, not the graph. Label updates join the full label
+  *     frame with the (small) improvement frame, which Spark
+  *     broadcasts off the checkpoint-known size.
   *   - Lineage is truncated per round with an eager localCheckpoint —
-  *     20 rounds of self-joins would otherwise stack into one
-  *     unplannable tree. On a cluster with a checkpoint dir,
+  *     diameter-many rounds of self-joins would otherwise stack into
+  *     one unplannable tree. On a cluster with a checkpoint dir,
   *     `spark.sparkContext.setCheckpointDir` + reliable checkpoints
   *     are the durable variant of the same move.
   */
@@ -52,39 +64,48 @@ object ConnectedComponents {
     val edges = pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    // symmetrize: propagation must travel both directions. Materialize
-    // once (eager localCheckpoint): every round joins this frame, and
-    // without it each round would recompute the caller's entire
-    // pair-generation pipeline (an LSH near-dup cascade, typically).
+    // symmetrize: propagation must travel both directions. Partition by
+    // src and materialize once: every round joins this frame on src,
+    // and without the checkpoint each round would recompute the
+    // caller's entire pair-generation pipeline (an LSH near-dup
+    // cascade, typically).
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Round 1, fused: sym is symmetric, so groupBy(src) keys are
+    // exactly the vertex set — initial labeling and first propagation
+    // are one shuffle-free aggregate over the pre-partitioned edges.
+    var labels = sym
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("id"), least(col("id"), col("_nbr")).as("component"))
       .localCheckpoint(true)
-    var round = 0
-    var converged = false
+    var frontier = labels.filter(col("component") =!= col("id"))
+    var round = 1
+    var converged = frontier.isEmpty // only true for an empty graph
     while (!converged && round < maxIters) {
-      // neighbor minimum per vertex: bounded aggregation buffer,
-      // map-side combinable — flat under hub skew
+      // neighbor minimum per vertex, from frontier-incident edges only:
+      // bounded aggregation buffer, map-side combinable — flat under
+      // hub skew; volume ∝ frontier degree sum, not graph size
       val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("_nbr"))
-      // the convergence flag rides the checkpointed frame, so the
-      // changed? probe below reads materialized rows instead of
-      // re-running the round's join
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("_nbr"), col("component")))
-            .as("component"),
-          (coalesce(col("_nbr"), col("component")) < col("component")).as("_changed"))
+      val improved = labels
+        .join(nbrMin, Seq("id"))
+        .filter(col("_nbr") < col("component"))
+        .select(col("id"), col("_nbr").as("component"))
         .localCheckpoint(true)
-      val changed = next.filter(col("_changed")).limit(1).count()
-      labels = next.drop("_changed")
-      converged = changed == 0L
       round += 1
+      if (improved.isEmpty) converged = true
+      else {
+        labels = labels
+          .join(improved.withColumnRenamed("component", "_new"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
     }
     if (!converged)
       throw new IllegalStateException(
