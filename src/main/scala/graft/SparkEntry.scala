@@ -1062,6 +1062,26 @@ object SparkEntry {
         k = 10, candidateK = 50)
     }),
 
+    // Product-quantization ANN end-to-end (Jégou et al. 2011): per-
+    // subspace codebooks (m=4 × ksub=16 over dim 64) trained on a
+    // capped sample, corpus stored as 4 small ints per vector (32×
+    // under float32), ADC lookup-table scoring proposes 50 candidates
+    // per query, exact cosine re-ranks to 10. Hash-checked: the
+    // fitted codebooks persist to parquet (the v7 pattern) and the
+    // oracle replays encode → ADC → rerank from them.
+    "v12_pq_rerank_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cb = Similarity.pqCodebooks(e, "embedding", m = 4, subDim = 16, ksub = 16)
+      v12CorpusKey = v7CorpusKeyFor(dir)
+      s.createDataFrame(cb).toDF("j", "cid", "cvec")
+        .repartition(1).write.mode("overwrite")
+        .parquet(v12CodebooksPathFor(v7CorpusKeyFor(dir)))
+      Similarity.pqRerankTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, candidateK = 50, cb, subDim = 16)
+    }),
+
     // --- Multimodal plumbing (beyond-reference) ------------------------
 
     "mm1_media_meta" -> ((s, dir) =>
@@ -1569,6 +1589,14 @@ object SparkEntry {
     * Verify JVM (queries all complete before oracleSql is written);
     * a JVM that never ran v7 falls back to the "default" key. */
   @volatile private var v7CorpusKey: String = "default"
+
+  /** v12's PQ codebooks persist beside v7's centroids, same
+    * corpus-keyed layout and the same single-flow volatile-key
+    * handoff from the query run to the oracle dump. */
+  @volatile private var v12CorpusKey: String = "default"
+  private def v12CodebooksPathFor(key: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_v12_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
   private def v7CorpusKeyFor(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2981,6 +3009,49 @@ object SparkEntry {
          |cand AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
          |  FROM qsims) WHERE r <= 50),
+         |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.query_id = c.query_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM ex)
+         |WHERE rank <= 10""".stripMargin,
+
+    // PQ replay from the persisted codebooks: encode every vector
+    // (argmin squared-L2 per subspace, ties to the lower cid), score
+    // query×code by summing per-subspace LUT dot products in subspace
+    // order (list(... ORDER BY j) keeps the double fold order equal to
+    // Spark's left-to-right reduce), then the v9 exact-cosine rerank.
+    "v12_pq_rerank_topk" ->
+      s"""WITH cb AS (
+         |  SELECT j, cid, cvec FROM read_parquet('${v12CodebooksPathFor(v12CorpusKey)}/*.parquet')),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT v.vec_id, cb.j, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j ORDER BY
+         |        list_sum(list_transform(list_zip(list_slice(v.v, cb.j*16 + 1, cb.j*16 + 16), cb.cvec),
+         |                 p -> (p[1]-p[2])*(p[1]-p[2]))) ASC,
+         |        cb.cid ASC) AS r
+         |    FROM v CROSS JOIN cb) WHERE r = 1),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qvec,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |parts AS (
+         |  SELECT q.query_id, c.vec_id, c.j,
+         |    list_sum(list_transform(list_zip(list_slice(q.qv, c.j*16 + 1, c.j*16 + 16), cb.cvec),
+         |             p -> p[1]*p[2])) AS part
+         |  FROM codes c
+         |  JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+         |  CROSS JOIN qs q
+         |  WHERE q.query_id <> c.vec_id),
+         |adc AS (
+         |  SELECT query_id, vec_id, ROUND(list_sum(list(part ORDER BY j)), 6) AS sim
+         |  FROM parts GROUP BY query_id, vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+         |  FROM adc) WHERE r <= 50),
          |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
          |  FROM cand c
          |  JOIN embeddings e ON e.vec_id = c.vec_id

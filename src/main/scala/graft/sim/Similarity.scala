@@ -168,6 +168,211 @@ object Similarity {
     rankTopK(scored, queryIdCol, idCol, k)
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)):
+  // split each vector into m subspaces, vector-quantize each subspace
+  // against its own ksub-entry codebook, and approximate an inner
+  // product as the sum of m per-subspace table lookups (ADC —
+  // asymmetric distance computation: the query side stays full
+  // precision). The stored index is m small ints per vector — the
+  // memory/bandwidth lever beyond int8: at m=8/ksub=256 a 64-float
+  // vector stores as 8 bytes (32× under float32), and scoring a
+  // candidate costs m array lookups instead of d multiplies. At 100 TB
+  // the codes column is what scans and shuffles; full vectors are
+  // touched only by the exact rerank on candidateK rows per query.
+  // -------------------------------------------------------------------
+
+  /** Per-subspace codebooks: (subspace j, centroid id, centroid
+    * vector), cid dense in [0, ksub) per subspace, ORDERED so an ADC
+    * lookup table indexes by cid. Trained with driver-side Lloyd
+    * iterations over an EXPLICITLY CAPPED sample (`maxTrainRows` —
+    * bounded collect by construction, the standard index-training
+    * move: faiss trains its quantizers on a corpus sample too). One
+    * bounded collect replaces m distributed KMeans fits, so index
+    * build costs one small job regardless of m. Deterministic for a
+    * fixed (corpus, seed): init picks evenly-strided rows of the
+    * collected sample, ties in assignment break to the lower cid. The
+    * caller persists the result next to the query output for replay /
+    * audit (the oracle pattern [[ivfTopKWithCentroids]] established).
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      maxTrainRows: Int = 2048,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+  ): Seq[(Int, Int, Seq[Double])] = {
+    require(m >= 1 && subDim >= 1 && ksub >= 1, s"bad PQ shape: m=$m subDim=$subDim ksub=$ksub")
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) >= m * subDim)
+      .limit(maxTrainRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"PQ training sample is empty (need vectors of length >= ${m * subDim})")
+    (0 until m).flatMap { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      val cents = lloyd(pts, ksub, maxIter, seed + j)
+      cents.zipWithIndex.map { case (c, cid) => (j, cid, c.toIndexedSeq: Seq[Double]) }
+    }
+  }
+
+  /** Plain Lloyd k-means on driver-held points: evenly-strided init
+    * (deterministic, spread across the sample), L2 assignment with
+    * lowest-index tie-break, empty clusters keep their previous
+    * centroid. Bounded: points.length <= maxTrainRows by caller. */
+  private def lloyd(
+      points: Array[Array[Double]],
+      k: Int,
+      maxIter: Int,
+      seed: Long,
+  ): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    // seed rotates the stride phase so subspaces with identical point
+    // clouds still train independently
+    val cents = Array.tabulate(math.min(k, n)) { i =>
+      points(((i * n) / math.min(k, n) + (seed % n).toInt.abs) % n).clone()
+    } ++ Array.tabulate(math.max(0, k - n))(i => points(i % n).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = d2(points(p), cents(0)); var c = 1
+        while (c < k) {
+          val dd = d2(points(p), cents(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      moved = false
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            val v = sums(c)(i) / counts(c)
+            if (v != cents(c)(i)) { cents(c)(i) = v; moved = true }
+            i += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Sum of squared differences of two double-array columns —
+    * left-to-right fold, replayable as a DuckDB list_sum. */
+  private def subL2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  /** Codebook entries of one subspace, cid-ascending, as a literal
+    * array<struct<_1:cid, _2:cvec>> (same shape as the IVF centroid
+    * literal). */
+  private def subCodebookLit(codebooks: Seq[(Int, Int, Seq[Double])], j: Int): Column =
+    typedlit(codebooks.filter(_._1 == j).sortBy(_._2).map(c => (c._2, c._3)))
+
+  /** PQ-encode: append `codeCol` = array of m centroid ids (argmin
+    * squared L2 per subspace, ties to the lower cid — array_min on
+    * struct(dist, cid) is lexicographic). A narrow projection fused
+    * into the scan; the temp subspace slices are bound as columns so
+    * nothing expensive re-evaluates inside the HOF lambdas. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Seq[(Int, Int, Seq[Double])],
+      subDim: Int,
+      codeCol: String = "pq_code",
+  ): DataFrame = {
+    val m = codebooks.map(_._1).max + 1
+    val withSubs = (0 until m).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"_sub_$j",
+        slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim))
+    }
+    val codes = (0 until m).map { j =>
+      array_min(transform(subCodebookLit(codebooks, j), c =>
+        struct(subL2sq(col(s"_sub_$j"), c.getField("_2")).as("d"),
+          c.getField("_1").as("cid")))).getField("cid")
+    }
+    (0 until m).foldLeft(withSubs.withColumn(codeCol, array(codes: _*))) {
+      (acc, j) => acc.drop(s"_sub_$j")
+    }
+  }
+
+  /** End-to-end PQ ANN: ADC scoring over the m-byte codes proposes
+    * `candidateK` candidates per query, exact full-precision cosine
+    * re-ranks them to the final k ([[quantizedRerankTopK]]'s contract
+    * at PQ compression). Queries broadcast with their per-subspace
+    * lookup tables precomputed (m × ksub doubles each), so scoring a
+    * corpus row is m array lookups — no vector arithmetic touches the
+    * corpus scan, and the raw vector column is read only by the
+    * rerank's candidate join. */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      candidateK: Int,
+      codebooks: Seq[(Int, Int, Seq[Double])],
+      subDim: Int,
+  ): DataFrame = {
+    val m = codebooks.map(_._1).max + 1
+    val encoded = pqEncode(corpus, vecCol, codebooks, subDim, "_pq_code")
+      .select(col(idCol), col("_pq_code"))
+    // query-side LUTs: lut_j[cid+1] = <q_sub_j, centroid(j, cid)>
+    val withLuts = (0 until m).foldLeft(queries) { (acc, j) =>
+      val qsub = slice(col(queryVecCol).cast("array<double>"), j * subDim + 1, subDim)
+      acc.withColumn(s"_qsub_$j", qsub)
+        .withColumn(s"_lut_$j",
+          transform(subCodebookLit(codebooks, j), c => dot(col(s"_qsub_$j"), c.getField("_2"))))
+        .drop(s"_qsub_$j")
+    }
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_lut_$j"), element_at(col("_pq_code"), j + 1) + 1))
+      .reduce(_ + _)
+    val cands = encoded
+      .crossJoin(broadcast(withLuts))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("sim", round(adc, 6))
+    val top = rankTopK(cands, queryIdCol, idCol, candidateK)
+      .select(col(queryIdCol), col(idCol))
+    val scored = corpus
+      .join(broadcast(top), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
+
   /** Pairs above a cosine threshold within a blocking key (embedding
     * near-dup detection). Blocking (label/shard/LSH bucket) bounds the
     * pair count; the full-corpus variant should block on

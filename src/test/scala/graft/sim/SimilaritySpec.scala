@@ -278,4 +278,64 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_._1) == Seq(0, 1)) // dense re-indexed cids
     assert(cents.map(_._2) == Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 1.0, 0.0))) // ids 1, 3
   }
+
+  private def pqdf = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // near 1
+    (5L, Array(0.1f, 0.9f, 0.9f, 0.1f)), // near 2
+  ).toDF("vec_id", "embedding")
+
+  test("pqCodebooks: dense cid-ordered per-subspace codebooks, deterministic") {
+    val cb = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 2)
+    assert(cb.map(_._1).distinct == Seq(0, 1))
+    assert(cb.filter(_._1 == 0).map(_._2) == Seq(0, 1)) // dense, ordered
+    assert(cb.forall(_._3.length == 2))
+    val again = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 2)
+    assert(cb == again) // fixed seed, fixed sample -> identical index
+  }
+
+  test("pqEncode: argmin squared-L2 per subspace, ties break to the lower cid") {
+    // hand-built codebooks: subspace 0 separates x-dominant from
+    // y-dominant; subspace 1 has two IDENTICAL centroids (tie)
+    val cb = Seq(
+      (0, 0, Seq(1.0, 0.0)), (0, 1, Seq(0.0, 1.0)),
+      (1, 0, Seq(0.5, 0.5)), (1, 1, Seq(0.5, 0.5)))
+    val codes = Similarity.pqEncode(pqdf, "embedding", cb, subDim = 2)
+      .select(col("vec_id"), col("pq_code")).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(codes(1L) == Seq(0, 0)) // (1,0) -> cid 0; tie -> cid 0
+    assert(codes(2L) == Seq(1, 0))
+    assert(codes(4L) == Seq(0, 0))
+    assert(codes(5L) == Seq(1, 0))
+  }
+
+  test("pqRerankTopK: candidateK covering the corpus reproduces exact top-k") {
+    val q = pqdf.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cb = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 2)
+    val exact = Similarity
+      .bruteForceTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pq = Similarity
+      .pqRerankTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 3, candidateK = 10, cb, subDim = 2)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq == exact)
+  }
+
+  test("pq ADC proposal ranks the structurally-nearest neighbor first") {
+    // ksub = 4 on 5 vectors: codebooks nearly memorize the corpus, so
+    // the ADC proposal alone should put 4 (near-parallel to 1) at the
+    // top for query 1 even before the exact rerank
+    val q = pqdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cb = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 4)
+    val top = Similarity
+      .pqRerankTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 1, candidateK = 1, cb, subDim = 2)
+      .collect()
+    assert(top.length == 1 && top(0).getLong(1) == 4L)
+  }
 }
