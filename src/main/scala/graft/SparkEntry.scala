@@ -716,6 +716,19 @@ object SparkEntry {
       Fusion.rrfFuse(Seq(bm, dense), "query_id", "doc_id", k = 10)
     }),
 
+    // Deterministic train/val/test assignment: one md5 draw per doc,
+    // banded by two thresholds — disjoint + exhaustive by
+    // construction, and growing the corpus never moves an existing
+    // document between splits (the frozen-eval-set property). French
+    // holds out 10%/10% (the low-resource stratum keeps a bigger eval
+    // share); everything else 5%/5%.
+    "tp13_split_assignment" -> ((s, dir) =>
+      Sampling
+        .assignSplit(tbl(s, dir, "documents"), col("doc_id"), col("lang"),
+          valFraction = 0.05, testFraction = 0.05,
+          overrides = Map("fr" -> (0.1, 0.1)), salt = "tp13")
+        .select("doc_id", "lang", "split")),
+
     // Quality-weighted (soft) sampling: keep probability = the t3
     // quality score per document, decision still a pure function of
     // (salt, key) — high-quality docs survive more often than a hard
@@ -2112,6 +2125,20 @@ object SparkEntry {
          |       WHEN lang = 'de' THEN '${Sampling.hexThreshold(0.5)}'
          |       WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.25)}'
          |       ELSE '${Sampling.hexThreshold(0.1)}' END""".stripMargin,
+
+    // One md5 draw banded by two per-stratum thresholds; the same
+    // Sampling.hexThreshold constants, so the band edges are
+    // bit-identical in both engines.
+    "tp13_split_assignment" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN h < (CASE WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.1)}'
+         |                      ELSE '${Sampling.hexThreshold(0.05)}' END) THEN 'test'
+         |       WHEN h < (CASE WHEN lang = 'fr' THEN '${Sampling.hexThreshold(0.2)}'
+         |                      ELSE '${Sampling.hexThreshold(0.1)}' END) THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        md5(concat_ws(':', 'tp13', CAST(doc_id AS VARCHAR))) AS h
+         |      FROM documents)""".stripMargin,
 
     // The same md5-shuffled per-stratum order and exclusive running
     // sum; the budget-boundary straddler (prior < budget) is kept in

@@ -157,4 +157,52 @@ object Sampling {
       .filter(col("_prior_weight") < budget)
       .drop("_prior_weight")
   }
+
+  /** Deterministic train/val/test assignment: ONE md5 draw per key,
+    * banded by two thresholds — `test` below hexThreshold(testF),
+    * `val` below hexThreshold(testF + valF), `train` otherwise.
+    * Disjoint and exhaustive by construction (one draw, consecutive
+    * bands), and a pure function of (salt, key): re-runs and other
+    * engines agree row-for-row, and growing the corpus never moves an
+    * existing document between splits — the property that keeps a
+    * frozen eval set frozen across crawls. Holding out by a hash of
+    * the DOCUMENT key also means near-duplicate leakage across splits
+    * is a dedup problem, not a split problem: run the dedup family
+    * first, then split.
+    *
+    * Per-stratum (valFraction, testFraction) overrides let
+    * low-resource strata hold out larger shares; strata absent from
+    * the map use the defaults.
+    *
+    * Scale shape: a narrow projection fused into the scan — no
+    * shuffle, no state, same as every sampler here. */
+  def assignSplit(
+      docs: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      valFraction: Double,
+      testFraction: Double,
+      overrides: Map[String, (Double, Double)] = Map.empty,
+      salt: String = "",
+      splitCol: String = "split",
+  ): DataFrame = {
+    def check(v: Double, t: Double): Unit =
+      require(v >= 0.0 && t >= 0.0 && v + t <= 1.0,
+        s"val/test fractions must be >= 0 and sum <= 1: val=$v test=$t")
+    check(valFraction, testFraction)
+    overrides.values.foreach { case (v, t) => check(v, t) }
+    val testT = overrides.foldLeft(lit(hexThreshold(testFraction))) {
+      case (acc, (stratum, (_, t))) =>
+        when(stratumCol === stratum, lit(hexThreshold(t))).otherwise(acc)
+    }
+    val valT = overrides.foldLeft(lit(hexThreshold(testFraction + valFraction))) {
+      case (acc, (stratum, (v, t))) =>
+        when(stratumCol === stratum, lit(hexThreshold(t + v))).otherwise(acc)
+    }
+    val draw = keyHash(keyCol, salt)
+    docs.withColumn(splitCol,
+      when(draw < testT, lit("test"))
+        .when(draw < valT, lit("val"))
+        .otherwise(lit("train")))
+  }
 }

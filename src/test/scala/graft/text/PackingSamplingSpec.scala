@@ -194,4 +194,43 @@ class PackingSamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(other != out.toSet)
   }
+
+  test("assignSplit: exhaustive, deterministic, and band-consistent with the samplers") {
+    val many = (1L to 2000L).map(i => (i, if (i % 4 == 0) "fr" else "en"))
+      .toDF("doc_id", "lang")
+    val split = Sampling.assignSplit(many, col("doc_id"), col("lang"),
+      valFraction = 0.1, testFraction = 0.1, salt = "s")
+    val out = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 2000) // exhaustive: every doc gets exactly one label
+    // the test band is exactly the deterministic sample at testFraction,
+    // and test+val exactly the sample at the summed fraction (nesting)
+    val t = Sampling.deterministicSample(many, col("doc_id"), 0.1, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val tv = Sampling.deterministicSample(many, col("doc_id"), 0.2, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "test").keySet == t)
+    assert(out.filter(_._2 != "train").keySet == tv)
+    // determinism + frozen-eval-set: splitting a subset agrees row-for-row
+    val sub = Sampling.assignSplit(many.filter(col("doc_id") <= 500), col("doc_id"),
+      col("lang"), 0.1, 0.1, salt = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(out(id) == s) }
+  }
+
+  test("assignSplit: per-stratum overrides widen holdout only for that stratum") {
+    val many = (1L to 4000L).map(i => (i, if (i % 2 == 0) "fr" else "en"))
+      .toDF("doc_id", "lang")
+    val split = Sampling.assignSplit(many, col("doc_id"), col("lang"),
+      valFraction = 0.05, testFraction = 0.05,
+      overrides = Map("fr" -> (0.25, 0.25)), salt = "x")
+      .select("doc_id", "lang", "split").as[(Long, String, String)].collect()
+    val frHoldout = split.count(r => r._2 == "fr" && r._3 != "train") / 2000.0
+    val enHoldout = split.count(r => r._2 == "en" && r._3 != "train") / 2000.0
+    assert(math.abs(frHoldout - 0.5) < 0.05, s"fr holdout $frHoldout")
+    assert(math.abs(enHoldout - 0.1) < 0.05, s"en holdout $enHoldout")
+    // fractions out of range refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(many, col("doc_id"), col("lang"), 0.7, 0.4)
+    }
+  }
 }
