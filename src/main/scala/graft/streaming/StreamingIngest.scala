@@ -204,14 +204,12 @@ object StreamingIngest {
           batch.toDF(), idCol, textCol, threshold, k, numHashes, bands)
         val buckets = graft.text.TextDedup
           .minhashBuckets(local, idCol, textCol, k, numHashes, bands)
-        val collided =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath)))
-            buckets.filter(lit(false)).select(col(idCol))
-          else
-            buckets
-              .join(spark.read.parquet(bucketIndexPath), Seq("band", "bucket"), "left_semi")
-              .select(col(idCol)).distinct()
-        val admitted = local.join(collided, Seq(idCol), "left_anti")
+        // same (band, bucket) gate as the batch incremental dedup —
+        // TextDedup.collisionGate IS the shared kernel
+        val admitted =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath))) local
+          else graft.text.TextDedup.collisionGate(
+            local, buckets, spark.read.parquet(bucketIndexPath), idCol)
         graft.sink.IdempotentAppend.appendNew(
           spark, admitted, admittedPath, Seq(idCol), timeCol = None)
         graft.sink.IdempotentAppend.appendNew(

@@ -508,6 +508,68 @@ object TextDedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Drop every document whose buckets collide with the base: the
+    * (band, bucket) admission gate shared by the batch incremental
+    * dedup ([[minhashDedupAgainstBase]]) and the streaming form
+    * ([[graft.streaming.StreamingIngest.drainNearDupGate]], which
+    * feeds the persistent bucket index here). `docBuckets` must be
+    * the [[minhashBuckets]] of `docs`; passing it in lets a caller
+    * that already materialized the buckets (the streaming sink
+    * registers them after admission) avoid recomputing the signature
+    * lineage.
+    *
+    * Scale: ONE left-semi join on (band, bucket) — broadcast-prunable
+    * like any upsert, shuffle volume b × |docs| slim key rows. The
+    * batch never joins the base CORPUS, only its bucket keys. */
+  def collisionGate(
+      docs: DataFrame,
+      docBuckets: DataFrame,
+      baseBuckets: DataFrame,
+      idCol: String,
+  ): DataFrame = {
+    val collided = docBuckets
+      .join(baseBuckets.select(col("band"), col("bucket")), Seq("band", "bucket"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(collided, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental MinHash near-dup dedup: dedup a NEW batch against an
+    * already-admitted corpus without reprocessing the corpus — the
+    * near-dup analog of [[exactDedupAgainstBase]], and the batch form
+    * of the streaming admission gate. The batch first collapses
+    * internally with the verified all-pairs semantics
+    * ([[minhashDedup]]); survivors are then dropped if ANY of their
+    * LSH band buckets appears among the base's buckets. Cross-corpus
+    * semantics are the LSH candidate curve, not verified jaccard —
+    * the base side carries buckets, not signatures or text, so a
+    * collision drops without a verify (P(drop | jaccard s) =
+    * 1−(1−s^r)^b: ~99.5% of s=0.9 near-dups, ~17% of s=0.5 pairs at
+    * the b=6, r=5 defaults — the recall-heavy trade every index-gated
+    * dedup makes; run [[minhashDedup]] over base ∪ batch for verified
+    * semantics when a full pass is affordable).
+    *
+    * In production the base side is the stored bucket index
+    * ([[minhashBuckets]] output, distinct on (band, bucket)), not a
+    * re-derivation from base text. */
+  def minhashDedupAgainstBase(
+      batch: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 1,
+      numHashes: Int = 30,
+      bands: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+  ): DataFrame = {
+    val local = minhashDedup(batch, idCol, textCol, threshold, k, numHashes, bands, maxBucketSize)
+    val baseBuckets = minhashBuckets(base, idCol, textCol, k, numHashes, bands)
+      .select(col("band"), col("bucket")).distinct()
+    collisionGate(local,
+      minhashBuckets(local, idCol, textCol, k, numHashes, bands),
+      baseBuckets, idCol)
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
