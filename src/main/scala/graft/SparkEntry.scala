@@ -934,6 +934,22 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    // Incremental NEAR-dup dedup: the batch collapses internally with
+    // verified all-pairs semantics, then survivors are gated against
+    // the base corpus's (band, bucket) index — td9's cross-run
+    // guarantee extended from exact to near-duplicate, and the batch
+    // form of the streaming admission gate (same collisionGate
+    // kernel). Hash-checked: batch and base signature CTEs replay via
+    // the GHash family; cross-corpus collision = band-slice equality.
+    "td11_minhash_vs_base" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      TextDedup
+        .minhashDedupAgainstBase(batch, base, "doc_id", "text", threshold = 0.9)
+        .select("doc_id", "lang", "source")
+    }),
+
     // CCNet-style line-level dedup: drop lines appearing in > 50 docs
     // (synthesized boilerplate: a shared header on every doc, a footer
     // shared by each doc_id%5 class), keep per-doc body lines in
@@ -981,6 +997,21 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
         k = 10, centroidFilter = col("vec_id") % 31 === 0, nprobe = 3)
+    }),
+
+    // Cluster-balanced diversity subsample: nearest seed centroid
+    // (v4's coarse quantizer), then at most 8 vectors per cluster in
+    // deterministic md5 order — dense clusters capped, tail clusters
+    // kept whole. Hash-checked: centroid selection, cosine argmax and
+    // the md5 order all replay in SQL.
+    "v13_cluster_balanced" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
+        col("vec_id") % 31 === 0, maxCentroids = 256)
+      Similarity
+        .clusterBalancedSample(e, "vec_id", "embedding", cents,
+          perClusterBudget = 8, salt = "v13")
+        .select("vec_id", "cluster_id")
     }),
 
     // Embedding-cosine near-dup dedup (keep-min-id survivors).
@@ -1503,17 +1534,21 @@ object SparkEntry {
   /** Shared CTE prefix for the MinHash oracles over table `src`
     * (must expose doc_id + text): token hash sets, identical-set
     * groups with min-id representatives, and signatures (unsigned min
-    * of the multiply-add permutations — MinHashSignature replay). */
-  private def minhashCtes(src: String): String =
-    s"""c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
-       |toks AS (SELECT doc_id, $ToksSql AS tk FROM $src),
-       |hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(tk, t -> ${fnvSql("t")}))) AS cs FROM toks),
-       |reps AS (SELECT cs, MIN(doc_id) AS rep_id FROM hs GROUP BY cs),
-       |sigs AS (SELECT rep_id, cs,
+    * of the multiply-add permutations — MinHashSignature replay).
+    * `p` prefixes every CTE name so one query can carry two corpora
+    * (td11's batch + base); the permutation-constant CTE `c` is
+    * emitted once (`withConsts = false` on the second expansion). */
+  private def minhashCtes(src: String, p: String = "", withConsts: Boolean = true): String = {
+    val consts = if (withConsts) s"c AS (SELECT $PermASql AS pa, $PermBSql AS pb),\n" else ""
+    s"""$consts${p}toks AS (SELECT doc_id, $ToksSql AS tk FROM $src),
+       |${p}hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(tk, t -> ${fnvSql("t")}))) AS cs FROM ${p}toks),
+       |${p}reps AS (SELECT cs, MIN(doc_id) AS rep_id FROM ${p}hs GROUP BY cs),
+       |${p}sigs AS (SELECT rep_id, cs,
        |  list_transform(range(0, $MinhashH), j ->
        |    CASE WHEN len(cs) = 0 THEN 18446744073709551615::HUGEINT
        |         ELSE list_min(list_transform(cs, x -> (pa[j+1] * x + pb[j+1]) % $M64)) END) AS sig
-       |  FROM reps, c)""".stripMargin
+       |  FROM ${p}reps, c)""".stripMargin
+  }
 
   /** Exact jaccard of two sorted distinct hash sets (JaccardSortedLong
     * replay), rounded to 6 dp. */
@@ -2795,6 +2830,26 @@ object SparkEntry {
          |SELECT rep_id AS doc_id FROM reps
          |WHERE rep_id NOT IN (SELECT rb FROM reppairs)""".stripMargin,
 
+    // td4's in-batch dedup over the non-base slice, then the base-side
+    // signature CTEs (prefixed 'b') and the bucket gate: a survivor
+    // drops iff any of its band slices equals a base band slice —
+    // band-slice equality IS bucket equality (the bucket is a hash of
+    // the slice).
+    "td11_minhash_vs_base" ->
+      s"""WITH ${minhashCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)")},
+         |$BandSliceCte,
+         |$RepPairsCte,
+         |${minhashCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)", "b", withConsts = false)},
+         |bobands AS (SELECT DISTINCT band, array_slice(sig, band*$MinhashRpb+1, band*$MinhashRpb+$MinhashRpb) AS bslice
+         |  FROM bsigs CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS band) bbx),
+         |surv AS (SELECT rep_id FROM reps WHERE rep_id NOT IN (SELECT rb FROM reppairs)),
+         |collided AS (SELECT DISTINCT a.rep_id FROM bands a
+         |  JOIN surv s ON s.rep_id = a.rep_id
+         |  JOIN bobands bo ON bo.band = a.band AND bo.bslice = a.bslice)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN (SELECT rep_id FROM surv WHERE rep_id NOT IN (SELECT rep_id FROM collided)) f
+         |  ON d.doc_id = f.rep_id""".stripMargin,
+
     // td3's pair graph, then connected components as a recursive-CTE
     // min-label closure: walk carries every (vertex, reachable label)
     // over symmetrized edges (set-semantics UNION terminates it), and
@@ -2930,6 +2985,23 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+
+    // v4's centroid table and assignment rule, then the md5-ordered
+    // per-cluster prefix (same rn <= budget cut as the engine window).
+    "v13_cluster_balanced" ->
+      s"""WITH cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
+         |asn AS (
+         |  SELECT vec_id, cid
+         |  FROM embeddings CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid DESC) = 1)
+         |SELECT vec_id, cluster_id FROM (
+         |  SELECT vec_id, cid AS cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY md5(concat_ws(':', 'v13', CAST(vec_id AS VARCHAR))), vec_id) AS rn
+         |  FROM asn)
+         |WHERE rn <= 8""".stripMargin,
 
     // v4's assignment/probe/top-k replay, with the centroid table read
     // from the parquet the v7 query persists (learned KMeans geometry;

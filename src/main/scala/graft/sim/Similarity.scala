@@ -760,6 +760,48 @@ object Similarity {
     rankTopK(scored, queryIdCol, idCol, k)
   }
 
+  /** Cluster-balanced diversity subsample: assign each vector to its
+    * nearest centroid (the same coarse quantizer as [[semDedup]] /
+    * [[ivfTopK]], same max-cosine tie-to-higher-cid rule), then keep
+    * at most `perClusterBudget` vectors per cluster in deterministic
+    * md5-hash order. The diversity-preserving counterpart of a uniform
+    * sample: dense head clusters are capped while tail clusters
+    * survive whole, so the kept set covers the embedding space instead
+    * of mirroring its density — the cluster-based selection move of
+    * curation pipelines (SemDeDup's cluster frame, arXiv:2303.09540;
+    * DataComp-style clustering filters). The per-cluster order is a
+    * pure function of (salt, id) — the md5 trick every
+    * [[graft.text.Sampling]] op uses — so re-runs and other engines
+    * agree row-for-row, and a different salt draws a different
+    * deterministic sample.
+    *
+    * Scale shape: assignment is a narrow map against the broadcast
+    * centroid literal (no shuffle), then ONE window partitioned by
+    * cluster id — per-partition work bounded by cluster size. A
+    * cluster that outgrows an executor takes the same two-pass remedy
+    * as the exact-budget samplers: pre-cut with
+    * [[graft.text.Sampling.deterministicSample]] at fraction ≈
+    * budget/size from table stats, then this exact trim. */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Int, Seq[Double])],
+      perClusterBudget: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(perClusterBudget >= 1, s"perClusterBudget must be >= 1, got $perClusterBudget")
+    val nearest = array_max(transform(typedlit(cents), c =>
+      struct(cosine(col(vecCol), c.getField("_2")).as("sim"),
+        c.getField("_1").as("cid")))).getField("cid")
+    val hash = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(hash, col(idCol))
+    df.withColumn("cluster_id", nearest)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perClusterBudget)
+      .drop("_rn")
+  }
+
   /** LSH-bucket probe: approximate top-k that only scores corpus
     * vectors whose LSH bucket matches one of the query's. Recall is
     * tunable via nBits (fewer bits → bigger buckets → higher recall).

@@ -279,6 +279,31 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_._2) == Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 1.0, 0.0))) // ids 1, 3
   }
 
+  test("clusterBalancedSample: per-cluster budget, tail kept whole, deterministic") {
+    val rows = (0L until 60L).map { i =>
+      // 50 x-dominant vectors (dense head cluster), 10 y-dominant (tail)
+      if (i < 50) (i, Array(1.0f, (i % 7).toFloat / 100f, 0.0f))
+      else (i, Array(0.0f, 1.0f, (i % 3).toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+    val kept = Similarity
+      .clusterBalancedSample(rows, "vec_id", "embedding", cents, perClusterBudget = 12, salt = "s")
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect()
+    val byCluster = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster(0) == 12) // head capped at budget
+    assert(byCluster(1) == 10) // tail cluster survives whole
+    // assignment is the nearest-centroid rule
+    kept.foreach { case (id, cid) => assert(cid == (if (id < 50) 0 else 1)) }
+    // deterministic: same salt → same set; budget >= cluster sizes → identity
+    val again = Similarity
+      .clusterBalancedSample(rows, "vec_id", "embedding", cents, perClusterBudget = 12, salt = "s")
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    val all = Similarity
+      .clusterBalancedSample(rows, "vec_id", "embedding", cents, perClusterBudget = 60, salt = "s")
+    assert(all.count() == 60)
+  }
+
   private def pqdf = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
     (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
