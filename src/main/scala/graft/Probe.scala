@@ -23,11 +23,18 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.contains("PROBE_EXPLAIN")
+    // PROBE_DUMP=<dir>: also write each probed query's result as
+    // parquet (Verify's layout), so a single query can be checked
+    // against its DuckDB oracle without a full Verify pass.
+    val dump = sys.env.get("PROBE_DUMP")
     for (n <- names) {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         if (explain) println(df.queryExecution.executedPlan.toString.take(24000))
+        dump.foreach { d =>
+          df.repartition(1).write.mode("overwrite").parquet(s"$d/$n")
+        }
         val cnt = df.count()
         println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$cnt")
       } catch {

@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -831,6 +831,32 @@ object SparkEntry {
     "t10_unigram_logprob" -> ((s, dir) =>
       UnigramLM.unigramScores(tbl(s, dir, "documents"), "doc_id", "text", topV = 20)),
 
+    // Model-based quality filter (the GPT-3/Llama pipeline stage):
+    // logistic regression over top-256 document-frequency token
+    // presence, trained IN Spark on the even-doc_id half against the
+    // Gopher-gate conjunction as the weak label, weights persisted to
+    // parquet (quantized DECIMAL(18,12)), then the WHOLE corpus scored
+    // with the exact order-free decimal margin — no transcendental in
+    // the compared output, so the oracle replays scoring bit-exactly
+    // from the persisted weights.
+    "t12_quality_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val labeled = docs
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .withColumn("label",
+          size(col("_toks")).between(20, 100000) &&
+            TextAnalysis.meanWordLengthOf(col("_toks")).between(3.0, 10.0) &&
+            (TextAnalysis.symbolWordRatio(col("text"), col("_toks")) <= 0.1) &&
+            (TextAnalysis.alphaWordFraction(col("_toks")) >= 0.8) &&
+            (TextAnalysis.stopwordCount(col("text")) >= 2))
+      val model = QualityClassifier.train(labeled, "doc_id", "text", "label",
+        topV = 256, steps = 6, lr = 0.05, trainFilter = col("doc_id") % 2 === 0)
+      t12CorpusKey = v7CorpusKeyFor(dir)
+      val path = t12WeightsPathFor(v7CorpusKeyFor(dir))
+      QualityClassifier.persist(model, s, path)
+      QualityClassifier.score(docs, "doc_id", "text", s.read.parquet(path))
+    }),
+
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
     // provably fires; output the scrubbed hash + per-kind redaction
@@ -1065,6 +1091,23 @@ object SparkEntry {
         .lshCosineDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.35,
           nBits = 6, tables = 8)
         .select("vec_id", "label")),
+
+    // Embedding-level benchmark decontamination (semantic analog of
+    // tp6): every 50th vector plays the benchmark; corpus vectors
+    // within cosine 0.35 of ANY benchmark vector are dropped. LSH
+    // blocks the candidates (same SRP tables as v6 — bucket membership
+    // replays exactly in SQL) and the tiny benchmark side broadcasts,
+    // so the corpus never shuffles for the probe.
+    "v14_semantic_decontam" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("evec")),
+        "vec_id", "embedding", "eval_id", "evec",
+        threshold = 0.35, nBits = 6, tables = 8)
+        .select("vec_id", "label")
+    }),
 
     // SemDeDup (arXiv:2303.09540): cluster embeddings to the v4
     // seed-centroid coarse quantizer, then keep-min-id cosine dedup
@@ -1642,6 +1685,14 @@ object SparkEntry {
     * corpus-keyed layout and the same single-flow volatile-key
     * handoff from the query run to the oracle dump. */
   @volatile private var v12CorpusKey: String = "default"
+
+  /** t12's trained classifier weights persist the same way: the query
+    * trains in Spark and writes (token, w) rows; the oracle replays
+    * scoring (broadcast join + exact decimal sum) from the parquet. */
+  @volatile private var t12CorpusKey: String = "default"
+  private def t12WeightsPathFor(key: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_t12_weights_${System.getProperty("user.name", "anon")}_$key").toString
   private def v12CodebooksPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_v12_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
@@ -2776,6 +2827,23 @@ object SparkEntry {
          |    ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nt, 6) END AS mean_neg_logprob
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
+    // Replays t12 scoring from the weights parquet the query persists:
+    // distinct-token presence join + exact decimal margin. The NULL
+    // token row is the bias; the inner USING join drops it naturally.
+    "t12_quality_filter" ->
+      s"""WITH wb AS (SELECT token, w FROM read_parquet('${t12WeightsPathFor(t12CorpusKey)}/*.parquet')),
+         |b AS (SELECT CAST(w AS DOUBLE) AS bw FROM wb WHERE token IS NULL),
+         |tok AS (SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |per AS (SELECT t.doc_id, COUNT(*) AS nf, SUM(w.w * CAST(t.tf AS DECIMAL(10,0))) AS ssum
+         |  FROM tok t JOIN wb w USING (token) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.nf, 0) AS INT) AS n_feats,
+         |  ROUND((SELECT bw FROM b) + CAST(COALESCE(p.ssum, 0) AS DOUBLE), 6) AS score,
+         |  ((SELECT bw FROM b) + CAST(COALESCE(p.ssum, 0) AS DOUBLE)) >= 0.0 AS pred
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
     "td9_incremental_dedup" ->
       """WITH fp AS (
         |  SELECT *, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS f
@@ -3038,6 +3106,22 @@ object SparkEntry {
          |  WHERE e.vec_id > r.rep_id
          |    AND ROUND(${cosSql("e.embedding", "rv.embedding")}, 6) >= 0.35)
          |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // v14 replay: same SRP bucket CTEs as v6; benchmark = every 50th
+    // vector, corpus = the rest; a corpus vector is contaminated when
+    // it shares any (table, bucket) with a benchmark vector at
+    // cosine ≥ 0.35.
+    "v14_semantic_decontam" ->
+      s"""WITH ${srpConstsSql(6, 8)},
+         |${srpCtes(6, 8)},
+         |ev AS (SELECT t, bucket, embedding AS evec FROM bx WHERE vec_id % 50 = 0),
+         |bad AS (SELECT DISTINCT c.vec_id
+         |  FROM bx c
+         |  JOIN ev e ON c.t = e.t AND c.bucket = e.bucket
+         |  WHERE c.vec_id % 50 <> 0
+         |    AND ROUND(${cosSql("c.embedding", "e.evec")}, 6) >= 0.35)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id % 50 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin,
 
     // v4's centroid selection + assignment replay, then the
     // size-gated dedup: keep-min-id all-pairs inside clusters of ≤ 32

@@ -519,6 +519,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-level benchmark decontamination — the semantic analog
+    * of the n-gram containment check (Decontamination): drop every
+    * corpus vector whose cosine to ANY eval-set vector reaches
+    * `threshold`. Candidates are blocked by the same multi-table
+    * SRP-LSH as lshCosineDedup, so corpus × eval never materializes;
+    * the eval side (benchmarks are small by definition) is BROADCAST
+    * after its bucket explode — the corpus never shuffles for the
+    * probe, only for the final distinct + anti-join on its own id.
+    * Recall is the LSH recall at the chosen (nBits, tables); matches
+    * are verified with exact cosine, so precision is exact. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalIdCol: String,
+      evalVecCol: String,
+      threshold: Double,
+      nBits: Int = 6,
+      tables: Int = 8,
+  ): DataFrame = {
+    val c = lshExploded(corpus, idCol, vecCol, nBits, tables)
+      .select(col("_t"), col("_bucket"), col(idCol), col(vecCol))
+    val e = lshExploded(eval, evalIdCol, evalVecCol, nBits, tables)
+      .select(col("_t"), col("_bucket"), col(evalVecCol).as("_evec"))
+    val contaminated = c.join(broadcast(e), Seq("_t", "_bucket"))
+      .filter(round(cosine(col(vecCol), col("_evec")), 6) >= threshold)
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Full-corpus embedding near-dup dedup (keep-min-id survivors) —
     * [[cosineDedup]] without requiring a label/shard column: the LSH
     * tables of [[lshCosinePairs]] provide the blocking.

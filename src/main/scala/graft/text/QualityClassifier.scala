@@ -1,0 +1,194 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based quality filtering: a bag-of-words logistic-regression
+  * classifier trained IN Spark against a weak heuristic label, then
+  * applied to the whole corpus — the "quality classifier" stage of the
+  * published LLM-data pipelines (GPT-3 trains LR over web docs with
+  * curated corpora as positives, Brown et al. 2020 App. A; Llama
+  * distills quality heuristics into a fastText-style linear model,
+  * Touvron et al. 2023). Features are term FREQUENCIES of a capped
+  * vocabulary, so corpus statistics that are sums over tokens
+  * (word-count gates, stopword-count gates) are linearly expressible.
+  *
+  * Scale design:
+  *   - The vocabulary (top-`topV` document frequency) is a bounded
+  *     collect (V strings — the same bounded-by-construction driver
+  *     hold as the v7 KMeans centroids), broadcast back for every
+  *     subsequent join; every later aggregate runs on the
+  *     vocab-restricted explode, so NO driver collect scales with the
+  *     raw vocabulary.
+  *   - Init is multinomial naive Bayes (the NBSVM log-count-ratio,
+  *     Wang & Manning 2012): one aggregate pass gives per-class
+  *     collection frequencies. `steps` full-batch logistic GD
+  *     iterations refine it; each step is one broadcast join + two
+  *     aggregates over the training sample plus a V-sized gradient
+  *     collect. A 100 TB corpus trains on a hash-gated slice
+  *     (`trainFilter`) and scores everything.
+  *   - The per-doc term-frequency explode is cached for the whole
+  *     training scope (CacheScope.shared), so the tokenizer runs once,
+  *     not once per step.
+  *   - Scoring emits the exact decimal MARGIN bias + Σ w_t·tf_t
+  *     (weights quantized to DECIMAL(18,12) at persist time, tf cast
+  *     DECIMAL(10,0) so the product precision 29 stays exact): decimal
+  *     arithmetic is order-free, so the score is deterministic under
+  *     any partitioning and replayable by any SQL engine from the
+  *     persisted weights — no transcendental (sigmoid) in the compared
+  *     output. The sigmoid is monotone, so thresholding the margin at
+  *     0 IS thresholding the probability at 0.5.
+  */
+object QualityClassifier {
+
+  /** Per-document term frequencies over the capped-vocab candidate
+    * space: one (id, token, tf) row per distinct token per doc. */
+  private def docTermFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`topV` tokens by document frequency (ties: token asc) —
+    * deterministic, bounded. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame =
+    docTermFreqs(df, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topV)
+
+  /** Trained model: bias plus one weight per vocabulary token, both
+    * quantized to 12 dp so persisting and replaying them is exact. */
+  final case class Model(bias: BigDecimal, weights: Seq[(String, BigDecimal)])
+
+  /** Multinomial-NB-initialized, GD-refined logistic regression on the
+    * rows passing `trainFilter`, labels from `labelCol` (boolean).
+    * Driver state is one V-sized weight vector; per step the cluster
+    * computes margins (broadcast-weights join + per-doc sum) and the
+    * V-sized gradient (per-token residual·tf sum). */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      topV: Int,
+      steps: Int = 6,
+      lr: Double = 0.05,
+      trainFilter: org.apache.spark.sql.Column = lit(true),
+  ): Model = graft.quality.CacheScope.shared {
+    val spark = df.sparkSession
+    val sample = df.filter(trainFilter).select(col(idCol), col(textCol), col(labelCol))
+    // Tokenize + count the sample ONCE for the vocab count and every
+    // training pass (cache held for the whole shared scope).
+    val tfAll = graft.quality.CacheScope.cachedUntilAction(
+      docTermFreqs(sample, idCol, textCol))
+    val labels = sample.select(col(idCol), col(labelCol).cast("double").as("y"))
+    val n = sample.count().max(1L)
+    val vocab: Array[String] = tfAll
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(topV)
+      .select("token").collect().map(_.getString(0))
+    // Every aggregate below runs on the vocab-restricted rows, so all
+    // driver collects are bounded by topV, never the raw vocab.
+    val vocabDf = spark.createDataFrame(vocab.toSeq.map(Tuple1(_))).toDF("token")
+    val toks = graft.quality.CacheScope.cachedUntilAction(
+      tfAll.join(broadcast(vocabDf), Seq("token")))
+
+    // Multinomial NB warm start: per-token per-class collection
+    // frequencies in ONE aggregate pass, Laplace α = 1 over the capped
+    // vocab. Full-batch GD from zero would need tens of passes to move
+    // off the flat sigmoid(0) plateau; from the NB odds it refines in
+    // a few.
+    val nPos = labels.filter(col("y") === 1.0).count().toDouble
+    val nNeg = (n - nPos).max(1.0)
+    val cf: Map[String, (Double, Double)] = toks
+      .join(labels, Seq(idCol))
+      .groupBy(col("token"))
+      .agg(sum(col("tf") * col("y")).as("cfp"), sum(col("tf").cast("double")).as("cft"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val cfPos = cf.valuesIterator.map(_._1).sum
+    val cfNeg = cf.valuesIterator.map(v => v._2 - v._1).sum
+    val v = vocab.length.max(1)
+    def nbWeight(t: String): Double = {
+      val (p, tot) = cf.getOrElse(t, (0.0, 0.0))
+      math.log((p + 1.0) / (cfPos + v)) - math.log((tot - p + 1.0) / (cfNeg + v))
+    }
+    var bias = math.log(nPos.max(1.0) / nNeg)
+    val w = scala.collection.mutable.LinkedHashMap[String, Double](
+      vocab.map(t => t -> nbWeight(t)): _*)
+    for (_ <- 0 until steps) {
+      val wDf = spark.createDataFrame(w.toSeq).toDF("token", "w")
+      val margins = toks
+        .join(broadcast(wDf), Seq("token"))
+        .groupBy(col(idCol))
+        .agg(sum(col("w") * col("tf")).as("s"))
+      val resid = labels
+        .join(margins, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("s"), lit(0.0))))) - col("y"))
+            .as("r"))
+      // V-sized gradient (one row per vocab token) + the bias row.
+      val grad: Map[String, Double] = toks
+        .join(resid, Seq(idCol))
+        .groupBy(col("token"))
+        .agg(sum(col("r") * col("tf")).as("g"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+        .toMap
+      val gBias = resid.agg(sum(col("r"))).head().getDouble(0)
+      bias -= lr * gBias / n
+      w.mapValuesInPlace((t, v) => v - lr * grad.getOrElse(t, 0.0) / n)
+    }
+    def q(x: Double): BigDecimal = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    Model(q(bias), w.toSeq.map { case (t, x) => (t, q(x)) })
+  }
+
+  /** Persist a model as (token, w) rows — the bias is the single
+    * NULL-token row (whitespace tokenization can never produce a null
+    * token, so the key is unambiguous). Any engine can replay scoring
+    * from this parquet. */
+  def persist(model: Model, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val rows = Row(null, model.bias.bigDecimal) +:
+      model.weights.map { case (t, x) => Row(t, x.bigDecimal) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("w", DecimalType(18, 12))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Score every document against persisted weights: exact decimal
+    * margin (rounded to 6 dp for display), matched-vocab-token count,
+    * and the margin-at-0 (= probability-at-0.5) predicted label. One
+    * broadcast join + one aggregate over the corpus. */
+  def score(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsWithBias: DataFrame,
+  ): DataFrame = {
+    val bias = weightsWithBias.filter(col("token").isNull)
+      .select(col("w").cast("double")).head().getDouble(0)
+    val weights = weightsWithBias.filter(col("token").isNotNull)
+    val per = docTermFreqs(df, idCol, textCol)
+      .join(broadcast(weights), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_feats"),
+        sum(col("w") * col("tf").cast("decimal(10,0)")).as("ssum"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .withColumn("_m", lit(bias) + coalesce(col("ssum").cast("double"), lit(0.0)))
+      .select(
+        col(idCol),
+        coalesce(col("n_feats"), lit(0)).as("n_feats"),
+        round(col("_m"), 6).as("score"),
+        (col("_m") >= 0.0).as("pred"))
+  }
+}

@@ -115,6 +115,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.toSet.subsetOf(truth))
   }
 
+  test("semanticDecontaminate: corpus vectors near any eval vector drop; others keep") {
+    // eval = vector 1 ([1,0,0]); corpus holds its parallel twin (4),
+    // an orthogonal vector (2) and a 45° vector (3, cos ≈ 0.707).
+    val eval = vdf.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    val corpus = vdf.filter(col("vec_id") =!= 1L)
+    val keptHigh = Similarity.semanticDecontaminate(
+      corpus, eval, "vec_id", "embedding", "eval_id", "evec",
+      threshold = 0.9, nBits = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // parallel twin (sim 1.0, identical signatures in every table) out
+    assert(keptHigh == Set(2L, 3L))
+    val keptLow = Similarity.semanticDecontaminate(
+      corpus, eval, "vec_id", "embedding", "eval_id", "evec",
+      threshold = 0.5, nBits = 1, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // at 0.5 with 1-bit buckets (near-total recall) the 45° vector
+    // also collides and drops; the orthogonal one survives
+    assert(keptLow == Set(2L))
+    // eval rows never appear in the output
+    assert(!(keptHigh contains 1L) && !(keptLow contains 1L))
+  }
+
   test("lshCosineDedup: keep-min-id survivors without a blocking column") {
     val out = Similarity.lshCosineDedup(vdf, "vec_id", "embedding", 0.9, nBits = 4, tables = 4)
       .select("vec_id").as[Long].collect().toSet
