@@ -849,8 +849,11 @@ object SparkEntry {
             (TextAnalysis.symbolWordRatio(col("text"), col("_toks")) <= 0.1) &&
             (TextAnalysis.alphaWordFraction(col("_toks")) >= 0.8) &&
             (TextAnalysis.stopwordCount(col("text")) >= 2))
+      // steps=3: the lr sweep shows accuracy flat from 3 steps on (the
+      // NB warm start does the heavy lifting); each extra step is one
+      // more full pass at 100 TB.
       val model = QualityClassifier.train(labeled, "doc_id", "text", "label",
-        topV = 256, steps = 6, lr = 0.05, trainFilter = col("doc_id") % 2 === 0)
+        topV = 256, steps = 3, lr = 0.05, trainFilter = col("doc_id") % 2 === 0)
       t12CorpusKey = v7CorpusKeyFor(dir)
       val path = t12WeightsPathFor(v7CorpusKeyFor(dir))
       QualityClassifier.persist(model, s, path)
@@ -981,6 +984,13 @@ object SparkEntry {
     // shared by each doc_id%5 class), keep per-doc body lines in
     // order. One line-frequency shuffle + a BROADCAST anti-join of the
     // heavy-hitter set — the corpus lines never re-shuffle on text.
+    // Sub-document duplicated-span statistics (Lee et al. 2021 at
+    // token-3-gram granularity): per doc, how many gram instances
+    // also occur in another document — the trim/drop signal a
+    // span-level dedup pass gates on.
+    "td12_dup_gram_stats" -> ((s, dir) =>
+      TextDedup.dupGramStats(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     "td8_line_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -2854,6 +2864,27 @@ object SparkEntry {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1)
         |SELECT doc_id, lang, source FROM batch
         |WHERE f NOT IN (SELECT f FROM base)""".stripMargin,
+
+    // Replays positional 3-grams (1-based inclusive array_slice ≡
+    // Spark's slice), the (doc, gram) collapse, the cross-doc
+    // document frequency, and the per-doc instance sums.
+    "td12_dup_gram_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+         |      i -> array_to_string(array_slice(t, i + 1, i + 3), ' ')) END) AS gram
+         |  FROM tk),
+         |g2 AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY doc_id, gram),
+         |nd AS (SELECT gram, COUNT(*) AS ndocs FROM g2 GROUP BY gram),
+         |per AS (SELECT doc_id, SUM(tf) AS ng,
+         |    SUM(CASE WHEN ndocs > 1 THEN tf ELSE 0 END) AS ndup
+         |  FROM g2 JOIN nd USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.ng, 0) AS INT) AS n_grams,
+         |  CAST(COALESCE(p.ndup, 0) AS INT) AS n_dup_grams,
+         |  CASE WHEN COALESCE(p.ng, 0) = 0 THEN 0.0
+         |    ELSE ROUND(CAST(p.ndup AS DOUBLE) / p.ng, 6) END AS dup_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     // Replays the synthesized boilerplate, the per-line document
     // frequency, the >50 removal, and the order-preserving reassembly

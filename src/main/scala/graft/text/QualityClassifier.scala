@@ -24,10 +24,11 @@ import org.apache.spark.sql.types.DecimalType
   *   - Init is multinomial naive Bayes (the NBSVM log-count-ratio,
   *     Wang & Manning 2012): one aggregate pass gives per-class
   *     collection frequencies. `steps` full-batch logistic GD
-  *     iterations refine it; each step is one broadcast join + two
-  *     aggregates over the training sample plus a V-sized gradient
-  *     collect. A 100 TB corpus trains on a hash-gated slice
-  *     (`trainFilter`) and scores everything.
+  *     iterations refine it; each step is ONE Spark action — margins,
+  *     residuals and the V+1-sized gradient (bias rides along as the
+  *     constant feature under the NULL token) evaluate in a single
+  *     lazy plan per step. A 100 TB corpus trains on a hash-gated
+  *     slice (`trainFilter`) and scores everything.
   *   - The per-doc term-frequency explode is cached for the whole
   *     training scope (CacheScope.shared), so the tokenizer runs once,
   *     not once per step.
@@ -86,7 +87,9 @@ object QualityClassifier {
     val tfAll = graft.quality.CacheScope.cachedUntilAction(
       docTermFreqs(sample, idCol, textCol))
     val labels = sample.select(col(idCol), col(labelCol).cast("double").as("y"))
-    val n = sample.count().max(1L)
+    val nRow = labels.agg(count(lit(1)), sum(col("y"))).head()
+    val n = nRow.getLong(0).max(1L)
+    val nPos = Option(nRow.get(1)).fold(0.0)(_ => nRow.getDouble(1))
     val vocab: Array[String] = tfAll
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token")).limit(topV)
@@ -102,7 +105,6 @@ object QualityClassifier {
     // vocab. Full-batch GD from zero would need tens of passes to move
     // off the flat sigmoid(0) plateau; from the NB odds it refines in
     // a few.
-    val nPos = labels.filter(col("y") === 1.0).count().toDouble
     val nNeg = (n - nPos).max(1.0)
     val cf: Map[String, (Double, Double)] = toks
       .join(labels, Seq(idCol))
@@ -127,23 +129,29 @@ object QualityClassifier {
         .join(broadcast(wDf), Seq("token"))
         .groupBy(col(idCol))
         .agg(sum(col("w") * col("tf")).as("s"))
-      val resid = labels
+      // Cached: the gradient union reads resid in BOTH branches; an
+      // uncached frame would run the margins shuffle twice per step.
+      val resid = graft.quality.CacheScope.cachedUntilAction(labels
         .join(margins, Seq(idCol), "left")
         .select(
           col(idCol),
           (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("s"), lit(0.0))))) - col("y"))
-            .as("r"))
-      // V-sized gradient (one row per vocab token) + the bias row.
-      val grad: Map[String, Double] = toks
+            .as("r")))
+      // ONE action per step: the bias is the constant feature — its
+      // gradient rows union in under the NULL token (the tokenizer
+      // never yields null), so the V+1-sized collect carries the whole
+      // gradient.
+      val grad: Map[Option[String], Double] = toks
         .join(resid, Seq(idCol))
+        .select(col("token"), (col("r") * col("tf")).as("_g"))
+        .unionByName(resid.select(lit(null).cast("string").as("token"), col("r").as("_g")))
         .groupBy(col("token"))
-        .agg(sum(col("r") * col("tf")).as("g"))
+        .agg(sum(col("_g")).as("g"))
         .collect()
-        .map(r => r.getString(0) -> r.getDouble(1))
+        .map(r => Option(r.getString(0)) -> r.getDouble(1))
         .toMap
-      val gBias = resid.agg(sum(col("r"))).head().getDouble(0)
-      bias -= lr * gBias / n
-      w.mapValuesInPlace((t, v) => v - lr * grad.getOrElse(t, 0.0) / n)
+      bias -= lr * grad.getOrElse(None, 0.0) / n
+      w.mapValuesInPlace((t, v) => v - lr * grad.getOrElse(Some(t), 0.0) / n)
     }
     def q(x: Double): BigDecimal = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     Model(q(bias), w.toSeq.map { case (t, x) => (t, q(x)) })

@@ -652,4 +652,65 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // -------------------------------------------------------------------
+  // Duplicated-span statistics (sub-document granularity)
+  // -------------------------------------------------------------------
+
+  /** Positional (NON-distinct, order-preserving) k-grams of bound
+    * tokens; empty token array → empty gram array. Unlike
+    * [[shinglesOfTokens]] this keeps every instance, because the
+    * duplicated-span statistic counts instances, not types. */
+  def positionalGramsOfTokens(toks: Column, k: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Per-document duplicated k-gram statistics — the repeated-substring
+    * memorization signal of Lee et al. 2021 (arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better") at
+    * token-k-gram granularity: a gram INSTANCE is duplicated when its
+    * text also occurs in at least one OTHER document. Output per doc:
+    * total instances, duplicated instances, duplicated fraction — the
+    * per-doc trim/drop signal a span-level dedup pass gates on.
+    *
+    * Scale shape: the raw instance explode collapses immediately to
+    * (doc, gram, tf) — one row per gram TYPE per doc — so the
+    * document-frequency aggregate and the join back both shuffle the
+    * deduped form, never the instance stream. Three linear shuffles
+    * keyed by gram text / doc id; the reference suffix-array approach
+    * is single-node, this is its distributed k-gram approximation.
+    * (At 100 TB the gram key would hash-pack to 8 bytes via the
+    * proven FNV kernel to shrink shuffle bytes — same plan shape.) */
+  def dupGramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+  ): DataFrame = {
+    val g = docs
+      .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn("_grams", positionalGramsOfTokens(col("_toks"), k))
+      .select(col(idCol), explode_outer(col("_grams")).as("_gram"))
+      .filter(col("_gram").isNotNull)
+    val perDocGram = g.groupBy(col(idCol), col("_gram"))
+      .agg(count(lit(1)).as("_tf"))
+    val gramDf = perDocGram.groupBy(col("_gram"))
+      .agg(count(lit(1)).as("_ndocs"))
+    val per = perDocGram.join(gramDf, Seq("_gram"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_tf")).cast("int").as("n_grams"),
+        sum(when(col("_ndocs") > 1, col("_tf")).otherwise(lit(0L))).cast("int").as("n_dup_grams"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+          .as("dup_frac"))
+  }
 }

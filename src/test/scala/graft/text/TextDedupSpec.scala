@@ -294,4 +294,22 @@ class TextDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // (1,3) crosses blocks → excluded
   }
+
+  test("dupGramStats: cross-doc instances counted, within-doc repeats are not") {
+    val fixture = Seq(
+      (1L, "a b c d"),     // grams "a b c","b c d" — first shared with doc 2
+      (2L, "a b c x"),     // grams "a b c","b c x"
+      (3L, "z z z z z"),   // "z z z" ×3 — repeats only WITHIN this doc
+      (4L, ""),            // no grams
+      (5L, "q w"),         // shorter than k → one short gram
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dupGramStats(fixture, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2, 1, 0.5)))
+    assert(out(2L) == ((2, 1, 0.5)))
+    assert(out(3L) == ((3, 0, 0.0))) // within-doc repetition ≠ cross-doc dup
+    assert(out(4L) == ((0, 0, 0.0)))
+    assert(out(5L) == ((1, 0, 0.0)))
+  }
 }
