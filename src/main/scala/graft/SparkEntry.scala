@@ -1179,6 +1179,27 @@ object SparkEntry {
         k = 10, candidateK = 50, cb, subDim = 16)
     }),
 
+    // IVF-PQ (the FAISS IVFPQ composition): v4's seed-centroid coarse
+    // quantizer supplies the cells, v12's PQ machinery the codes;
+    // candidates come from a broadcast join on the probed cell ids
+    // (pqRerankTopK's crossJoin divided by nprobe/|cells|), ADC
+    // proposes, exact cosine reranks. Codebooks persist under v15's
+    // own corpus-keyed path; cells re-derive in SQL.
+    "v15_ivfpq_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
+        col("vec_id") % 31 === 0, maxCentroids = 16)
+      val cb = Similarity.pqCodebooks(e, "embedding", m = 4, subDim = 16, ksub = 16)
+      v15CorpusKey = v7CorpusKeyFor(dir)
+      s.createDataFrame(cb).toDF("j", "cid", "cvec")
+        .repartition(1).write.mode("overwrite")
+        .parquet(v15CodebooksPathFor(v7CorpusKeyFor(dir)))
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, candidateK = 50, cents, nprobe = 4, cb, subDim = 16)
+    }),
+
     // --- Multimodal plumbing (beyond-reference) ------------------------
 
     "mm1_media_meta" -> ((s, dir) =>
@@ -1703,6 +1724,15 @@ object SparkEntry {
   private def t12WeightsPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_t12_weights_${System.getProperty("user.name", "anon")}_$key").toString
+
+  /** v15's PQ codebooks persist under their OWN path (trained
+    * identically to v12's but never shared — queries run concurrently
+    * in Verify, so no query reads another's artifact). The IVF cells
+    * are v4-style seed centroids, re-derived in SQL directly. */
+  @volatile private var v15CorpusKey: String = "default"
+  private def v15CodebooksPathFor(key: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_v15_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
   private def v12CodebooksPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_v12_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
@@ -3259,6 +3289,60 @@ object SparkEntry {
          |  FROM codes c
          |  JOIN cb ON cb.j = c.j AND cb.cid = c.cid
          |  CROSS JOIN qs q
+         |  WHERE q.query_id <> c.vec_id),
+         |adc AS (
+         |  SELECT query_id, vec_id, ROUND(list_sum(list(part ORDER BY j)), 6) AS sim
+         |  FROM parts GROUP BY query_id, vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
+         |  FROM adc) WHERE r <= 50),
+         |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qs q ON q.query_id = c.query_id)
+         |SELECT query_id, vec_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM ex)
+         |WHERE rank <= 10""".stripMargin,
+
+    // v15 replay: v4's seed-centroid cells + assignment/probes, v12's
+    // PQ codes/LUT parts from the v15-persisted codebooks, candidates
+    // restricted to (cell = probed cell), ADC top-50 → exact rerank.
+    "v15_ivfpq_topk" ->
+      s"""WITH cb AS (
+         |  SELECT j, cid, cvec FROM read_parquet('${v15CodebooksPathFor(v15CorpusKey)}/*.parquet')),
+         |cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid, embedding AS cvec2
+         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+         |asn AS (
+         |  SELECT vec_id, ccid AS cell
+         |  FROM embeddings CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec2")} DESC, ccid DESC) = 1),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT v.vec_id, cb.j, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j ORDER BY
+         |        list_sum(list_transform(list_zip(list_slice(v.v, cb.j*16 + 1, cb.j*16 + 16), cb.cvec),
+         |                 p -> (p[1]-p[2])*(p[1]-p[2]))) ASC,
+         |        cb.cid ASC) AS r
+         |    FROM v CROSS JOIN cb) WHERE r = 1),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qvec,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT query_id, ccid AS cell
+         |  FROM qs CROSS JOIN cents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${cosSql("qvec", "cvec2")} DESC, ccid DESC) <= 4),
+         |parts AS (
+         |  SELECT p.query_id, c.vec_id, c.j,
+         |    list_sum(list_transform(list_zip(list_slice(q.qv, c.j*16 + 1, c.j*16 + 16), cb.cvec),
+         |             p2 -> p2[1]*p2[2])) AS part
+         |  FROM codes c
+         |  JOIN asn a ON a.vec_id = c.vec_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  JOIN qs q ON q.query_id = p.query_id
+         |  JOIN cb ON cb.j = c.j AND cb.cid = c.cid
          |  WHERE q.query_id <> c.vec_id),
          |adc AS (
          |  SELECT query_id, vec_id, ROUND(list_sum(list(part ORDER BY j)), 6) AS sim

@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   * upstream plan into a single task. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [nameFilter] — the optional third arg
+    // restricts the run to queries whose name contains the substring
+    // (builder-side iteration; the driver always passes two args).
+    val (sfDir, outDir) = (args(0), args(1))
+    val nameFilter: String => Boolean =
+      if (args.length > 2) _.contains(args(2)) else _ => true
     val cpus = Defaults.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +34,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(math.min(8, SparkEntry.queries.size max 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
         try {
@@ -57,6 +62,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -293,6 +293,72 @@ object Similarity {
       (acc, v) => acc + v,
     )
 
+  /** IVF-PQ — the standard composition of the coarse quantizer and
+    * product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"; the FAISS IVFPQ index): corpus
+    * vectors live in IVF cells as narrow m-entry PQ codes; a query
+    * probes its `nprobe` nearest cells, ADC-scores ONLY those cells'
+    * codes (m LUT lookups per candidate, no vector math), keeps
+    * `candidateK` proposals, and exact-cosine reranks them against
+    * the original vectors.
+    *
+    * 100 TB shape: the scanned side is the narrow (id, cell, code)
+    * frame — the full-precision vectors are touched only for the
+    * |queries| × candidateK rerank rows (codes in memory, vectors on
+    * storage: the FAISS deployment layout). The probe side (queries ×
+    * LUTs × nprobe cell ids) broadcasts; candidate generation is a
+    * broadcast hash join on the cell id, never a cross product —
+    * [[pqRerankTopK]]'s crossJoin divided by the IVF selectivity
+    * nprobe/|cells|. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      candidateK: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nprobe: Int,
+      codebooks: Seq[(Int, Int, Seq[Double])],
+      subDim: Int,
+  ): DataFrame = {
+    val centLit = typedlit(cents)
+    def simToCents(vec: Column): Column =
+      transform(centLit, c =>
+        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid")))
+    val m = codebooks.map(_._1).max + 1
+    val encoded = pqEncode(corpus, vecCol, codebooks, subDim, "_pq_code")
+      .withColumn("_cell", array_max(simToCents(col(vecCol))).getField("cid"))
+      .select(col(idCol), col("_cell"), col("_pq_code"))
+    val withLuts = (0 until m).foldLeft(queries) { (acc, j) =>
+      val qsub = slice(col(queryVecCol).cast("array<double>"), j * subDim + 1, subDim)
+      acc.withColumn(s"_qsub_$j", qsub)
+        .withColumn(s"_lut_$j",
+          transform(subCodebookLit(codebooks, j), c => dot(col(s"_qsub_$j"), c.getField("_2"))))
+        .drop(s"_qsub_$j")
+    }
+    val probes = withLuts.withColumn("_probe",
+      explode(transform(
+        slice(reverse(array_sort(simToCents(col(queryVecCol)))), 1, nprobe),
+        s => s.getField("cid"))))
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_lut_$j"), element_at(col("_pq_code"), j + 1) + 1))
+      .reduce(_ + _)
+    val cands = encoded
+      .join(broadcast(probes), col("_cell") === col("_probe"))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("sim", round(adc, 6))
+    val top = rankTopK(cands, queryIdCol, idCol, candidateK)
+      .select(col(queryIdCol), col(idCol))
+    val scored = corpus
+      .join(broadcast(top), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
+
   /** Codebook entries of one subspace, cid-ascending, as a literal
     * array<struct<_1:cid, _2:cvec>> (same shape as the IVF centroid
     * literal). */

@@ -386,4 +386,36 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(top.length == 1 && top(0).getLong(1) == 4L)
   }
+
+  test("ivfPqTopK: full probes + covering candidateK reproduce exact top-k") {
+    val q = pqdf.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = Similarity.seedCentroids(pqdf, "vec_id", "embedding",
+      col("vec_id") <= 2, maxCentroids = 2)
+    val cb = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 4)
+    val exact = Similarity
+      .bruteForceTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ivfpq = Similarity
+      .ivfPqTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 3, candidateK = 10, cents, nprobe = 2, cb, subDim = 2)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivfpq == exact)
+  }
+
+  test("ivfPqTopK: nprobe = 1 restricts candidates to the query's own cell") {
+    // centroids = vectors 1 and 2 (orthogonal); every corpus vector
+    // assigns to its nearer seed, so with one probe a query only sees
+    // same-cell neighbors: query 1 must pick 4, never 5
+    val q = pqdf.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = Similarity.seedCentroids(pqdf, "vec_id", "embedding",
+      col("vec_id") <= 2, maxCentroids = 2)
+    val cb = Similarity.pqCodebooks(pqdf, "embedding", m = 2, subDim = 2, ksub = 4)
+    val got = Similarity
+      .ivfPqTopK(pqdf, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 5, candidateK = 10, cents, nprobe = 1, cb, subDim = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got.contains(4L) && !got.contains(5L) && !got.contains(2L))
+  }
 }
