@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -830,6 +830,15 @@ object SparkEntry {
     // per-doc sums in exact order-free DECIMAL.
     "t10_unigram_logprob" -> ((s, dir) =>
       UnigramLM.unigramScores(tbl(s, dir, "documents"), "doc_id", "text", topV = 20)),
+
+    // Bigram-LM scoring (one rung up the CCNet perplexity ladder):
+    // mean -ln p(w2|w1) under the corpus's own Laplace-smoothed bigram
+    // model, vocab capped at top 20 + <unk> — flags improbable
+    // TRANSITIONS (shuffled/stitched text) that unigram stats miss.
+    // All model tables are vocab-bounded broadcasts; only corpus-wide
+    // shuffle is the per-doc aggregate.
+    "t13_bigram_logprob" -> ((s, dir) =>
+      BigramLM.bigramScores(tbl(s, dir, "documents"), "doc_id", "text", topV = 20)),
 
     // Model-based quality filter (the GPT-3/Llama pipeline stage):
     // logistic regression over top-256 document-frequency token
@@ -2865,6 +2874,34 @@ object SparkEntry {
          |  CAST(COALESCE(p.nt, 0) AS INT) AS n_tokens,
          |  CASE WHEN p.nt IS NULL THEN 0.0
          |    ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nt, 6) END AS mean_neg_logprob
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // Replays the bigram model: top-20 vocab + <unk> closure,
+    // positional bigrams via range(1, len) (empty for < 2 tokens),
+    // Laplace p = (c12+1)/(c1+V), DECIMAL(18,12) surprisal sums.
+    "t13_bigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok
+         |  GROUP BY token ORDER BY c DESC, token LIMIT 20)),
+         |vs AS (SELECT COUNT(*) + 1 AS vsz FROM vocab),
+         |tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |g0 AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+         |  FROM tk),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN bg.w1 IN (SELECT token FROM vocab) THEN bg.w1 ELSE '<unk>' END AS w1,
+         |  CASE WHEN bg.w2 IN (SELECT token FROM vocab) THEN bg.w2 ELSE '<unk>' END AS w2
+         |  FROM g0),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM m GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM m GROUP BY w1),
+         |sc AS (SELECT m.doc_id,
+         |    CAST(-ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + (SELECT vsz FROM vs))) AS DECIMAL(18,12)) AS s
+         |  FROM m JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         |per AS (SELECT doc_id, COUNT(*) AS nb, SUM(s) AS ssum FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.nb, 0) AS INT) AS n_bigrams,
+         |  CASE WHEN p.nb IS NULL THEN 0.0
+         |    ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nb, 6) END AS mean_neg_logprob
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     // Replays t12 scoring from the weights parquet the query persists:
