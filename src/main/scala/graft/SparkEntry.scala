@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.agg.{AsofJoin, RangeJoin, Rollups, Stats}
+import graft.agg.{AsofJoin, RangeJoin, Rollups, Sessionize, Stats}
 import graft.dedup.Dedup
 import graft.incr.{Backfill, Watermarks}
 import graft.ingest.{Enrich, IngestJob, JsonlSource}
@@ -559,6 +559,17 @@ object SparkEntry {
           windowUs = 3600000000L)
         .select("click_id", "user_id", "view_id", "click_ts", "view_ts")
     }),
+
+    // Gap-based sessionization: per-user sessions open when the
+    // inter-event gap exceeds 6h; one user-keyed shuffle computes the
+    // break flag, the running session counter, and the per-session
+    // rollup (agg/Sessionize.scala). The streaming analog is
+    // session_window; this is the batch form a clickstream corpus
+    // needs.
+    "w3_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(
+        events(s, dir), "user_id", "ts", "value",
+        gapUs = 21600000000L, tieBreak = Seq("event_id"))),
 
     // --- Incremental (I1, I3) ------------------------------------------
 
@@ -2134,6 +2145,25 @@ object SparkEntry {
         |SELECT month, revenue,
         |  ROUND(revenue - COALESCE(LAG(revenue, 1) OVER (ORDER BY month), 0.0), 2) AS mom_delta
         |FROM monthly""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH flag AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flag)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "i1_watermark_resume" ->
       """SELECT GREATEST(CAST(MAX(o_orderdate) AS DATE) + INTERVAL 1 DAY, DATE '1996-01-01')::DATE AS resume_date
