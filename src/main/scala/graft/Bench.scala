@@ -23,9 +23,23 @@ import scala.util.control.NonFatal
   *     transient stall lands on at most one of them; per-query time is
   *     the min across rounds;
   *   - a printed dispersion stat over the best-3 round totals;
-  *     spread > 5% triggers extra rounds (up to 6 total) and, if still
-  *     unconverged, marks the line "dispersion_ok":false — the number
-  *     is then NOT authoritative and must not adjudicate a regression.
+  *     spread > 5% triggers extra rounds under a WALL BUDGET
+  *     (default 20 min of timed rounds, SPARK_GRAFT_BENCH_BUDGET_SEC
+  *     to override) rather than a fixed round cap — the round-7
+  *     driver run exhausted the old 6-round cap at 32% spread while
+  *     <10 min of budget sat unused; in a co-tenant environment
+  *     convergence needs samples, and samples cost only wall time;
+  *   - alongside the min-based total, a `robust_value`: the MEDIAN of
+  *     round totals. One stalled round cannot poison it (the min-total
+  *     can read optimistic if per-query minima come from different
+  *     rounds; the median-round total is the number to trust when the
+  *     two disagree), and it is computable post-hoc from the per-round
+  *     vectors persisted in BENCH_FULL.json (`rounds_detail`), so a
+  *     judge can re-derive any robust statistic without re-running;
+  *   - if STILL unconverged at budget exhaustion, the line carries
+  *     "dispersion_ok":false — the min-based number is then NOT
+  *     authoritative and must not adjudicate a regression; use
+  *     robust_value / rounds_detail.
   *
   * Scale-bench gating: v2/v5/td2 are the documented brute-force exact
   * baselines for the LSH/banded scale paths (quadratic by definition,
@@ -135,29 +149,50 @@ object Bench {
     }
     roundBoundary()
 
-    // Phase 3 — timed interleaved rounds.
+    // Phase 3 — timed interleaved rounds under a wall budget. The
+    // round count is whatever convergence needs: stop early once the
+    // best-3 round totals agree within 5%, keep sampling (hard cap 20
+    // rounds as a runaway stop) while budget remains otherwise. The
+    // budget covers TIMED time only; warm-up already happened.
     val minRounds = 3
-    val maxRounds = 6
+    val hardCapRounds = 20
     val maxSpreadPct = 5.0
+    val budgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
+        scala.util.Try(s.toDouble).toOption).getOrElse(1200.0)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     def bestSpreadPct(): Double = {
       val totals = rounds.map(_.values.sum).sorted.take(minRounds)
       if (totals.size < 2 || totals.head <= 0) 0.0
       else (totals.last - totals.head) / totals.head * 100.0
     }
+    var timedSec = 0.0
     var r = 0
-    while (r < minRounds || (r < maxRounds && bestSpreadPct() > maxSpreadPct)) {
+    def wantMore(): Boolean = {
+      if (r < minRounds) true
+      else if (bestSpreadPct() <= maxSpreadPct) false
+      else if (r >= hardCapRounds) false
+      else {
+        // only start another round if its expected cost (the median
+        // round so far) still fits in the remaining budget
+        val perRound = rounds.map(_.values.sum).sorted.apply(rounds.size / 2)
+        timedSec + perRound <= budgetSec
+      }
+    }
+    while (wantMore()) {
       val times = order.map { name =>
         val t0 = System.nanoTime()
         runOnce(name)
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
       rounds += times
+      timedSec += times.values.sum
       r += 1
       System.err.println(
-        f"[bench] round $r/${maxRounds} total ${times.values.sum}%.3f s" +
+        f"[bench] round $r total ${times.values.sum}%.3f s, " +
+          f"timed ${timedSec}%.1f/${budgetSec}%.0f s" +
           (if (r >= minRounds) f", best-3 spread ${bestSpreadPct()}%.2f%%" else ""))
-      if (r < maxRounds) roundBoundary()
+      if (wantMore()) roundBoundary()
     }
 
     // Per-query time = min across rounds: the samples are non-adjacent
@@ -168,7 +203,8 @@ object Bench {
     val spread = bestSpreadPct()
 
     val (line, fullJson) =
-      renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct, skipped)
+      renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct,
+        skipped, rounds.toSeq)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -192,30 +228,54 @@ object Bench {
     * > 5% after 6 interleaved rounds: the environment was too noisy
     * and this number must NOT adjudicate a regression — rerun
     * exclusively. */
+  /** Median of the per-round suite totals — the robust headline. The
+    * min-based total can assemble an optimistic composite (each
+    * query's best moment, possibly from different rounds); the median
+    * round is a total that actually happened, and one stalled round
+    * cannot move it. Empty input → 0. */
+  def medianRoundTotal(roundsDetail: Seq[Map[String, Double]]): Double = {
+    if (roundsDetail.isEmpty) 0.0
+    else {
+      val totals = roundsDetail.map(_.values.sum).sorted
+      totals(totals.size / 2)
+    }
+  }
+
   def renderLines(
       results: Map[String, Double],
       sfDir: String,
       nRounds: Int = 0,
       spreadPct: Double = 0.0,
       dispersionOk: Boolean = true,
-      skipped: Seq[String] = Seq.empty): (String, String) = {
+      skipped: Seq[String] = Seq.empty,
+      roundsDetail: Seq[Map[String, Double]] = Seq.empty): (String, String) = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = results.toSeq.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(30)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val robust = if (roundsDetail.nonEmpty) medianRoundTotal(roundsDetail) else total
     val meth =
-      s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk"""
+      s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk,""" +
+        s""""robust_value":${f3(robust)}"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,"queries":$qs,""" +
         s""""other_sec":${f3(rest.map(_._2).sum)},"other_n":${rest.size},"sf":"$sfDir"}"""
     val full = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // full provenance: every round's complete per-query vector, in run
+    // order, so any robust statistic is re-derivable post-hoc
+    val detailJson = roundsDetail.map { m =>
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,""" +
-        s""""skipped_baseline":$skippedJson,"queries":$full,"sf":"$sfDir"}"""
+        s""""skipped_baseline":$skippedJson,"queries":$full,""" +
+        s""""rounds_detail":$detailJson,"sf":"$sfDir"}"""
     (line, fullJson)
   }
 }

@@ -36,16 +36,28 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
-    * nanosecond long under spark.sql.legacy.parquet.nanosAsLong (set
-    * by every graft session) — convert to a microsecond timestamp with
-    * exact integer division (a double-division would lose precision at
-    * 1e18 ns). */
+  /** events.ts normalization — the physical parquet type has varied
+    * across testdata generations and the engine must accept all of
+    * them:
+    *   - TIMESTAMP(NANOS) read as a nanosecond long under
+    *     spark.sql.legacy.parquet.nanosAsLong (set by every graft
+    *     session) — convert with exact integer division (a
+    *     double-division would lose precision at 1e18 ns);
+    *   - TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark
+    *     reads as TIMESTAMP_NTZ — cast to TIMESTAMP (identity on the
+    *     micros value under the UTC session timezone every graft
+    *     session pins). Without this cast every unix_millis/
+    *     unix_micros call downstream fails analysis (NTZ is not
+    *     implicitly coerced) — the root cause of the 12 queries that
+    *     silently vanished from the r07 driver check.
+    * All downstream operators see one type: TIMESTAMP (UTC). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = tbl(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
@@ -2152,11 +2164,12 @@ object SparkEntry {
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk
         |  FROM events
+        |  WHERE ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM flag)
         |SELECT user_id, session_seq,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

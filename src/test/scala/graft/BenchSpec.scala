@@ -19,19 +19,42 @@ class BenchSpec extends AnyFunSuite {
     // worst realistic shape: every registered query with a slow time
     // (7+ chars each formatted) plus a long sf dir and full methodology
     val results = SparkEntry.queries.keys.map(k => k -> 123.456).toMap
+    val rounds = Seq.fill(8)(results)
     val (line, _) =
-      Bench.renderLines(results, "/root/testdata/sf0.1", 6, 12.345, false,
-        Bench.baselineOnly.toSeq.sorted)
-    assert(line.length < 1024, s"bench line is ${line.length} B; driver tail-capture is ~2 KB")
+      Bench.renderLines(results, "/root/testdata/sf0.1", 8, 12.345, false,
+        Bench.baselineOnly.toSeq.sorted, rounds)
+    // the whole line must fit in the driver's ~2 KB stdout tail with
+    // margin for trailing log noise; 1.25 KB leaves ~40% headroom
+    assert(line.length < 1280, s"bench line is ${line.length} B; driver tail-capture is ~2 KB")
     assert(!line.contains("\n"))
     // and it still carries the contract fields the driver parses
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.contains(""""queries":{"""))
     assert(line.contains(""""other_sec":"""))
     // plus the round-7 methodology fields the spread gate reads
-    assert(line.contains(""""rounds":6"""))
+    assert(line.contains(""""rounds":8"""))
     assert(line.contains(""""spread_pct":12.345"""))
     assert(line.contains(""""dispersion_ok":false"""))
+    // and the round-8 robust headline (median of round totals)
+    assert(line.contains(""""robust_value":"""))
+  }
+
+  test("robust_value is the median round total; rounds_detail persists full provenance") {
+    val q = Map("a" -> 1.0, "b" -> 2.0)
+    // three rounds with totals 3.0, 30.0 (stalled), 4.0 → median 4.0;
+    // min-based value would be 3.0
+    val r1 = Map("a" -> 1.0, "b" -> 2.0)
+    val r2 = Map("a" -> 10.0, "b" -> 20.0)
+    val r3 = Map("a" -> 1.5, "b" -> 2.5)
+    assert(Bench.medianRoundTotal(Seq(r1, r2, r3)) == 4.0)
+    assert(Bench.medianRoundTotal(Seq.empty) == 0.0)
+    val (line, full) =
+      Bench.renderLines(q, "/tmp/sf0.1", 3, 2.0, true, Seq.empty, Seq(r1, r2, r3))
+    assert(line.contains(""""value":3.000"""))
+    assert(line.contains(""""robust_value":4.000"""))
+    // full JSON carries every round's complete per-query vector in order
+    assert(full.contains(""""rounds_detail":[{"a":1.000,"b":2.000},{"a":10.000,"b":20.000},{"a":1.500,"b":2.500}]"""),
+      full)
   }
 
   test("scale factor parses from the corpus dir name") {

@@ -1,0 +1,138 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sessionize contract:
+  *   - gap semantics (boundary-inclusive: exactly-gap stays in
+  *     session, gap+1us breaks);
+  *   - null-ts rows are excluded (engines disagree on null ordering);
+  *   - an input `_brk` column survives (collision-safe temp names);
+  *   - sessionStatsBucketed ≡ sessionStats on fixtures whose sessions
+  *     span bucket boundaries (the skew mitigation must not change a
+  *     single row), for bucket sizes both above and below the gap;
+  *   - bucketed stage-1 partitions by (user, bucket): a hot user's
+  *     events split across buckets rather than one window partition.
+  */
+class SessionizeSpec extends SparkSpec {
+
+  private val gapUs = 3600000000L // 1 h
+
+  private def ev(rows: Seq[(String, String, Int, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "duration_us", "total_value")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("gap boundary is inclusive: exactly-gap joins, gap+1us breaks") {
+    val e = ev(Seq(
+      ("u1", "2024-01-01 00:00:00", 1, 1.0),
+      ("u1", "2024-01-01 01:00:00", 2, 1.0), // exactly 1 h later: same session
+      ("u1", "2024-01-01 02:00:00.000001", 3, 1.0), // 1 h + 1 us: breaks
+    ))
+    val out = Sessionize.sessionStats(e, "user_id", "ts", "value", gapUs)
+      .orderBy("session_seq").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n_events"))).toSeq == Seq(2L, 1L))
+  }
+
+  test("null-ts rows are excluded, matching the oracle's WHERE ts IS NOT NULL") {
+    val e = ev(Seq(
+      ("u1", "2024-01-01 00:00:00", 1, 1.0),
+      ("u1", "2024-01-01 00:30:00", 2, 1.0),
+    )).unionByName(
+      ev(Seq(("u1", "2024-01-01 00:10:00", 9, 5.0)))
+        .withColumn("ts", lit(null).cast("timestamp")))
+    val out = Sessionize.sessionStats(e, "user_id", "ts", "value", gapUs).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(out.head.fieldIndex("n_events")) == 2L)
+    assert(out.head.getDouble(out.head.fieldIndex("total_value")) == 2.0)
+  }
+
+  test("an input _brk column survives tagSessions unclobbered") {
+    val e = ev(Seq(("u1", "2024-01-01 00:00:00", 1, 1.0)))
+      .withColumn("_brk", lit("keep-me"))
+    val out = Sessionize.tagSessions(e, "user_id", "ts", gapUs).collect()
+    assert(out.head.getString(out.head.fieldIndex("_brk")) == "keep-me")
+  }
+
+  // Fixture with sessions deliberately crossing day boundaries: u1 has
+  // one session spanning midnight (23:30 → 00:15 next day via 30-min
+  // steps), a separate later session, and a chain of three local
+  // sessions that must merge pairwise across TWO boundaries when the
+  // bucket is small; u2 is all inside one bucket.
+  private lazy val boundaryFixture = ev(Seq(
+    ("u1", "2024-01-01 23:30:00", 1, 1.5),
+    ("u1", "2024-01-02 00:00:00", 2, 2.5),
+    ("u1", "2024-01-02 00:15:00", 3, 3.0),
+    ("u1", "2024-01-02 06:00:00", 4, 4.0), // new session (5h45m gap)
+    ("u2", "2024-01-01 10:00:00", 5, 1.0),
+    ("u2", "2024-01-01 10:30:00", 6, 1.0),
+    ("u2", "2024-01-01 12:00:00", 7, 9.0), // new session
+    // same-ts tie within u2's first session exercises tieBreak
+    ("u2", "2024-01-01 10:30:00", 8, 0.25),
+  ))
+
+  test("bucketed == plain on boundary-spanning sessions (bucket = 1 day >= gap)") {
+    val plain = Sessionize.sessionStats(
+      boundaryFixture, "user_id", "ts", "value", gapUs, tieBreak = Seq("event_id"))
+    val bucketed = Sessionize.sessionStatsBucketed(
+      boundaryFixture, "user_id", "ts", "value", gapUs,
+      bucketUs = 86400000000L, tieBreak = Seq("event_id"))
+    assert(canon(bucketed) == canon(plain))
+  }
+
+  test("bucketed == plain even when bucket < gap (chain merges across 2+ boundaries)") {
+    // 10-minute buckets against a 1 h gap: every event lands in its own
+    // or a neighboring bucket and stage 2 must chain-merge many locals.
+    val plain = Sessionize.sessionStats(
+      boundaryFixture, "user_id", "ts", "value", gapUs, tieBreak = Seq("event_id"))
+    val bucketed = Sessionize.sessionStatsBucketed(
+      boundaryFixture, "user_id", "ts", "value", gapUs,
+      bucketUs = 600000000L, tieBreak = Seq("event_id"))
+    assert(canon(bucketed) == canon(plain))
+  }
+
+  test("bucketed == plain on sf0.001 events (real corpus, 6 h gap, 1 day bucket)") {
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+    val g = 21600000000L
+    val plain = Sessionize.sessionStats(
+      e, "user_id", "ts", "value", g, tieBreak = Seq("event_id"))
+    val bucketed = Sessionize.sessionStatsBucketed(
+      e, "user_id", "ts", "value", g,
+      bucketUs = 86400000000L, tieBreak = Seq("event_id"))
+    assert(canon(bucketed) == canon(plain))
+  }
+
+  test("hot user: stage-1 window partitions by (user, bucket), bounding per-task input") {
+    // One user, 200 events spread over 50 days. The plain form's
+    // window sort sees all 200 in one partition; bucketed stage 1 sees
+    // at most the densest day (4 events). Assert the plan partitions
+    // the first window by both keys, and that results still agree.
+    val hotOk = (0 until 200).map { i =>
+      val day = 1 + (i / 8) % 25
+      val hour = i % 8
+      ("hot", f"2024-01-$day%02d 0$hour:00:00", i, 1.0)
+    }
+    val e = ev(hotOk)
+    val plain = Sessionize.sessionStats(
+      e, "user_id", "ts", "value", gapUs, tieBreak = Seq("event_id"))
+    val bucketed = Sessionize.sessionStatsBucketed(
+      e, "user_id", "ts", "value", gapUs,
+      bucketUs = 86400000000L, tieBreak = Seq("event_id"))
+    assert(canon(bucketed) == canon(plain))
+    val planTxt = Sessionize.sessionStatsBucketed(
+      e, "user_id", "ts", "value", gapUs,
+      bucketUs = 86400000000L, tieBreak = Seq("event_id"))
+      .queryExecution.optimizedPlan.toString
+    // the event-level window (the expensive one) must be keyed by
+    // user AND bucket — that's the whole mitigation
+    assert(planTxt.contains("windowspecdefinition(user_id"), planTxt.take(2000))
+    assert(planTxt.toLowerCase.contains("_bucket"), planTxt.take(2000))
+  }
+}
