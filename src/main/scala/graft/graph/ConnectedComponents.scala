@@ -47,8 +47,28 @@ import org.apache.spark.sql.functions._
   *     one unplannable tree. On a cluster with a checkpoint dir,
   *     `spark.sparkContext.setCheckpointDir` + reliable checkpoints
   *     are the durable variant of the same move.
+  *   - HIGH-DIAMETER graphs (transitive near-dup CHAINS under a loose
+  *     threshold — exactly how web-corpus dup graphs grow long paths)
+  *     would need diameter-many propagation rounds; instead, if the
+  *     frontier has not emptied after a few rounds, the loop escalates
+  *     to alternating large-star/small-star contraction (Kiveris,
+  *     Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+  *     Components in MapReduce and Beyond", SoCC 2014), which
+  *     converges in O(log n) rounds REGARDLESS of diameter. Both
+  *     paths produce the identical deterministic labeling (component
+  *     = min vertex id), so escalation never changes the answer —
+  *     only the round count. `maxIters` bounds the star rounds; at
+  *     the default 20 that covers graphs of diameter far beyond any
+  *     real corpus (2^20-link chains), and non-convergence still
+  *     THROWS rather than returning silently wrong labels.
   */
 object ConnectedComponents {
+
+  /** Frontier-propagation rounds (cheap, reuses the src-partitioned
+    * edges) before escalating to star contraction: star-dominated LSH
+    * graphs empty their frontier by round 2-3; anything still moving
+    * after that is diameter-shaped and propagation is the wrong tool. */
+  private val EscalateAfter = 3
 
   /** (id, component) for every vertex that appears in `pairs`;
     * `component` is the minimum vertex id of the connected component.
@@ -84,7 +104,7 @@ object ConnectedComponents {
     var frontier = labels.filter(col("component") =!= col("id"))
     var round = 1
     var converged = frontier.isEmpty // only true for an empty graph
-    while (!converged && round < maxIters) {
+    while (!converged && round < math.min(EscalateAfter, maxIters)) {
       // neighbor minimum per vertex, from frontier-incident edges only:
       // bounded aggregation buffer, map-side combinable — flat under
       // hub skew; volume ∝ frontier degree sum, not graph size
@@ -107,11 +127,91 @@ object ConnectedComponents {
         frontier = improved
       }
     }
-    if (!converged)
+    if (converged) labels
+    else starComponents(sym, maxIters)._1
+  }
+
+  /** Alternating large-star/small-star contraction over the edge set
+    * (Kiveris et al. 2014) — O(log n) rounds at any diameter. Returns
+    * (labels, roundsUsed); ConnectedComponentsSpec pins the round
+    * bound on a 1000-vertex path graph.
+    *
+    * Representation: canonical undirected edges (hi, lo), hi > lo,
+    * distinct. Per round:
+    *   - large-star: for every directed (u,v) with v > u, emit
+    *     (v, m(u)) where m(u) = min(N(u) ∪ {u}) — strictly-larger
+    *     neighbors re-attach to the local minimum;
+    *   - small-star: on the result, for every center hi with
+    *     neighbors lo < hi, emit (lo', m) for lo' ≠ m and (hi, m)
+    *     where m = min neighbor — not-larger neighbors re-attach.
+    * Each op preserves connectivity; the edge set monotonically
+    * contracts toward stars centered at component minima. Convergence
+    * is detected by a (count, hash-sum) checksum going stable —
+    * two scalar aggregates per round, no driver-side edge collection.
+    *
+    * Scale shape: every step is groupBy/join on vertex keys —
+    * map-side-combinable aggregates and hash joins, no windows, no
+    * driver loops proportional to diameter. Per-round volume is the
+    * current edge set, which only shrinks; lineage is truncated per
+    * round with an eager localCheckpoint, exactly like the
+    * propagation path. */
+  private[graph] def starComponents(
+      sym: DataFrame,
+      maxIters: Int,
+  ): (DataFrame, Int) = {
+    var c = sym.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    // (edge count, wrap-around sum of per-edge 64-bit hashes): equal
+    // checksums across a round ⇒ the edge set is a fixpoint (stars).
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(c)
+    var rounds = 0
+    var done = prev._1 == 0L // edgeless input: nothing to contract
+    while (!done && rounds < maxIters) {
+      val s = c.select(col("hi").as("src"), col("lo").as("dst"))
+        .unionByName(c.select(col("lo").as("src"), col("hi").as("dst")))
+      val m = s.groupBy("src").agg(least(col("src"), min(col("dst"))).as("m"))
+      // large-star; output is canonical by construction (dst > src ≥ m)
+      val ls = s.filter(col("dst") > col("src"))
+        .join(m, Seq("src"))
+        .select(col("dst").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star on the canonical frame: every lo-neighbor of hi
+      // (and hi itself) re-attaches to the minimum neighbor
+      val m2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(m2, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(m2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      rounds += 1
+      val cur = checksum(ss)
+      done = cur == prev
+      prev = cur
+      c = ss
+    }
+    if (!done)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIters rounds — the pair " +
-          "graph has a longer path than expected (min-label propagation needs " +
-          "diameter-many rounds); raise maxIters for this graph")
-    labels
+        s"connected components did not converge in $maxIters star-contraction " +
+          "rounds — alternation converges in O(log n) rounds, so this graph is " +
+          "far larger than the bound anticipates; raise maxIters")
+    // At fixpoint c is a disjoint star forest (child hi → center lo =
+    // component min). Recover singletons (self-pair-only vertices lose
+    // their edges to the self-loop filter) from the full vertex set.
+    val verts = sym.select(col("src").as("id")).distinct()
+    val labels = verts
+      .join(c.select(col("hi").as("id"), col("lo").as("_comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_comp"), col("id")).as("component"))
+    (labels, rounds)
   }
 }

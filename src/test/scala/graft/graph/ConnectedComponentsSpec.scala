@@ -15,12 +15,54 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
   }
 
-  test("a chain needs diameter rounds and converges to the global min") {
-    // 0-1-2-...-9 as a path: worst case for min-label propagation
+  test("a chain (worst case for propagation) escalates and converges to the global min") {
+    // 0-1-2-...-9 as a path: propagation alone would need diameter
+    // rounds; the escalation to star contraction handles it
     val chain = (0L until 9L).map(i => (i, i + 1))
     val got = cc(chain)
     assert(got.keySet == (0L to 9L).toSet)
     assert(got.values.toSet == Set(0L))
+  }
+
+  private def symOf(pairs: Seq[(Long, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    val e = pairs.toDF("src", "dst")
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("star contraction: 1000-vertex path converges in <= ~2*log2(n) rounds") {
+    val n = 1000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) =
+      ConnectedComponents.starComponents(symOf(chain), maxIters = 25)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt // = 20
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until n).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("a 1000-link chain converges under the DEFAULT maxIters (the r7 operational ceiling)") {
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val got = cc(chain) // maxIters = 20, would need 999 propagation rounds
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 1000)
+  }
+
+  test("law: star contraction matches union-find on random graphs (fixed seeds)") {
+    import org.scalacheck.{Gen, rng}
+    val edgeGen = for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L) if a != b
+    } yield (a, b)
+    val graphGen = Gen.listOfN(30, edgeGen)
+    for (seed <- 10L to 14L) {
+      val edges = graphGen(Gen.Parameters.default, rng.Seed(seed))
+        .getOrElse(fail(s"generator failed for seed $seed"))
+      val (labels, _) = ConnectedComponents.starComponents(symOf(edges), maxIters = 20)
+      val viaProp = cc(edges)
+      assert(labels.as[(Long, Long)].collect().toMap == viaProp, s"seed $seed")
+    }
   }
 
   test("star graphs (the LSH rep-pair shape) converge in one round") {
