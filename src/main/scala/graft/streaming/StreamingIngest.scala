@@ -92,7 +92,17 @@ object StreamingIngest {
     * first-wins rule rather than the historical keep-min-id rule, and
     * duplicates separated by more than the watermark delay both
     * survive (bounded state is the price of unboundedness; the
-    * idempotent batch sink downstream neutralizes them on ingest). */
+    * idempotent batch sink downstream neutralizes them on ingest).
+    *
+    * `classifierWeights` (a [[graft.text.QualityClassifier]] weights
+    * frame, as persisted by the batch t12 training) adds MODEL-BASED
+    * admission after the heuristic gates: the bounded weight table
+    * folds into the plan as a map literal and the margin is exact
+    * decimal per-row arithmetic
+    * ([[graft.text.QualityClassifier.narrowMargin]]) — no shuffle, no
+    * state, row-for-row equal to batch scoring, so batch-trained
+    * models gate an unbounded stream with zero semantic drift.
+    * Documents with margin < 0 drop; survivors carry `model_score`. */
   def curationStream(
       stream: DataFrame,
       textCol: String,
@@ -102,11 +112,12 @@ object StreamingIngest {
       tsMsCol: String,
       delay: String,
       maxTokens: Int = 1 << 20,
+      classifierWeights: Option[DataFrame] = None,
   ): DataFrame = {
     import org.apache.spark.sql.functions._
-    import graft.text.TextAnalysis
+    import graft.text.{QualityClassifier, TextAnalysis}
     val t = col(textCol)
-    stream
+    val gated = stream
       .withColumn("curation_lang", TextAnalysis.langId(t))
       .withColumn("curation_quality", TextAnalysis.qualityScore(t))
       .withColumn("curation_tokens", TextAnalysis.tokenCount(t))
@@ -114,6 +125,15 @@ object StreamingIngest {
       .filter(col("curation_quality") >= minQuality
         && col("curation_lang").isin(langs: _*)
         && col("curation_tokens").between(minTokens, maxTokens))
+    val admitted = classifierWeights match {
+      case Some(w) =>
+        val (_, margin) = QualityClassifier.narrowMargin(t, w)
+        gated
+          .withColumn("model_score", round(margin, 6))
+          .filter(margin >= 0.0)
+      case None => gated
+    }
+    admitted
       .withColumn("_event_time", timestamp_millis(col(tsMsCol)))
       .withWatermark("_event_time", delay)
       .dropDuplicatesWithinWatermark("_fp")

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -175,6 +175,65 @@ object QualityClassifier {
     * margin (rounded to 6 dp for display), matched-vocab-token count,
     * and the margin-at-0 (= probability-at-0.5) predicted label. One
     * broadcast join + one aggregate over the corpus. */
+  /** (n_feats, raw margin) as NARROW columns — no explode, no groupBy,
+    * no shuffle: the weight table (bounded by topV at training time)
+    * becomes a map literal carried in the plan, and the per-document
+    * margin is an exact-decimal fold over the token array. Decimal
+    * addition is order-free, so the fold equals [[score]]'s
+    * sum-over-grouped-tf bit-for-bit (Σ over occurrences of w(t) ≡
+    * Σ over distinct tokens of w(t)·tf(t)) — the same weights parquet
+    * drives batch scoring and streaming admission with row-for-row
+    * equal results. Stateless ⇒ legal on an unbounded stream in
+    * append mode (a streaming groupBy would need watermark state). */
+  private[graft] def narrowMargin(
+      textCol: Column,
+      weightsWithBias: DataFrame): (Column, Column) = {
+    val bias = weightsWithBias.filter(col("token").isNull)
+      .select(col("w").cast("double")).head().getDouble(0)
+    val entries: Map[String, scala.math.BigDecimal] = weightsWithBias
+      .filter(col("token").isNotNull)
+      .select(col("token"), col("w").cast(DecimalType(18, 12)))
+      .collect()
+      .map(r => r.getString(0) -> scala.math.BigDecimal(r.getDecimal(1)))
+      .toMap
+    if (entries.isEmpty) (lit(0), lit(bias))
+    else {
+      val wmap = typedlit(entries)
+      val toks = TextAnalysis.tokens(TextAnalysis.normalized(textCol))
+      val accT = DecimalType(32, 12)
+      val zero = lit(java.math.BigDecimal.ZERO).cast(accT)
+      val ssum = aggregate(toks, zero, (acc, t) =>
+        (acc + coalesce(element_at(wmap, t).cast(DecimalType(30, 12)),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 12)))).cast(accT))
+      val nFeats = coalesce(
+        size(filter(array_distinct(toks), t => element_at(wmap, t).isNotNull)),
+        lit(0)).cast("int")
+      val margin = lit(bias) + coalesce(ssum.cast("double"), lit(0.0))
+      (nFeats, margin)
+    }
+  }
+
+  /** [[score]] computed with [[narrowMargin]] — identical output
+    * (same columns, same values), but the plan is per-row narrow
+    * arithmetic with zero shuffles, so it runs unchanged on a
+    * Structured Streaming frame (the admission analog of the
+    * streaming near-dup gate). Prefer [[score]] for batch: the
+    * vocab-join form shares the tokenizer explode with training and
+    * keeps the margin in whole-stage codegen. */
+  def scoreNarrow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsWithBias: DataFrame,
+  ): DataFrame = {
+    val (nFeats, margin) = narrowMargin(col(textCol), weightsWithBias)
+    df.select(
+      col(idCol),
+      nFeats.as("n_feats"),
+      round(margin, 6).as("score"),
+      (margin >= 0.0).as("pred"))
+  }
+
   def score(
       df: DataFrame,
       idCol: String,

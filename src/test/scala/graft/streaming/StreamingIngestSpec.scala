@@ -233,4 +233,71 @@ class StreamingIngestSpec extends SparkSpec {
     }
     assert(e2.getMessage.toLowerCase.contains("window"))
   }
+
+  test("narrow scorer is the batch scorer's exact twin on the real corpus") {
+    import graft.text.QualityClassifier
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val labeled = docs.withColumn("label", length(col("text")) > 400)
+    val model = QualityClassifier.train(
+      labeled, "doc_id", "text", "label", topV = 64, steps = 2)
+    val wdir = Files.createTempDirectory("graft-qc-w").resolve("w").toString
+    QualityClassifier.persist(model, spark, wdir)
+    val w = spark.read.parquet(wdir)
+    val batch = QualityClassifier.score(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val narrow = QualityClassifier.scoreNarrow(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(narrow.size == batch.size)
+    // row-for-row, bit-for-bit: same decimal arithmetic on both paths
+    assert(narrow == batch)
+  }
+
+  test("streaming curation with model admission: scores equal batch, negatives drop") {
+    import graft.text.QualityClassifier
+    val in = Files.createTempDirectory("graft-stream-qc-in")
+    val out = Files.createTempDirectory("graft-stream-qc-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-qc-ckpt").toString
+    val good = "the quick brown fox jumps over the lazy dog and that " +
+      "is that for the good long document with many real words in it " +
+      "to clear the quality and token gates for the test"
+    val other = "a plain simple sentence with enough ordinary english words " +
+      "that it passes the heuristic quality gates and keeps going on and " +
+      "on with more filler words to stay over the token minimum easily"
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"doc_id":1,"text":"$good","ts_ms":1000}
+         |{"doc_id":2,"text":"$other","ts_ms":2000}
+         |""".stripMargin)
+    // train on the real corpus; the label is irrelevant to the parity
+    // claim — only that stream and batch agree on the same weights
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val model = QualityClassifier.train(
+      docs.withColumn("label", length(col("text")) > 400),
+      "doc_id", "text", "label", topV = 64, steps = 2)
+    val wdir = Files.createTempDirectory("graft-qc-w2").resolve("w").toString
+    QualityClassifier.persist(model, spark, wdir)
+    val w = spark.read.parquet(wdir)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val curated = StreamingIngest.curationStream(
+      stream, "text", minQuality = 0.3, langs = Seq("en"), minTokens = 10,
+      tsMsCol = "ts_ms", delay = "1 hour", classifierWeights = Some(w))
+    StreamingIngest.drainToParquet(curated, out, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "model_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // batch scoring of the same two fixture docs with the same weights
+    import spark.implicits._
+    val fixture = Seq((1L, good), (2L, other)).toDF("doc_id", "text")
+    val batch = QualityClassifier.score(fixture, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val admittedBatch = batch.filter(_._3).map(t => t._1 -> t._2).toMap
+    // the stream admitted exactly the batch-positive docs, with
+    // bit-equal scores
+    assert(streamed == admittedBatch, s"streamed=$streamed batch=${batch.toSeq}")
+  }
 }
