@@ -91,10 +91,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val skipAtScale = scaleFactorOf(sfDir).exists(_ >= 1.0)
-    val order = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(n => skipAtScale && baselineOnly(n))
+    // Optional subset run (scale probes at sf≥1 over the flagship
+    // paths): comma-separated exact query names. Unknown names fail
+    // loudly — a silent empty bench would read as "instant suite".
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { qs =>
+      val unknown = qs.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_BENCH_QUERIES: $unknown")
+    }
+    val requested = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_(n)))
+    val order = requested.filterNot(n => skipAtScale && baselineOnly(n))
     val skipped =
-      if (skipAtScale) SparkEntry.queries.keys.toSeq.sorted.filter(baselineOnly)
+      if (skipAtScale) requested.filter(baselineOnly)
       else Seq.empty
     if (skipped.nonEmpty)
       System.err.println(
@@ -102,19 +112,32 @@ object Bench {
           s"baselines ${skipped.mkString(", ")} (exact references for the " +
           s"LSH/banded scale paths; quadratic by definition)")
 
-    def runOnce(name: String): Unit = {
+    // Returns whether the query RAN: a failed execution (OOM,
+    // transient task failure) must not be timed — the observed failure
+    // mode is a round where every query dies in milliseconds, which
+    // would otherwise hand min-across-rounds a fleet of bogus ~0 s
+    // samples and silently halve the headline.
+    def runOnce(name: String): Boolean = {
       // noop sink, NOT count(): count() lets Catalyst prune every
       // projected expression, so a projection-only query would "time"
       // nothing but the scan — the noop write evaluates every output
       // column (same work Verify's parquet dump measures) without I/O.
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-      } catch { case NonFatal(_) => () }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          true
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.toString.linesIterator.next().take(200)}")
+            false
+        }
       // Operators may cache multi-consumer intermediates internally;
       // drop them between queries so one query's working set never
       // lands on another's measurement.
       spark.catalog.clearCache()
+      ok
     }
 
     // Phase 1 — JIT/codegen warm-up at the smallest scale factor:
@@ -162,7 +185,11 @@ object Bench {
         scala.util.Try(s.toDouble).toOption).getOrElse(1200.0)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     def bestSpreadPct(): Double = {
-      val totals = rounds.map(_.values.sum).sorted.take(minRounds)
+      // spread is only meaningful over COMPLETE rounds — a round with
+      // failed queries has an artificially small total
+      val complete = rounds.filter(_.size == order.size)
+      val pool = if (complete.nonEmpty) complete else rounds.toSeq
+      val totals = pool.map(_.values.sum).sorted.take(minRounds)
       if (totals.size < 2 || totals.head <= 0) 0.0
       else (totals.last - totals.head) / totals.head * 100.0
     }
@@ -179,18 +206,24 @@ object Bench {
         timedSec + perRound <= budgetSec
       }
     }
+    // Failed samples are EXCLUDED (timing a crash is not timing the
+    // query) and counted; rounds with failures still advance the loop
+    // but their missing entries simply contribute no sample.
+    val failCounts = scala.collection.mutable.Map.empty[String, Int]
     while (wantMore()) {
-      val times = order.map { name =>
+      val times = order.flatMap { name =>
         val t0 = System.nanoTime()
-        runOnce(name)
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = runOnce(name)
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9)
+        else { failCounts(name) = failCounts.getOrElse(name, 0) + 1; None }
       }.toMap
       rounds += times
       timedSec += times.values.sum
       r += 1
       System.err.println(
-        f"[bench] round $r total ${times.values.sum}%.3f s, " +
-          f"timed ${timedSec}%.1f/${budgetSec}%.0f s" +
+        f"[bench] round $r total ${times.values.sum}%.3f s" +
+          (if (times.size < order.size) s" (${order.size - times.size} FAILED)" else "") +
+          f", timed ${timedSec}%.1f/${budgetSec}%.0f s" +
           (if (r >= minRounds) f", best-3 spread ${bestSpreadPct()}%.2f%%" else ""))
       if (wantMore()) roundBoundary()
     }
@@ -198,15 +231,24 @@ object Bench {
     // Per-query time = min across rounds: the samples are non-adjacent
     // (separated by a full suite pass), so a transient stall (CPU
     // contention, page-cache miss, GC) can poison at most one of them.
+    // A query with zero successful samples is reported in the failed
+    // list (loudly absent from the per-query map), never as a time.
     val results: Map[String, Double] =
-      order.map(n => n -> rounds.map(_(n)).min).toMap
+      order.flatMap { n =>
+        val samples = rounds.flatMap(_.get(n))
+        if (samples.isEmpty) None else Some(n -> samples.min)
+      }.toMap
+    val neverRan = order.filterNot(results.contains)
+    if (neverRan.nonEmpty)
+      System.err.println(s"[bench] NEVER SUCCEEDED: ${neverRan.mkString(", ")}")
     val spread = bestSpreadPct()
 
     val (line, fullJson) =
       renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct,
-        skipped, rounds.toSeq)
+        skipped, rounds.toSeq, neverRan)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(_) => () }
     println(line)
@@ -236,7 +278,11 @@ object Bench {
   def medianRoundTotal(roundsDetail: Seq[Map[String, Double]]): Double = {
     if (roundsDetail.isEmpty) 0.0
     else {
-      val totals = roundsDetail.map(_.values.sum).sorted
+      // partial rounds (failed queries excluded from their vector) are
+      // provenance, not statistics: take the median over the rounds
+      // that visited the full suite (= the modal, maximal size)
+      val maxSize = roundsDetail.map(_.size).max
+      val totals = roundsDetail.filter(_.size == maxSize).map(_.values.sum).sorted
       totals(totals.size / 2)
     }
   }
@@ -248,7 +294,8 @@ object Bench {
       spreadPct: Double = 0.0,
       dispersionOk: Boolean = true,
       skipped: Seq[String] = Seq.empty,
-      roundsDetail: Seq[Map[String, Double]] = Seq.empty): (String, String) = {
+      roundsDetail: Seq[Map[String, Double]] = Seq.empty,
+      failed: Seq[String] = Seq.empty): (String, String) = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = results.toSeq.sortBy(-_._2)
     val (top, rest) = sorted.splitAt(30)
@@ -256,9 +303,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val robust = if (roundsDetail.nonEmpty) medianRoundTotal(roundsDetail) else total
+    // queries that never succeeded are loudly absent from the times —
+    // a missing entry must read as "failed", never as "fast"
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meth =
       s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk,""" +
-        s""""robust_value":${f3(robust)}"""
+        s""""robust_value":${f3(robust)},"failed":$failedJson"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,"queries":$qs,""" +
         s""""other_sec":${f3(rest.map(_._2).sum)},"other_n":${rest.size},"sf":"$sfDir"}"""

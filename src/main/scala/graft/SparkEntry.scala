@@ -583,6 +583,17 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", "value",
         gapUs = 21600000000L, tieBreak = Seq("event_id"))),
 
+    // The hot-user skew mitigation must be provably semantics-free:
+    // same oracle SQL as w3, so bucketed ≡ plain is an oracle-checked
+    // fact, not just a spec assertion. Stage-1 window partitions by
+    // (user, day bucket); stage 2 merges boundary sessions over
+    // session rows only (agg/Sessionize.scala).
+    "w4_sessionize_bucketed" -> ((s, dir) =>
+      Sessionize.sessionStatsBucketed(
+        events(s, dir), "user_id", "ts", "value",
+        gapUs = 21600000000L, bucketUs = 86400000000L,
+        tieBreak = Seq("event_id"))),
+
     // --- Incremental (I1, I3) ------------------------------------------
 
     // I1: high-watermark resume point, clamped to a minimum start.
@@ -891,6 +902,17 @@ object SparkEntry {
       QualityClassifier.persist(model, s, path)
       QualityClassifier.score(docs, "doc_id", "text", s.read.parquet(path))
     }),
+
+    // The stream-admission scorer (QualityClassifier.scoreNarrow):
+    // the bounded weight table folds into the plan as a map literal
+    // and the margin is an exact-decimal fold over the token array —
+    // zero shuffles, stateless, so it runs unchanged on an unbounded
+    // stream (StreamingIngest.curationStream wiring). Weights are a
+    // fixed literal shared with the oracle; the batch-vs-narrow
+    // bit-equality is separately pinned by StreamingIngestSpec.
+    "t14_quality_score_narrow" -> ((s, dir) =>
+      QualityClassifier.scoreNarrow(
+        tbl(s, dir, "documents"), "doc_id", "text", t14WeightsDf(s))),
 
     // PII hygiene pass: email → IP → phone redaction (order matters),
     // over text with deterministically injected PII so the transform
@@ -1749,6 +1771,58 @@ object SparkEntry {
     * handoff from the query run to the oracle dump. */
   @volatile private var v12CorpusKey: String = "default"
 
+  /** One oracle, two plans: w3 (single user-keyed window) and w4 (the
+    * bucketed skew mitigation) both answer to this SQL — semantic
+    * equivalence of the mitigation is an oracle-checked fact. */
+  private val SessionizeOracleSql: String =
+    """WITH flag AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flag)
+      |SELECT user_id, session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
+  /** Fixed scoring weights for t14 (the narrow/streaming scorer):
+    * scoring — not training — is the operator under test, so the
+    * weight table is a deterministic literal shared token-for-token
+    * with the oracle's VALUES clause. Bias rides as the NULL token,
+    * exactly like persisted t12 weights. */
+  private val T14Weights: Seq[(String, String)] = Seq(
+    (null, "-0.45"),
+    ("the", "0.05"), ("and", "0.04"), ("of", "0.03"), ("to", "0.03"),
+    ("in", "0.02"), ("data", "0.30"), ("model", "0.25"), ("learn", "0.20"),
+    ("compute", "0.18"), ("error", "-0.35"), ("spam", "-0.60"),
+    ("click", "-0.25"), ("free", "-0.15"), ("system", "0.12"),
+  )
+
+  private def t14WeightsDf(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
+    val rows = T14Weights.map { case (t, w) =>
+      org.apache.spark.sql.Row(t, new java.math.BigDecimal(w).setScale(12))
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("token", StringType),
+        StructField("w", DecimalType(18, 12)))))
+  }
+
+  private def t14WeightsValuesSql: String = T14Weights.map { case (t, w) =>
+    val tok = if (t == null) "NULL" else s"'$t'"
+    s"($tok, CAST($w AS DECIMAL(18,12)))"
+  }.mkString(", ")
+
   /** t12's trained classifier weights persist the same way: the query
     * trains in Spark and writes (token, w) rows; the oracle replays
     * scoring (broadcast join + exact decimal sum) from the parquet. */
@@ -2158,25 +2232,12 @@ object SparkEntry {
         |  ROUND(revenue - COALESCE(LAG(revenue, 1) OVER (ORDER BY month), 0.0), 2) AS mom_delta
         |FROM monthly""".stripMargin,
 
-    "w3_sessionize" ->
-      """WITH flag AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WHERE ts IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flag)
-        |SELECT user_id, session_seq,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  COUNT(*) AS n_events,
-        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "w3_sessionize" -> SessionizeOracleSql,
+
+    // bucketed ≡ plain: the skew-mitigated form answers to the SAME
+    // oracle — any divergence between the two-stage plan and the
+    // single-window semantics turns this row red.
+    "w4_sessionize_bucketed" -> SessionizeOracleSql,
 
     "i1_watermark_resume" ->
       """SELECT GREATEST(CAST(MAX(o_orderdate) AS DATE) + INTERVAL 1 DAY, DATE '1996-01-01')::DATE AS resume_date
@@ -2952,6 +3013,23 @@ object SparkEntry {
     // token row is the bias; the inner USING join drops it naturally.
     "t12_quality_filter" ->
       s"""WITH wb AS (SELECT token, w FROM read_parquet('${t12WeightsPathFor(t12CorpusKey)}/*.parquet')),
+         |b AS (SELECT CAST(w AS DOUBLE) AS bw FROM wb WHERE token IS NULL),
+         |tok AS (SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |per AS (SELECT t.doc_id, COUNT(*) AS nf, SUM(w.w * CAST(t.tf AS DECIMAL(10,0))) AS ssum
+         |  FROM tok t JOIN wb w USING (token) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.nf, 0) AS INT) AS n_feats,
+         |  ROUND((SELECT bw FROM b) + CAST(COALESCE(p.ssum, 0) AS DOUBLE), 6) AS score,
+         |  ((SELECT bw FROM b) + CAST(COALESCE(p.ssum, 0) AS DOUBLE)) >= 0.0 AS pred
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // Replays t14 narrow scoring: same tokenization, inline VALUES
+    // weights (shared literal with the Spark side), exact decimal
+    // margin. The USING join drops the NULL-token bias row naturally.
+    "t14_quality_score_narrow" ->
+      s"""WITH wb AS (SELECT * FROM (VALUES $t14WeightsValuesSql) AS v(token, w)),
          |b AS (SELECT CAST(w AS DOUBLE) AS bw FROM wb WHERE token IS NULL),
          |tok AS (SELECT doc_id, token, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)

@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *     star-schema scale-up
   *
   * The output is a BENCH-only corpus (n_chars is recomputed for the
-  * suffixed text; no DuckDB oracle runs against it). */
+  * suffixed text; no DuckDB oracle runs against it).
+  *
+  * CHAINED scale-ups (sf0.1 → sf1 → sf10) need the optional 4th arg
+  * `stride`: replica deltas become i·stride, so a second-level
+  * replication with stride = firstFactor keeps ids, word suffixes and
+  * embedding rotations DISJOINT from the first level's (without it,
+  * level-2 id offsets collide with level-1 replicas and rotation
+  * totals repeat, re-correlating cross-replica cosine). */
 object SynthScale {
   private val Off = 1000000000000L
 
@@ -30,6 +37,8 @@ object SynthScale {
     val dst = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     require(factor >= 1 && factor <= 64, s"factor out of range: $factor")
+    val stride = args.lift(3).map(_.toInt).getOrElse(1)
+    require(stride >= 1 && stride <= 64, s"stride out of range: $stride")
     val spark = SparkSession.builder()
       .master(s"local[${Defaults.cpus}]")
       .config("spark.sql.shuffle.partitions", Defaults.cpus)
@@ -48,7 +57,7 @@ object SynthScale {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
     def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => per(df, i)).reduce(_ unionByName _)
+      (0 until factor).map(i => per(df, i * stride)).reduce(_ unionByName _)
 
     Seq("region", "nation", "part", "supplier").foreach(n => write(tbl(n), n))
 

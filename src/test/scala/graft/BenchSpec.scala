@@ -48,6 +48,10 @@ class BenchSpec extends AnyFunSuite {
     val r3 = Map("a" -> 1.5, "b" -> 2.5)
     assert(Bench.medianRoundTotal(Seq(r1, r2, r3)) == 4.0)
     assert(Bench.medianRoundTotal(Seq.empty) == 0.0)
+    // a partial round (failed queries excluded from its vector) is
+    // provenance, not statistics: the median ignores it
+    val partial = Map("a" -> 0.1)
+    assert(Bench.medianRoundTotal(Seq(r1, r2, r3, partial)) == 4.0)
     val (line, full) =
       Bench.renderLines(q, "/tmp/sf0.1", 3, 2.0, true, Seq.empty, Seq(r1, r2, r3))
     assert(line.contains(""""value":3.000"""))
@@ -55,6 +59,15 @@ class BenchSpec extends AnyFunSuite {
     // full JSON carries every round's complete per-query vector in order
     assert(full.contains(""""rounds_detail":[{"a":1.000,"b":2.000},{"a":10.000,"b":20.000},{"a":1.500,"b":2.500}]"""),
       full)
+  }
+
+  test("never-succeeded queries are loudly listed, not silently fast") {
+    val (line, full) = Bench.renderLines(
+      Map("a" -> 1.0), "/tmp/sf0.1", 3, 2.0, true,
+      Seq.empty, Seq(Map("a" -> 1.0)), failed = Seq("b_broken"))
+    assert(line.contains(""""failed":["b_broken"]"""))
+    assert(full.contains(""""failed":["b_broken"]"""))
+    assert(!line.contains("b_broken\":")) // no time entry for it
   }
 
   test("scale factor parses from the corpus dir name") {
