@@ -209,13 +209,29 @@ object Bench {
     // Failed samples are EXCLUDED (timing a crash is not timing the
     // query) and counted; rounds with failures still advance the loop
     // but their missing entries simply contribute no sample.
-    val failCounts = scala.collection.mutable.Map.empty[String, Int]
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    def flushFull(): Unit = {
+      // written after EVERY round, not just at the end: a run killed
+      // by an external timeout still leaves the completed rounds'
+      // provenance on disk
+      val partialResults: Map[String, Double] =
+        order.flatMap { n =>
+          val s = rounds.flatMap(_.get(n)); if (s.isEmpty) None else Some(n -> s.min)
+        }.toMap
+      val sp = bestSpreadPct()
+      val (_, json) = renderLines(partialResults, sfDir, rounds.size, sp,
+        rounds.size >= minRounds && sp <= maxSpreadPct, skipped, rounds.toSeq,
+        order.filterNot(partialResults.contains))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case NonFatal(_) => () }
+    }
     while (wantMore()) {
       val times = order.flatMap { name =>
         val t0 = System.nanoTime()
         val ok = runOnce(name)
-        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9)
-        else { failCounts(name) = failCounts.getOrElse(name, 0) + 1; None }
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
       rounds += times
       timedSec += times.values.sum
@@ -225,6 +241,7 @@ object Bench {
           (if (times.size < order.size) s" (${order.size - times.size} FAILED)" else "") +
           f", timed ${timedSec}%.1f/${budgetSec}%.0f s" +
           (if (r >= minRounds) f", best-3 spread ${bestSpreadPct()}%.2f%%" else ""))
+      flushFull()
       if (wantMore()) roundBoundary()
     }
 
@@ -246,7 +263,6 @@ object Bench {
     val (line, fullJson) =
       renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct,
         skipped, rounds.toSeq, neverRan)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -243,6 +243,44 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Event-time SESSION rollup on a stream — the streaming face of
+    * [[graft.agg.Sessionize.sessionStats]], via Spark's native
+    * `session_window` (state-store gap-merging; watermark expires
+    * session state, so memory is bounded by open sessions, not
+    * history). Emits one row per closed session with the same stat
+    * columns as the batch form (minus `session_seq` — a dense
+    * per-user counter is a corpus-order quantity that does not exist
+    * on an unbounded stream; sessions are keyed by their start time
+    * instead).
+    *
+    * Boundary semantics: `session_window` closes at gap >= gapDuration
+    * while the batch operator keeps events at exactly gapUs in one
+    * session — a batch run with `gapUs = gapDurationUs - 1` is the
+    * exact twin (pinned by StreamingIngestSpec). */
+  def sessionRollup(
+      stream: DataFrame,
+      tsMsCol: String,
+      userCol: String,
+      valueCol: String,
+      gap: String,
+      watermarkDelay: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .withColumn("_event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("_event_time", watermarkDelay)
+      .groupBy(session_window(col("_event_time"), gap), col(userCol))
+      .agg(
+        min(col("_event_time")).as("session_start"),
+        max(col("_event_time")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("_event_time"))) - unix_micros(min(col("_event_time"))))
+          .as("duration_us"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col(userCol), col("session_start"), col("session_end"),
+        col("n_events"), col("duration_us"), col("total_value"))
+  }
+
   /** Event-time windowed rollup with a watermark: the streaming form
     * of the monthly MV (daily tumbling windows here — month windows
     * are calendar-irregular, so the batch refresh stays the monthly

@@ -234,6 +234,49 @@ class StreamingIngestSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("window"))
   }
 
+  test("streaming session rollup equals batch sessionize (gap boundary offset by 1us)") {
+    import graft.agg.Sessionize
+    val in = Files.createTempDirectory("graft-stream-sess-in")
+    val out = Files.createTempDirectory("graft-stream-sess-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-sess-ckpt").toString
+    // u1: two events 30 min apart (one session), then a 2 h gap (new
+    // session); u2: single event. A late sentinel event far in the
+    // future advances the watermark so every real session closes and
+    // emits in append mode.
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"user_id":1,"ts_ms":3600000,"value":1.5}
+         |{"user_id":1,"ts_ms":5400000,"value":2.5}
+         |{"user_id":1,"ts_ms":12600000,"value":4.0}
+         |{"user_id":2,"ts_ms":3600000,"value":9.0}
+         |{"user_id":9,"ts_ms":900000000000,"value":0.0}
+         |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val sessions = StreamingIngest.sessionRollup(
+      stream, "ts_ms", "user_id", "value", gap = "1 hour", watermarkDelay = "1 second")
+    StreamingIngest.drainToParquet(sessions, out, ckpt).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .filter(col("user_id") < 9)
+      .select("user_id", "session_start", "session_end", "n_events", "duration_us", "total_value")
+      .collect().map(_.toString).sorted.toSeq
+
+    // batch twin: session_window closes at gap >= 1h; batch keeps
+    // events at exactly gapUs together, so gapUs = 1h - 1us
+    val batchIn = spark.read.json(in.resolve("a.jsonl").toString)
+      .filter(col("user_id") < 9)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val batch = Sessionize.sessionStats(batchIn, "user_id", "ts", "value", gapUs = 3600000000L - 1)
+      .select(col("user_id"), col("session_start").as("session_start"),
+        col("session_end").as("session_end"), col("n_events"),
+        col("duration_us"), col("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 3)
+  }
+
   test("narrow scorer is the batch scorer's exact twin on the real corpus") {
     import graft.text.QualityClassifier
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
