@@ -782,6 +782,30 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")), col("doc_id"), fraction = 0.5)
         .select("doc_id", "lang", "source")),
 
+    // Per-domain cap (RefinedWeb/C4 anti-spam cut): keep the best 15
+    // docs of each source by quality. The rank filter rewrites to
+    // WindowGroupLimit, so a hot domain pre-prunes to its local top-15
+    // per map partition before the shuffle.
+    "tp14_domain_cap" -> ((s, dir) =>
+      Sampling
+        .capPerStratum(tbl(s, dir, "documents"), col("source"),
+          TextAnalysis.qualityScore(col("text")), col("doc_id"), cap = 15)
+        .select("doc_id", "source", "lang")),
+
+    // CCNet head/middle/tail terciles per language by unigram-LM mean
+    // surprisal (Wenzek et al. 2020): rank-based buckets (percent_rank
+    // is the exact ratio both engines agree on; an interpolated
+    // quantile threshold could flip boundary docs at the last ulp).
+    "t15_ccnet_buckets" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val scores = UnigramLM.unigramScores(docs, "doc_id", "text", topV = 20)
+      Sampling
+        .rankBuckets(
+          docs.select(col("doc_id"), col("lang")).join(scores, Seq("doc_id")),
+          col("lang"), col("mean_neg_logprob"), col("doc_id"))
+        .select("doc_id", "lang", "mean_neg_logprob", "bucket")
+    }),
+
     // Deterministic training-order shuffle: shard and in-shard
     // position are pure functions of (salt, key) — a reproducible,
     // restart-safe global shuffle with no global sort (hash shuffle on
@@ -2559,6 +2583,36 @@ object SparkEntry {
          |    PERCENT_RANK() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, d.doc_id) AS pr
          |  FROM documents d JOIN q USING (doc_id))
          |SELECT doc_id, lang, source FROM r WHERE pr <= 0.5""".stripMargin,
+
+    "tp14_domain_cap" ->
+      s"""WITH $QualityCteSql,
+         |r AS (SELECT d.doc_id, d.source, d.lang,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, source, lang FROM r WHERE rn <= 15""".stripMargin,
+
+    // Replays t10's unigram surprisal, then the same percent_rank
+    // tercile arithmetic (floor(pr*3) capped at 2) per language.
+    "t15_ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM tok),
+         |vocab AS (SELECT token, COUNT(*) AS c FROM tok
+         |  GROUP BY token ORDER BY c DESC, token LIMIT 20),
+         |scored AS (SELECT t.doc_id,
+         |    CAST(-ln(CAST(COALESCE(v.c, 1) AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(18,12)) AS s
+         |  FROM tok t LEFT JOIN vocab v USING (token)),
+         |per AS (SELECT doc_id, COUNT(*) AS nt, SUM(s) AS ssum FROM scored GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, d.lang,
+         |    CASE WHEN p.nt IS NULL THEN 0.0
+         |      ELSE ROUND(CAST(p.ssum AS DOUBLE) / p.nt, 6) END AS mean_neg_logprob
+         |  FROM documents d LEFT JOIN per p USING (doc_id)),
+         |r AS (SELECT doc_id, lang, mean_neg_logprob,
+         |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY mean_neg_logprob, doc_id) AS pr
+         |  FROM sc)
+         |SELECT doc_id, lang, mean_neg_logprob,
+         |  CASE LEAST(CAST(FLOOR(pr * 3) AS INT), 2)
+         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
 
     // Same md5 shard hash (first 8 hex digits as unsigned int) and
     // per-shard (hash, key) order.

@@ -112,6 +112,56 @@ object Sampling {
       .drop("_pr")
   }
 
+  /** CCNet-style per-stratum rank buckets (Wenzek et al. 2020 split
+    * each language into head/middle/tail by LM-perplexity terciles):
+    * assign each document the bucket of its percent_rank within
+    * (stratum, score asc, key). Rank-based on purpose — an
+    * interpolated percentile THRESHOLD (quantile_cont) is float
+    * arithmetic on which engines can disagree at the last ulp,
+    * flipping boundary documents; percent_rank is the exact ratio
+    * (rank−1)/(n−1), identical everywhere, and the key tiebreak makes
+    * the cut deterministic. `pr = 1` lands in the last bucket.
+    *
+    * Scale shape: one window partitioned by stratum (per-language at
+    * CCNet scale — the same giant-stratum caveat and two-pass remedy
+    * as [[tokenBudgetSample]]). */
+  def rankBuckets(
+      docs: DataFrame,
+      stratumCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      buckets: Seq[String] = Seq("head", "middle", "tail"),
+  ): DataFrame = {
+    require(buckets.nonEmpty, "at least one bucket name required")
+    val w = Window.partitionBy(stratumCol).orderBy(scoreCol.asc, keyCol)
+    val pr = percent_rank().over(w)
+    val idx = least(floor(pr * buckets.size).cast("int"), lit(buckets.size - 1))
+    docs.withColumn("bucket", element_at(typedlit(buckets), idx + lit(1)))
+  }
+
+  /** Per-domain document cap (the RefinedWeb/C4-style anti-spam cut:
+    * no single site may dominate the corpus): keep the best `cap`
+    * documents of each stratum by score, deterministic key tiebreak.
+    *
+    * Scale shape: the rank ≤ cap filter rewrites to WindowGroupLimit
+    * (Spark 3.5+), which pre-prunes each map partition to its local
+    * top-`cap` BEFORE the shuffle — a hot domain ships
+    * cap × numPartitions rows, not its full row count, so the window
+    * sort never sees the raw skew. */
+  def capPerStratum(
+      docs: DataFrame,
+      stratumCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      cap: Int,
+  ): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
   /** Token-budget corpus mixing: each stratum keeps documents — in a
     * deterministic md5-shuffled order — until its weight budget is
     * exhausted. This is the "data mixture" op of a training pipeline

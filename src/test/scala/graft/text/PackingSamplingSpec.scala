@@ -233,4 +233,39 @@ class PackingSamplingSpec extends SparkSpec {
       Sampling.assignSplit(many, col("doc_id"), col("lang"), 0.7, 0.4)
     }
   }
+
+  test("rankBuckets: per-stratum terciles, pr=1 in last bucket, deterministic ties") {
+    // 6 docs in one stratum with distinct scores → pr = 0, .2, .4, .6,
+    // .8, 1.0 → buckets head,head,middle,middle,tail,tail
+    val six = (1L to 6L).map(i => (i, "en", i.toDouble)).toDF("doc_id", "lang", "s")
+    val got = Sampling.rankBuckets(six, col("lang"), col("s"), col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"))
+    // single-doc stratum: pr = 0 (Spark defines 0/0 rank as 0) → head
+    val one = Seq((9L, "fr", 5.0)).toDF("doc_id", "lang", "s")
+    assert(Sampling.rankBuckets(one, col("lang"), col("s"), col("doc_id"))
+      .select("bucket").head().getString(0) == "head")
+    // ties break by key: equal scores still bucket deterministically
+    val tied = (1L to 6L).map(i => (i, "de", 1.0)).toDF("doc_id", "lang", "s")
+    val t = Sampling.rankBuckets(tied, col("lang"), col("s"), col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(t(1L) == "head" && t(6L) == "tail")
+  }
+
+  test("capPerStratum: keeps the best `cap` per stratum; plan pre-prunes via WindowGroupLimit") {
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6),
+      (10L, "b", 0.5),
+    ).toDF("doc_id", "source", "q")
+    val capped = Sampling.capPerStratum(d, col("source"), col("q"), col("doc_id"), cap = 2)
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 10L))
+    // the skew defense: the rank filter must rewrite to WindowGroupLimit
+    // (map-side top-cap before the shuffle)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // output schema is the input schema (working column dropped)
+    assert(capped.columns.toSeq == d.columns.toSeq)
+  }
 }
