@@ -128,7 +128,16 @@ object ConnectedComponents {
       }
     }
     if (converged) labels
-    else starComponents(sym, maxIters)._1
+    else {
+      // observable escalation (no-silent-behavior): a diameter-shaped
+      // graph is a data-shape fact the operator's user wants to know
+      System.err.println(
+        s"[graft.cc] frontier still moving after $round propagation rounds — " +
+          "escalating to large-star/small-star contraction (O(log n) rounds)")
+      val (starLabels, starRounds) = starComponents(sym, maxIters)
+      System.err.println(s"[graft.cc] star contraction converged in $starRounds rounds")
+      starLabels
+    }
   }
 
   /** Alternating large-star/small-star contraction over the edge set
