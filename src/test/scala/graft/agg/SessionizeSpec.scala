@@ -109,6 +109,31 @@ class SessionizeSpec extends SparkSpec {
     assert(canon(bucketed) == canon(plain))
   }
 
+  test("law: bucketed == plain on random event sets across random bucket sizes (fixed seeds)") {
+    // events with gaps straddling every interesting ratio to the
+    // bucket size; any divergence between the one-window semantics and
+    // the two-stage plan shows up as a canon mismatch
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1704067200000000L // 2024-01-01 in micros
+      val rows = (0 until 300).map { i =>
+        val user = s"u${rnd.nextInt(6)}"
+        // jumps from seconds to multiple days, in raw micros
+        val ts = base + math.abs(rnd.nextLong() % (10L * 86400000000L))
+        (user, ts, i, rnd.nextInt(1000) / 100.0)
+      }
+      import spark.implicits._
+      val e = rows.toDF("user_id", "us", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val gap = 3600000000L * (1 + rnd.nextInt(5)) // 1-5 h
+      val bucket = Seq(600000000L, 3600000000L, 86400000000L)(rnd.nextInt(3))
+      val plain = Sessionize.sessionStats(e, "user_id", "ts", "value", gap, Seq("event_id"))
+      val bucketed = Sessionize.sessionStatsBucketed(
+        e, "user_id", "ts", "value", gap, bucket, Seq("event_id"))
+      assert(canon(bucketed) == canon(plain), s"seed $seed gap $gap bucket $bucket")
+    }
+  }
+
   test("hot user: stage-1 window partitions by (user, bucket), bounding per-task input") {
     // One user, 200 events spread over 50 days. The plain form's
     // window sort sees all 200 in one partition; bucketed stage 1 sees
