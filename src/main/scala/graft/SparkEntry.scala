@@ -1013,6 +1013,24 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("component"))
     }),
 
+    // TRANSITIVE near-dup dedup: keep one member (the min id) per
+    // connected component of the pair graph — stricter than td4's
+    // pairwise keep-min-id (A~B~C drops B and C even when A and C are
+    // not themselves a near-dup pair), which is what a chained
+    // near-dup cluster needs at corpus scale. The anti side is the
+    // CC label frame, tiny relative to the corpus.
+    "td13_transitive_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "doc_id", "text", threshold = 0.9, k = 1)
+      val losers = graft.graph.ConnectedComponents
+        .components(pairs, "id_a", "id_b")
+        .filter(col("component") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     // SimHash signatures, packed into one BIGINT per doc so the column
     // is sortable/hashable externally (+ banded near-dup pairs in tests).
     // Hash-checked: gmix64(fnv1a(token)) bit votes replay in the oracle.
@@ -1743,6 +1761,31 @@ object SparkEntry {
        |  JOIN sigs sb ON sb.rep_id = c2.rb
        |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) >= $MinhashMinAgree),
        |reppairs AS (SELECT ra, rb, jaccard FROM verified WHERE jaccard >= $NearDupThreshold)""".stripMargin
+
+  /** td3's pair graph closed into components: shared CTE body for
+    * td10 (labels) and td13 (the transitive corpus cut) — one closure
+    * definition, two final SELECTs, so the two oracles cannot drift. */
+  private def Td10ClosureCtes: String =
+    s"""${minhashCtes("documents")},
+       |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cs) AS rep_id FROM hs),
+       |$BandSliceCte,
+       |$RepPairsCte,
+       |cross_pairs AS (
+       |  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a, GREATEST(ma.doc_id, mb.doc_id) AS id_b
+       |  FROM reppairs p JOIN mem ma ON ma.rep_id = p.ra JOIN mem mb ON mb.rep_id = p.rb),
+       |intra AS (
+       |  SELECT m1.doc_id AS id_a, m2.doc_id AS id_b
+       |  FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id),
+       |dedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cross_pairs
+       |  UNION SELECT id_b, id_a FROM cross_pairs
+       |  UNION SELECT id_a, id_b FROM intra
+       |  UNION SELECT id_b, id_a FROM intra),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM dedges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN dedges e ON e.src = w.id),
+       |cc AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)""".stripMargin
 
   /** Linear-per-bucket loser set (minhashDedupLinear replay): band
     * buckets are the PolyFoldLong of each signature slice; each member
@@ -3197,28 +3240,17 @@ object SparkEntry {
     // MIN(label) per vertex is the component's minimum id — exactly
     // the fixpoint the Spark min-label propagation reaches.
     "td10_dup_clusters" ->
-      s"""WITH RECURSIVE ${minhashCtes("documents")},
-         |mem AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY cs) AS rep_id FROM hs),
-         |$BandSliceCte,
-         |$RepPairsCte,
-         |cross_pairs AS (
-         |  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a, GREATEST(ma.doc_id, mb.doc_id) AS id_b
-         |  FROM reppairs p JOIN mem ma ON ma.rep_id = p.ra JOIN mem mb ON mb.rep_id = p.rb),
-         |intra AS (
-         |  SELECT m1.doc_id AS id_a, m2.doc_id AS id_b
-         |  FROM mem m1 JOIN mem m2 ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id),
-         |dedges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM cross_pairs
-         |  UNION SELECT id_b, id_a FROM cross_pairs
-         |  UNION SELECT id_a, id_b FROM intra
-         |  UNION SELECT id_b, id_a FROM intra),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM dedges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN dedges e ON e.src = w.id),
-         |cc AS (SELECT id, MIN(label) AS component FROM walk GROUP BY id)
+      s"""WITH RECURSIVE $Td10ClosureCtes
          |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
          |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""".stripMargin,
+
+    // Same closure, applied as a corpus cut: only component minima
+    // (and untouched singletons) survive.
+    "td13_transitive_dedup" ->
+      s"""WITH RECURSIVE $Td10ClosureCtes
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+         |WHERE cc.component IS NULL OR cc.component = d.doc_id""".stripMargin,
 
     "td5_simhash_sigs" ->
       s"""WITH ${simhashCtes("documents")}
