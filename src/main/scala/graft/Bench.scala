@@ -191,25 +191,35 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
         scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def completeRounds = rounds.filter(_.size == order.size)
+    // Spread is only meaningful over COMPLETE rounds — a round with
+    // failed queries has an artificially small total. With fewer than
+    // two complete rounds there is NO basis for a spread: return -1
+    // ("n/a"), which can never satisfy the convergence predicate — a
+    // run whose every round had failures must exit dispersion_ok:false,
+    // not vacuously converged at spread 0.
     def bestSpreadPct(): Double = {
-      // spread is only meaningful over COMPLETE rounds — a round with
-      // failed queries has an artificially small total
-      val complete = rounds.filter(_.size == order.size)
-      val pool = if (complete.nonEmpty) complete else rounds.toSeq
-      val totals = pool.map(_.values.sum).sorted.take(minRounds)
-      if (totals.size < 2 || totals.head <= 0) 0.0
+      val totals = completeRounds.map(_.values.sum).sorted.take(minRounds)
+      if (totals.size < 2 || totals.head <= 0) -1.0
       else (totals.last - totals.head) / totals.head * 100.0
+    }
+    def converged(): Boolean = {
+      val sp = bestSpreadPct()
+      completeRounds.size >= minRounds && sp >= 0.0 && sp <= maxSpreadPct
     }
     var timedSec = 0.0
     var r = 0
     def wantMore(): Boolean = {
       if (r < minRounds) true
-      else if (bestSpreadPct() <= maxSpreadPct) false
+      else if (converged()) false
       else if (r >= hardCapRounds) false
       else {
-        // only start another round if its expected cost (the median
-        // round so far) still fits in the remaining budget
-        val perRound = rounds.map(_.values.sum).sorted.apply(rounds.size / 2)
+        // only start another round if its expected cost still fits in
+        // the remaining budget — estimated from the median COMPLETE
+        // round when any exists (a partial round's total undercounts
+        // the next round's real cost)
+        val pool = { val c = completeRounds; if (c.nonEmpty) c else rounds }
+        val perRound = pool.map(_.values.sum).sorted.apply(pool.size / 2)
         timedSec + perRound <= budgetSec
       }
     }
@@ -225,9 +235,8 @@ object Bench {
         order.flatMap { n =>
           val s = rounds.flatMap(_.get(n)); if (s.isEmpty) None else Some(n -> s.min)
         }.toMap
-      val sp = bestSpreadPct()
-      val (_, json) = renderLines(partialResults, sfDir, rounds.size, sp,
-        rounds.size >= minRounds && sp <= maxSpreadPct, skipped, rounds.toSeq,
+      val (_, json) = renderLines(partialResults, sfDir, rounds.size,
+        bestSpreadPct(), converged(), skipped, rounds.toSeq,
         order.filterNot(partialResults.contains))
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -247,7 +256,11 @@ object Bench {
         f"[bench] round $r total ${times.values.sum}%.3f s" +
           (if (times.size < order.size) s" (${order.size - times.size} FAILED)" else "") +
           f", timed ${timedSec}%.1f/${budgetSec}%.0f s" +
-          (if (r >= minRounds) f", best-3 spread ${bestSpreadPct()}%.2f%%" else ""))
+          (if (r >= minRounds) {
+            val sp = bestSpreadPct()
+            if (sp < 0) ", best-3 spread n/a (no complete rounds)"
+            else f", best-3 spread $sp%.2f%%"
+          } else ""))
       flushFull()
       if (wantMore()) roundBoundary()
     }
@@ -268,7 +281,7 @@ object Bench {
     val spread = bestSpreadPct()
 
     val (line, fullJson) =
-      renderLines(results, sfDir, rounds.size, spread, spread <= maxSpreadPct,
+      renderLines(results, sfDir, rounds.size, spread, converged(),
         skipped, rounds.toSeq, neverRan)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
@@ -279,6 +292,9 @@ object Bench {
   }
 
   /** (printed stdout line, BENCH_FULL.json content).
+    *
+    * `spread_pct:-1.000` means "n/a — fewer than two complete rounds";
+    * it always accompanies `dispersion_ok:false`.
     *
     * The harness that invokes this main captures only a bounded tail of
     * stdout (~2 KB) and parses the JSON line out of it. With 100+

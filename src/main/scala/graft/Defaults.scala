@@ -9,6 +9,18 @@ object Defaults {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
 
+  /** A working-column name guaranteed absent from `existing` (an input
+    * that already carries e.g. `_rn` must survive unclobbered). Shared
+    * by every operator that needs a transient column — Sessionize,
+    * Sampling — so collision safety is one definition, not a
+    * per-operator convention. */
+  def freshCol(existing: Seq[String], base: String): String = {
+    val taken = existing.toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(!taken(_)).get
+  }
+
   /** Temp directory that is recursively deleted at JVM exit — for
     * lifecycle queries that stage warehouses/exports per invocation
     * (a bench run invokes each of them several times; bare

@@ -921,7 +921,6 @@ object SparkEntry {
       // more full pass at 100 TB.
       val model = QualityClassifier.train(labeled, "doc_id", "text", "label",
         topV = 256, steps = 3, lr = 0.05, trainFilter = col("doc_id") % 2 === 0)
-      t12CorpusKey = v7CorpusKeyFor(dir)
       val path = t12WeightsPathFor(v7CorpusKeyFor(dir))
       QualityClassifier.persist(model, s, path)
       QualityClassifier.score(docs, "doc_id", "text", s.read.parquet(path))
@@ -1175,7 +1174,6 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val cents = Similarity.kmeansCentroids(e, "embedding", k = 16,
         sampleFraction = 0.5)
-      v7CorpusKey = v7CorpusKeyFor(dir)
       s.createDataFrame(cents).toDF("cid", "cvec")
         .repartition(1).write.mode("overwrite")
         .parquet(v7CentroidsPathFor(v7CorpusKeyFor(dir)))
@@ -1267,7 +1265,6 @@ object SparkEntry {
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val cb = Similarity.pqCodebooks(e, "embedding", m = 4, subDim = 16, ksub = 16)
-      v12CorpusKey = v7CorpusKeyFor(dir)
       s.createDataFrame(cb).toDF("j", "cid", "cvec")
         .repartition(1).write.mode("overwrite")
         .parquet(v12CodebooksPathFor(v7CorpusKeyFor(dir)))
@@ -1288,7 +1285,6 @@ object SparkEntry {
       val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
         col("vec_id") % 31 === 0, maxCentroids = 16)
       val cb = Similarity.pqCodebooks(e, "embedding", m = 4, subDim = 16, ksub = 16)
-      v15CorpusKey = v7CorpusKeyFor(dir)
       s.createDataFrame(cb).toDF("j", "cid", "cvec")
         .repartition(1).write.mode("overwrite")
         .parquet(v15CodebooksPathFor(v7CorpusKeyFor(dir)))
@@ -1831,12 +1827,10 @@ object SparkEntry {
     * corpus from the v7 query run to the oracle dump within one
     * Verify JVM (queries all complete before oracleSql is written);
     * a JVM that never ran v7 falls back to the "default" key. */
-  @volatile private var v7CorpusKey: String = "default"
 
   /** v12's PQ codebooks persist beside v7's centroids, same
     * corpus-keyed layout and the same single-flow volatile-key
     * handoff from the query run to the oracle dump. */
-  @volatile private var v12CorpusKey: String = "default"
 
   /** One oracle, two plans: w3 (single user-keyed window) and w4 (the
     * bucketed skew mitigation) both answer to this SQL — semantic
@@ -1893,7 +1887,6 @@ object SparkEntry {
   /** t12's trained classifier weights persist the same way: the query
     * trains in Spark and writes (token, w) rows; the oracle replays
     * scoring (broadcast join + exact decimal sum) from the parquet. */
-  @volatile private var t12CorpusKey: String = "default"
   private def t12WeightsPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_t12_weights_${System.getProperty("user.name", "anon")}_$key").toString
@@ -1902,7 +1895,6 @@ object SparkEntry {
     * identically to v12's but never shared — queries run concurrently
     * in Verify, so no query reads another's artifact). The IVF cells
     * are v4-style seed centroids, re-derived in SQL directly. */
-  @volatile private var v15CorpusKey: String = "default"
   private def v15CodebooksPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_v15_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
@@ -1953,7 +1945,19 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver-contract accessor: the oracle map for the default corpus
+    * dir (SPARK_GRAFT_SF_DIR, else the driver's sf0.01 correctness
+    * scale). Prefer [[oracleSqlFor]] when the dir is known — Verify
+    * passes its sfDir explicitly. */
+  def oracleSql: Map[String, String] = oracleSqlFor(
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+  /** The oracle map as a PURE function of the corpus dir: the
+    * artifact-backed queries (t12 weights, v7 centroids, v12/v15
+    * codebooks) embed parquet paths that are the same function of the
+    * dir the query closures use — no mutable corpus-key state, so
+    * queries and oracles stay consistent under concurrent execution. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = Map(
     "a5_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
@@ -3109,7 +3113,7 @@ object SparkEntry {
     // distinct-token presence join + exact decimal margin. The NULL
     // token row is the bias; the inner USING join drops it naturally.
     "t12_quality_filter" ->
-      s"""WITH wb AS (SELECT token, w FROM read_parquet('${t12WeightsPathFor(t12CorpusKey)}/*.parquet')),
+      s"""WITH wb AS (SELECT token, w FROM read_parquet('${t12WeightsPathFor(v7CorpusKeyFor(sfDir))}/*.parquet')),
          |b AS (SELECT CAST(w AS DOUBLE) AS bw FROM wb WHERE token IS NULL),
          |tok AS (SELECT doc_id, token, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
@@ -3381,7 +3385,7 @@ object SparkEntry {
     // doubles round-trip parquet exactly) instead of re-derived in SQL.
     "v7_ivf_kmeans_topk" ->
       s"""WITH cents AS (
-         |  SELECT cid, cvec FROM read_parquet('${v7CentroidsPathFor(v7CorpusKey)}/*.parquet')),
+         |  SELECT cid, cvec FROM read_parquet('${v7CentroidsPathFor(v7CorpusKeyFor(sfDir))}/*.parquet')),
          |asn AS (
          |  SELECT vec_id, embedding, cid
          |  FROM embeddings CROSS JOIN cents
@@ -3513,7 +3517,7 @@ object SparkEntry {
     // Spark's left-to-right reduce), then the v9 exact-cosine rerank.
     "v12_pq_rerank_topk" ->
       s"""WITH cb AS (
-         |  SELECT j, cid, cvec FROM read_parquet('${v12CodebooksPathFor(v12CorpusKey)}/*.parquet')),
+         |  SELECT j, cid, cvec FROM read_parquet('${v12CodebooksPathFor(v7CorpusKeyFor(sfDir))}/*.parquet')),
          |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |codes AS (
          |  SELECT vec_id, j, cid FROM (
@@ -3554,7 +3558,7 @@ object SparkEntry {
     // restricted to (cell = probed cell), ADC top-50 → exact rerank.
     "v15_ivfpq_topk" ->
       s"""WITH cb AS (
-         |  SELECT j, cid, cvec FROM read_parquet('${v15CodebooksPathFor(v15CorpusKey)}/*.parquet')),
+         |  SELECT j, cid, cvec FROM read_parquet('${v15CodebooksPathFor(v7CorpusKeyFor(sfDir))}/*.parquet')),
          |cents AS (
          |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid, embedding AS cvec2
          |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),

@@ -58,12 +58,8 @@ object Sessionize {
 
   /** A working-column name guaranteed absent from `df` (an input that
     * already carries e.g. `_brk` must survive unclobbered). */
-  private def fresh(df: DataFrame, base: String): String = {
-    val taken = df.columns.toSet
-    Iterator.from(0)
-      .map(i => if (i == 0) base else s"$base$i")
-      .find(!taken(_)).get
-  }
+  private def fresh(df: DataFrame, base: String): String =
+    graft.Defaults.freshCol(df.columns.toIndexedSeq, base)
 
   /** Tag each event with its (per-user) session sequence number.
     * `orderCols` breaks ts ties deterministically (pass the event id).

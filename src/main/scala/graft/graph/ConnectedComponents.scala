@@ -155,8 +155,13 @@ object ConnectedComponents {
     *     where m = min neighbor — not-larger neighbors re-attach.
     * Each op preserves connectivity; the edge set monotonically
     * contracts toward stars centered at component minima. Convergence
-    * is detected by a (count, hash-sum) checksum going stable —
-    * two scalar aggregates per round, no driver-side edge collection.
+    * is detected by a (count, hash-XOR) checksum going stable — two
+    * scalar aggregates per round, no driver-side edge collection —
+    * and then CONFIRMED exactly by a left_anti join (equal counts +
+    * empty difference ⇒ set equality), so a checksum collision can
+    * delay detection by a round but can never accept a non-fixpoint.
+    * XOR is order-free and cannot overflow, so the check is
+    * ANSI-mode-safe (the previous wrap-around sum was not).
     *
     * Scale shape: every step is groupBy/join on vertex keys —
     * map-side-combinable aggregates and hash joins, no windows, no
@@ -173,12 +178,15 @@ object ConnectedComponents {
         least(col("src"), col("dst")).as("lo"))
       .distinct()
       .localCheckpoint(true)
-    // (edge count, wrap-around sum of per-edge 64-bit hashes): equal
-    // checksums across a round ⇒ the edge set is a fixpoint (stars).
+    // (edge count, XOR of per-edge 64-bit hashes): a cheap per-round
+    // fingerprint — equality is NECESSARY for a fixpoint but confirmed
+    // exactly below before the loop exits. XOR (vs sum) is exact under
+    // ANSI mode too: it cannot overflow. The frame is distinct(), so
+    // XOR's duplicate-cancellation property is irrelevant here.
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
     var prev = checksum(c)
@@ -205,7 +213,13 @@ object ConnectedComponents {
         .localCheckpoint(true)
       rounds += 1
       val cur = checksum(ss)
-      done = cur == prev
+      // Exact confirmation on checksum match: counts are equal (part of
+      // cur == prev), so an empty c∖ss difference ⇒ the sets are equal.
+      // Runs once at convergence (collisions aside), on two checkpointed
+      // star-forest-sized frames — a collision can only force one extra
+      // round, never a wrong early exit.
+      done = cur == prev &&
+        c.join(ss, Seq("hi", "lo"), "left_anti").isEmpty
       prev = cur
       c = ss
     }

@@ -188,8 +188,12 @@ object QualityClassifier {
   private[graft] def narrowMargin(
       textCol: Column,
       weightsWithBias: DataFrame): (Column, Column) = {
-    val bias = weightsWithBias.filter(col("token").isNull)
-      .select(col("w").cast("double")).head().getDouble(0)
+    val biasRows = weightsWithBias.filter(col("token").isNull)
+      .select(col("w").cast("double")).limit(1).collect()
+    require(biasRows.nonEmpty,
+      "weights frame must contain a NULL-token bias row (train()/loadWeights() " +
+        "emit one; a frame without it is not a graft quality-classifier model)")
+    val bias = biasRows.head.getDouble(0)
     val entries: Map[String, scala.math.BigDecimal] = weightsWithBias
       .filter(col("token").isNotNull)
       .select(col("token"), col("w").cast(DecimalType(18, 12)))

@@ -107,9 +107,10 @@ object Sampling {
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
-    docs.withColumn("_pr", percent_rank().over(w))
-      .filter(col("_pr") <= fraction)
-      .drop("_pr")
+    val pr = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_pr")
+    docs.withColumn(pr, percent_rank().over(w))
+      .filter(col(pr) <= fraction)
+      .drop(pr)
   }
 
   /** CCNet-style per-stratum rank buckets (Wenzek et al. 2020 split
@@ -124,7 +125,11 @@ object Sampling {
     *
     * Scale shape: one window partitioned by stratum (per-language at
     * CCNet scale — the same giant-stratum caveat and two-pass remedy
-    * as [[tokenBudgetSample]]). */
+    * as [[tokenBudgetSample]]).
+    *
+    * `bucket` is the OUTPUT column (part of the operator's contract,
+    * unlike the transient working columns elsewhere in this file):
+    * any pre-existing `bucket` column on the input is replaced. */
   def rankBuckets(
       docs: DataFrame,
       stratumCol: Column,
@@ -157,9 +162,12 @@ object Sampling {
   ): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
+    // collision-safe working column: an input that already carries
+    // `_rn` must survive unclobbered (same rule as Sessionize)
+    val rn = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_rn")
+    docs.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= cap)
+      .drop(rn)
   }
 
   /** Token-budget corpus mixing: each stratum keeps documents — in a
@@ -203,9 +211,10 @@ object Sampling {
       sum(greatest(weightCol.cast("long"), lit(0L)))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
-    docs.withColumn("_prior_weight", prior)
-      .filter(col("_prior_weight") < budget)
-      .drop("_prior_weight")
+    val pw = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_prior_weight")
+    docs.withColumn(pw, prior)
+      .filter(col(pw) < budget)
+      .drop(pw)
   }
 
   /** Deterministic train/val/test assignment: ONE md5 draw per key,
