@@ -31,6 +31,21 @@ import graft.dedup.Dedup
   * (one FS rename each). A crash mid-move leaves a partial append that
   * the next idempotent run repairs — the same self-healing argument the
   * reference makes for re-runs (SURVEY.md §4, last row).
+  *
+  * Writer-vs-writer atomicity: the reference's upserts are serialized
+  * by Postgres (one `INSERT … ON CONFLICT` transaction,
+  * database.py:296-300); two of OUR appends racing on one table would
+  * each anti-join against a snapshot missing the other's rows and both
+  * insert the overlap. [[appendNew]] therefore holds the per-table
+  * writer lease ([[graft.warehouse.MaintenanceLock.acquireAppend]])
+  * across its whole read-keys → stage → publish critical section: the
+  * second append waits (bounded backoff), then anti-joins against a
+  * table that already contains the first append's rows. Cost per
+  * commit is two FS metadata ops — nothing on the data path — and the
+  * lease also excludes maintenance in BOTH directions (see the
+  * MaintenanceLock scaladoc, including the op-aware crash-recovery
+  * story: a crashed append's lease is broken automatically after a
+  * staleness bound; a crashed maintenance's never is).
   */
 object IdempotentAppend {
 
@@ -102,7 +117,16 @@ object IdempotentAppend {
   /** Append an already-deduplicated batch: anti-join against the
     * target table (pruned to the incoming time window when `timeCol`
     * is given — a 100 TB table contributes only its overlapping
-    * partitions to the join), then atomic append. */
+    * partitions to the join), then atomic append.
+    *
+    * `lock = true` (the default) holds the table's writer lease across
+    * the read→publish critical section — the writer-vs-writer
+    * guarantee in the object doc. `lock = false` opts out for callers
+    * that already serialize externally (and for the spec that
+    * demonstrates WHY the lease exists). The lease is released in a
+    * `finally`: unlike maintenance, a failed append never leaves the
+    * table in a state the idempotent re-run cannot repair, so holding
+    * the lock after failure would only block recovery. */
   def appendNew(
       spark: SparkSession,
       batch: DataFrame,
@@ -111,15 +135,23 @@ object IdempotentAppend {
       nullSafeCols: Set[String] = Set.empty,
       timeCol: Option[String] = Some("timestamp_ms"),
       incomingCount: Option[Long] = None,
+      lock: Boolean = true,
   ): UpsertResult = {
     val (cached, owned) = graft.quality.CacheScope.acquire(batch)
     try {
+    // Count (and thereby materialize the batch cache) BEFORE claiming
+    // the lease: the count touches only the batch, and everything
+    // moved out of the critical section shortens serialization.
     val batchCount = cached.count()
     val incoming = incomingCount.getOrElse(batchCount)
 
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
 
+    val lease =
+      if (lock) Some(graft.warehouse.MaintenanceLock.acquireAppend(fs, tablePath))
+      else None
+    try {
     val toInsert =
       if (!fs.exists(target)) cached
       else {
@@ -143,8 +175,9 @@ object IdempotentAppend {
           incomingRowBound = Some(batchCount))
       }
 
-    val insertedCount = atomicAppend(spark, toInsert, tablePath)
+    val insertedCount = atomicAppend(spark, toInsert, tablePath, lease)
     UpsertResult(incoming, insertedCount, incoming - insertedCount)
+    } finally lease.foreach(graft.warehouse.MaintenanceLock.release(fs, tablePath, _))
     // finally, not a tail call: a lock-refused (or failed) append must
     // not leak the batch's InMemoryRelation for the session lifetime
     } finally if (owned) cached.unpersist()
@@ -161,10 +194,11 @@ object IdempotentAppend {
       orderCols: Seq[String],
       nullSafeCols: Set[String] = Set.empty,
       timeCol: Option[String] = Some("timestamp_ms"),
+      lock: Boolean = true,
   ): UpsertResult = {
     val batch = Dedup.firstWinsByName(incoming, keys, orderCols)
     appendNew(spark, batch, tablePath, keys, nullSafeCols, timeCol,
-      incomingCount = Some(incoming.count()))
+      incomingCount = Some(incoming.count()), lock = lock)
   }
 
   /** Stage-then-rename append; returns appended row count.
@@ -175,8 +209,20 @@ object IdempotentAppend {
     * silently-dropped part file would otherwise be unrecoverable data
     * loss reported as success. On failure the staging dir is left in
     * place for inspection; the next idempotent run is unaffected
-    * (staging dirs are never read as table data). */
-  def atomicAppend(spark: SparkSession, df: DataFrame, tablePath: String): Long = {
+    * (staging dirs are never read as table data).
+    *
+    * `held`: the writer lease when called under [[appendNew]]'s
+    * critical section — the lock checks then become OWNERSHIP
+    * re-checks (the lease must still carry our id; a lease broken as
+    * stale aborts retryably instead of publishing over another
+    * writer). Without a lease the legacy behavior stands: refuse
+    * while anyone holds the lock. */
+  def atomicAppend(
+      spark: SparkSession,
+      df: DataFrame,
+      tablePath: String,
+      held: Option[graft.warehouse.MaintenanceLock.Lease] = None,
+  ): Long = {
     val staging = tablePath.stripSuffix("/") + s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     // acquire, not cache(): on a fresh table appendNew hands us the
     // frame it already cached for its own count — re-caching would
@@ -193,12 +239,18 @@ object IdempotentAppend {
         // (a refused append should not leave a full batch copy on
         // disk) and re-checked before the publish renames to narrow
         // the advisory race window.
-        graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+        def checkWritable(): Unit = held match {
+          case Some(lease) =>
+            graft.warehouse.MaintenanceLock.assertHeld(fs, tablePath, "atomicAppend", lease)
+          case None =>
+            graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+        }
+        checkWritable()
         cached.write.mode(SaveMode.Overwrite).parquet(staging)
         // lock-refusal here is clean to retry from scratch — drop the
         // staged copy instead of leaking it (rename FAILURES below
         // still keep staging for inspection, that path is I/O damage)
-        try graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+        try checkWritable()
         catch {
           case e: IllegalStateException =>
             fs.delete(new Path(staging), true)

@@ -1,0 +1,172 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.warehouse.MaintenanceLock
+
+/** Writer-vs-writer append atomicity — the one transactional guarantee
+  * the Postgres-backed reference (single `INSERT … ON CONFLICT`
+  * transaction, database.py:296-300) had that the parquet-dir engine
+  * lacked until round 9. Two SIMULTANEOUS appends of overlapping
+  * batches must end with zero duplicate natural keys and no lost rows;
+  * a crashed append's lease must be recoverable without human help
+  * (unlike a crashed maintenance's, which stays held by design). */
+class ConcurrentAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-conc").resolve("table").toString
+
+  private val keys = Seq("timestamp_ms", "plant")
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def table(dir: String) = spark.read.parquet(dir)
+
+  private def distinctKeys(dir: String): Long =
+    table(dir).select(keys.map(col): _*).distinct().count()
+
+  test("two genuinely concurrent overlapping appends: no dup keys, no lost rows") {
+    // Repeated because the pre-lease bug was a RACE: both writers
+    // anti-join against a table missing the other's rows and both
+    // insert the overlap. With the lease the outcome must be exact on
+    // every iteration, not most.
+    for (iter <- 1 to 3) {
+      val dir = freshDir()
+      // 60-row batches overlapping on 20 keys; disjoint remainders.
+      val b1 = (1 to 60).map(i => (i.toLong, "A", s"w1-$i")).toDF("timestamp_ms", "plant", "payload")
+      val b2 = (41 to 100).map(i => (i.toLong, "A", s"w2-$i")).toDF("timestamp_ms", "plant", "payload")
+      val gate = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def run(b: org.apache.spark.sql.DataFrame) = Future {
+        gate.await(10, TimeUnit.SECONDS)
+        IdempotentAppend.appendNew(spark, b, dir, keys)
+      }
+      val (f1, f2) = (run(b1), run(b2))
+      gate.countDown() // release both at the same instant
+      val (r1, r2) = (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+      pool.shutdown()
+
+      val total = table(dir).count()
+      assert(total == 100, s"iter $iter: expected 100 rows, got $total")
+      assert(distinctKeys(dir) == 100,
+        s"iter $iter: duplicate natural keys survived concurrent appends")
+      // conflict accounting: exactly one writer saw the 20-key overlap
+      assert(r1.inserted + r2.inserted == 100,
+        s"iter $iter: inserted ${r1.inserted}+${r2.inserted} != 100")
+      assert(r1.duplicates + r2.duplicates == 20,
+        s"iter $iter: duplicates ${r1.duplicates}+${r2.duplicates} != 20")
+      assert(!MaintenanceLock.isLocked(fs, dir), s"iter $iter: lease leaked")
+    }
+  }
+
+  test("lock=false reproduces the lost-guarantee hazard the lease exists for") {
+    // Not a flake hunt: force the interleaving deterministically by
+    // staging both anti-joins against the empty table, then publishing
+    // sequentially — exactly what two unlocked writers can do.
+    val dir = freshDir()
+    val overlap = (1 to 10).map(i => (i.toLong, "A", s"x$i")).toDF("timestamp_ms", "plant", "payload")
+    // both compute toInsert against a snapshot missing the other's rows
+    val snapshot1 = overlap
+    val snapshot2 = overlap
+    IdempotentAppend.atomicAppend(spark, snapshot1, dir)
+    IdempotentAppend.atomicAppend(spark, snapshot2, dir)
+    assert(table(dir).count() == 20 && distinctKeys(dir) == 10,
+      "the unlocked interleaving should double-insert (if this fails, " +
+        "the spec's premise is stale)")
+  }
+
+  test("crash injection: a stale append lease is broken; append recovers") {
+    val dir = freshDir()
+    // first append succeeds normally
+    IdempotentAppend.appendNew(spark,
+      Seq((1L, "A", "a")).toDF("timestamp_ms", "plant", "payload"), dir, keys)
+    // simulate a writer that died mid-append an hour ago: lease file
+    // with an old epoch, holder gone
+    val out = fs.create(MaintenanceLock.lockPath(dir), false)
+    out.write(s"append ${System.currentTimeMillis() - 3600 * 1000L} dead-beef"
+      .getBytes(StandardCharsets.UTF_8))
+    out.close()
+    // next append must break the stale lease and complete on its own
+    val r = IdempotentAppend.appendNew(spark,
+      Seq((1L, "A", "dup"), (2L, "A", "b")).toDF("timestamp_ms", "plant", "payload"),
+      dir, keys)
+    assert(r.inserted == 1 && r.duplicates == 1)
+    assert(table(dir).count() == 2 && distinctKeys(dir) == 2)
+    assert(!MaintenanceLock.isLocked(fs, dir))
+  }
+
+  test("a live (fresh) append lease is NOT broken: acquire backs off then throws") {
+    val dir = freshDir()
+    val holder = MaintenanceLock.acquireAppend(fs, dir)
+    val e = intercept[IllegalStateException] {
+      MaintenanceLock.acquireAppend(fs, dir, attempts = 3, baseDelayMs = 1, maxDelayMs = 2)
+    }
+    assert(e.getMessage.contains("writer lease"))
+    MaintenanceLock.release(fs, dir, holder)
+    assert(!MaintenanceLock.isLocked(fs, dir))
+  }
+
+  test("maintenance lease blocks appends; append lease blocks maintenance") {
+    val dir = freshDir()
+    IdempotentAppend.appendNew(spark,
+      Seq((1L, "A", "a")).toDF("timestamp_ms", "plant", "payload"), dir, keys)
+    // maintenance holds → append refuses (bounded, retryable) and the
+    // table is untouched; a maintenance lease is never stolen however
+    // long the backoff waits
+    MaintenanceLock.withLock(fs, dir, "compact") {
+      intercept[IllegalStateException] {
+        MaintenanceLock.acquireAppend(fs, dir, attempts = 3, baseDelayMs = 1, maxDelayMs = 2)
+      }
+    }
+    // append holds → maintenance fails fast (the reverse race: compact
+    // must not snapshot a table mid-publish)
+    val lease = MaintenanceLock.acquireAppend(fs, dir)
+    val e = intercept[IllegalStateException] {
+      MaintenanceLock.withLock(fs, dir, "compact") { fail("must not run") }
+    }
+    assert(e.getMessage.contains("could not claim"))
+    MaintenanceLock.release(fs, dir, lease)
+  }
+
+  test("ownership: a stolen lease fails the holder's pre-publish re-check; " +
+    "owner-scoped release never deletes the thief's lock") {
+    val dir = freshDir()
+    val victim = MaintenanceLock.acquireAppend(fs, dir)
+    Thread.sleep(5)
+    // an aggressive stealer with staleAppendMs=0 treats any age as stale
+    val thief = MaintenanceLock.acquireAppend(fs, dir,
+      attempts = 5, baseDelayMs = 1, maxDelayMs = 2, staleAppendMs = 0)
+    // victim's critical section must now abort, not publish
+    intercept[IllegalStateException] {
+      MaintenanceLock.assertHeld(fs, dir, "atomicAppend", victim)
+    }
+    // victim's finally-release is a no-op on the thief's lock
+    MaintenanceLock.release(fs, dir, victim)
+    assert(MaintenanceLock.status(fs, dir).exists(_.ownerId.contains(thief.id)))
+    MaintenanceLock.release(fs, dir, thief)
+    assert(!MaintenanceLock.isLocked(fs, dir))
+  }
+
+  test("lease survives in status() triage form with op, age and owner id") {
+    val dir = freshDir()
+    val lease = MaintenanceLock.acquireAppend(fs, dir)
+    val st = MaintenanceLock.status(fs, dir).get
+    assert(st.op == MaintenanceLock.AppendOp)
+    assert(st.claimedAtMs.isDefined &&
+      st.ageMs(System.currentTimeMillis()).exists(a => a >= 0 && a < 60000))
+    assert(st.ownerId.contains(lease.id))
+    MaintenanceLock.release(fs, dir, lease)
+  }
+}
