@@ -1111,13 +1111,22 @@ object SparkEntry {
       Similarity.blockedCosinePairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)),
 
-    // LSH-bucketed approximate top-k (scale path). Hash-checked: SRP
-    // plane components replay in HUGEINT arithmetic.
+    // Multi-probe adaptive-bits SRP LSH top-k (the ANN scale path).
+    // Bits rise with log(corpus) to hold expected bucket size at 128
+    // (one exact integer ladder shared with the oracle), and each
+    // query probes the Hamming ≤ 2 neighborhood of its signature —
+    // the buckets true neighbors land in when a plane projection
+    // flips — so candidate volume stays ≈ probes·128 per query,
+    // polylog in n, where the round-8 single-probe fixed-bits form
+    // measured exponent 0.95. Hash-checked: SRP planes, ladder and
+    // probe masks all replay in HUGEINT arithmetic.
     "v3_lsh_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
+      val bits = Similarity.adaptiveNBits(e.count())
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", k = 10, nBits = 4)
+      Similarity.lshMultiProbeTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, nBits = bits, probeHamming = 2)
     }),
 
     // IVF approximate top-k (the other scale path). Hash-checked:
@@ -1941,6 +1950,41 @@ object SparkEntry {
     val sa = hlist(for (t <- 0 until tables; j <- 0 until nBits) yield GHash.srpA(t, j))
     val sb = hlist(for (t <- 0 until tables; j <- 0 until nBits) yield GHash.srpB(t, j))
     s"c AS (SELECT $sa AS sa, $sb AS sb)"
+  }
+
+  /** Adaptive-bits ladder (Similarity.adaptiveNBits replay): largest b
+    * in [4, 16] with count ≥ 128·2^b. Integer comparisons only — a
+    * floor(log2(…)) as doubles could disagree with the JVM at exact
+    * power-of-two corpus sizes. */
+  private def adaptiveBitsSql(src: String): String = {
+    val ladder = (16 to 5 by -1)
+      .map(b => s"WHEN COUNT(*) >= ${128L << b} THEN $b")
+      .mkString(" ")
+    s"nb AS (SELECT CASE $ladder ELSE 4 END AS nb FROM $src)"
+  }
+
+  /** Single-table SRP bucket CTEs with RUNTIME bit width (the v3
+    * multi-probe oracle): plane j < nb from the 16-plane constant
+    * lists (salt 0 — plane constants depend only on (salt, j), so the
+    * dynamic prefix matches lshSignature exactly), plus the Hamming ≤ 2
+    * probe-mask CTE. Expects `c` (16-entry sa/sb) and `nb` CTEs. */
+  private def srpCtesAdaptive(src: String): String = {
+    val y = s"(sa[j + 1] * CAST(i AS HUGEINT) + sb[j + 1]) % $M64"
+    val m = s"(CAST((${gmixSql(y)}) // 18014398509481984 AS DOUBLE) / 1024.0 - 0.5)"
+    s"""js AS (SELECT unnest(range(0, (SELECT nb FROM nb))) AS j),
+       |planes AS (
+       |  SELECT j, list_transform(range(1, (SELECT MAX(len(embedding)) FROM $src) + 1), i -> $m) AS plane
+       |  FROM js, c),
+       |bx AS (
+       |  SELECT vec_id, embedding,
+       |    coalesce(SUM(CASE WHEN list_sum(list_transform(list_zip(embedding, plane), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END), 0) AS bucket
+       |  FROM $src CROSS JOIN planes
+       |  GROUP BY vec_id, embedding),
+       |masks AS (
+       |  SELECT 0::BIGINT AS mask
+       |  UNION ALL SELECT (1::BIGINT << j) FROM js
+       |  UNION ALL SELECT xor(1::BIGINT << a.j, 1::BIGINT << b.j) FROM js a JOIN js b ON a.j < b.j)""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -3325,9 +3369,12 @@ object SparkEntry {
          |  ON e.doc_id = s.rep_id""".stripMargin,
 
     "v3_lsh_topk" ->
-      s"""WITH ${srpConstsSql(4, 1)},
-         |${srpCtes(4, 1)},
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bx WHERE vec_id % 100 = 0),
+      s"""WITH ${srpConstsSql(16, 1)},
+         |${adaptiveBitsSql("embeddings")},
+         |${srpCtesAdaptive("embeddings")},
+         |q AS (
+         |  SELECT b.vec_id AS query_id, b.embedding AS qvec, xor(b.bucket, m.mask) AS bucket
+         |  FROM bx b, masks m WHERE b.vec_id % 100 = 0),
          |scored AS (
          |  SELECT q.query_id, s.vec_id, ROUND(${cosSql("s.embedding", "q.qvec")}, 6) AS sim
          |  FROM bx s JOIN q ON s.bucket = q.bucket

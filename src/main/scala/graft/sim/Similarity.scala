@@ -923,4 +923,90 @@ object Similarity {
       .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
     rankTopK(scored, queryIdCol, idCol, k)
   }
+
+  /** Signature width that keeps the EXPECTED bucket size near
+    * `targetBucket` as the corpus grows: the largest b in
+    * [minBits, maxBits] with n ≥ targetBucket·2^b (minBits when the
+    * corpus is smaller than targetBucket·2^minBits). Pure integer
+    * comparisons on purpose — a floor(log2(n/target)) formulation
+    * computed as doubles can disagree between engines at exact
+    * power-of-two boundaries, and the DuckDB oracle replays this
+    * ladder with the same integer comparisons
+    * (SparkEntry.adaptiveBitsSql). This is the lever that makes
+    * [[lshMultiProbeTopK]]'s candidate volume SUBLINEAR in the corpus:
+    * bits (and with them bucket count) rise with log n, so
+    * candidates/query ≈ probes(b)·n/2^b ≈ probes(b)·targetBucket grows
+    * only with the polylog probe count, not with n. */
+  def adaptiveNBits(
+      n: Long,
+      targetBucket: Long = 128,
+      minBits: Int = 4,
+      maxBits: Int = 16,
+  ): Int = {
+    require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits && maxBits <= 32)
+    var b = minBits
+    while (b < maxBits && n >= (targetBucket << (b + 1))) b += 1
+    b
+  }
+
+  /** The multi-probe mask set: every XOR mask of Hamming weight ≤
+    * `probeHamming` over `nBits` bits, identity mask first.
+    * 1 + nBits + nBits·(nBits−1)/2 masks at the default hamming 2. */
+  def multiProbeMasks(nBits: Int, probeHamming: Int): Seq[Int] = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming must be 0, 1 or 2, got $probeHamming")
+    val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Seq.empty
+    val h2 =
+      if (probeHamming >= 2)
+        for { i <- 0 until nBits; j <- (i + 1) until nBits } yield (1 << i) | (1 << j)
+      else Seq.empty
+    0 +: (h1 ++ h2)
+  }
+
+  /** Multi-probe SRP LSH top-k (Lv et al., VLDB 2007): each query
+    * probes its own bucket AND every bucket within Hamming distance
+    * `probeHamming` of its signature — the buckets a true neighbor
+    * lands in when 1–2 plane projections flip sign, which is exactly
+    * how SRP recall is lost. Probing neighbors instead of adding
+    * hash tables means the signature can be WIDER at the same recall,
+    * and wider signatures are what bend candidate volume sublinear
+    * (see [[adaptiveNBits]]): single-probe at fixed bits scans
+    * n/2^b ∝ n candidates per query (the measured 0.95 exponent of
+    * the round-8 v3), while adaptive bits + multi-probe scan
+    * ≈ probes(b)·targetBucket, growing only polylogarithmically.
+    *
+    * Scale shape: the probe explode multiplies only the QUERY side
+    * (small by definition) by the mask count; the corpus computes one
+    * signature per vector and shuffles once on bucket — never
+    * explodes, never broadcasts. Each (query, corpus) pair meets at
+    * most once because the probe buckets of one query are distinct
+    * values of the single corpus bucket key, so no dedup shuffle is
+    * needed before ranking. Recall is tunable via (targetBucket,
+    * probeHamming); precision is exact (candidates verified with the
+    * native cosine kernel). */
+  def lshMultiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nBits: Int,
+      probeHamming: Int = 2,
+  ): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+    val masks = multiProbeMasks(nBits, probeHamming)
+    val c = corpus.withColumn("bucket", lshBucket(col(vecCol), nBits))
+    val q = queries
+      .withColumn("_sig", lshBucket(col(queryVecCol), nBits))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("_sig").bitwiseXOR(lit(m))): _*)))
+      .drop("_sig")
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    rankTopK(scored, queryIdCol, idCol, k)
+  }
 }

@@ -81,6 +81,52 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) == sigs(4L))
   }
 
+  test("adaptiveNBits: exact integer ladder, clamped to [min, max]") {
+    // largest b with n >= 128·2^b, floor 4, cap 16
+    assert(Similarity.adaptiveNBits(0) == 4)
+    assert(Similarity.adaptiveNBits(500) == 4)
+    assert(Similarity.adaptiveNBits(4095) == 4)
+    assert(Similarity.adaptiveNBits(4096) == 5) // boundary exact: 128·2^5
+    assert(Similarity.adaptiveNBits(20000) == 7)
+    assert(Similarity.adaptiveNBits(200000) == 10)
+    assert(Similarity.adaptiveNBits(Long.MaxValue) == 16)
+    // expected bucket size stays in [128, 256) between tier boundaries
+    for (n <- Seq(4096L, 8000L, 100000L, 1000000L)) {
+      val b = Similarity.adaptiveNBits(n)
+      if (b < 16) assert(n / (1L << b) >= 128 && n / (1L << b) < 256, s"n=$n b=$b")
+    }
+  }
+
+  test("multiProbeMasks: identity + hamming-1 + hamming-2, all distinct") {
+    assert(Similarity.multiProbeMasks(4, 0) == Seq(0))
+    assert(Similarity.multiProbeMasks(4, 1).toSet == Set(0, 1, 2, 4, 8))
+    val m2 = Similarity.multiProbeMasks(4, 2)
+    assert(m2.size == 1 + 4 + 6 && m2.distinct == m2)
+    assert(m2.forall(m => Integer.bitCount(m) <= 2))
+    assert(Similarity.multiProbeMasks(16, 2).size == 1 + 16 + 120)
+  }
+
+  test("lshMultiProbeTopK: hamming-0 equals single-probe lshTopK; recall never below it") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bits = Similarity.adaptiveNBits(e.count())
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = asSet(Similarity.lshTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10, bits))
+    val mp0 = asSet(Similarity.lshMultiProbeTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+      10, bits, probeHamming = 0))
+    assert(mp0 == single, "hamming-0 multi-probe must degenerate to single-probe")
+    // recall@10 vs exact ground truth: the probe superset can only help
+    val exact = asSet(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "query_id", "qvec", 10))
+    val mp2 = asSet(Similarity.lshMultiProbeTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+      10, bits, probeHamming = 2))
+    val rSingle = (single & exact).size.toDouble / exact.size
+    val rMp2 = (mp2 & exact).size.toDouble / exact.size
+    assert(rMp2 >= rSingle, s"multi-probe recall $rMp2 < single-probe $rSingle")
+    assert(rMp2 >= 0.5, s"hamming-2 recall unexpectedly low: $rMp2")
+  }
+
   test("native srp signature kernel is bit-identical to the HOF formulation") {
     for (salt <- Seq(0, 1, 3)) {
       val both = vdf.select(
