@@ -1369,6 +1369,19 @@ object SparkEntry {
           "mean_r", "mean_g", "mean_b")
     }),
 
+    // Real VIDEO frame sampling: RIFF-AVI demux + per-frame JPEG
+    // decode (AviMjpegFrameCodec), keep every 2nd frame. Geometry and
+    // frame count are exact (container + JPEG headers) and oracle-
+    // replayed from AviMjpeg.synthAvi's id arithmetic; channel means
+    // are deliberately NOT in the compared output — JPEG is lossy, so
+    // their tolerance contract lives in MultimodalSpec instead.
+    "mm7_avi_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asSyntheticAviTable(s, tbl(s, dir, "documents"), "doc_id")
+      Multimodal
+        .sampleFrameFeatures(s, media, every = 2)
+        .select("media_id", "frame_no", "decoded", "width", "height")
+    }),
+
     // --- Warehouse lifecycle / sinks (S5, S6, S8–S11, S10, P19, P20, I5) ---
 
     // S5: create every declared table (8 fact sources + the 2
@@ -2877,6 +2890,16 @@ object SparkEntry {
         |  CAST((doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_b
         |FROM documents, UNNEST(range(0, CAST(4 + doc_id % 4 AS BIGINT), 2)) AS u(f)""".stripMargin,
+
+    // Mirrors AviMjpeg.synthAvi's id arithmetic (geometry/frame count
+    // are container-exact; lossy JPEG means are spec-checked, not
+    // oracle-compared).
+    "mm7_avi_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_no,
+        |  TRUE AS decoded,
+        |  CAST(16 + doc_id % 8 AS INT) AS width,
+        |  CAST(16 + (doc_id // 8) % 8 AS INT) AS height
+        |FROM documents, UNNEST(range(0, CAST(3 + doc_id % 4 AS BIGINT), 2)) AS u(f)""".stripMargin,
 
     // --- Warehouse lifecycle / sinks -----------------------------------
 

@@ -222,6 +222,22 @@ object Multimodal {
       .toDF()
   }
 
+  /** Media table of REAL MJPEG-in-AVI payloads synthesized
+    * deterministically from the id column ([[AviMjpeg.synthAvi]]) —
+    * the video analog of [[asSyntheticVideoTable]]'s animated GIFs,
+    * exercising the RIFF demux → per-frame JPEG decode path. */
+  def asSyntheticAviTable(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val avi = AviMjpeg.synthAvi(id)
+          MediaRecord(id, "video", avi, avi.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
   /** Real frame sampling: demux + decode every frame via the codec,
     * keep every Nth, one output row per kept frame (the
     * generator/explode shape). Payloads that don't decode fall back to
@@ -231,7 +247,7 @@ object Multimodal {
       spark: SparkSession,
       media: DataFrame,
       every: Int = 2,
-      codecFactory: () => FrameCodec = () => new GifFrameCodec,
+      codecFactory: () => FrameCodec = () => new AutoFrameCodec,
   ): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>

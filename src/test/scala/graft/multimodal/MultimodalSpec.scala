@@ -212,6 +212,43 @@ class MultimodalSpec extends SparkSpec {
     assert(g.nonEmpty && g.forall(!_.getAs[Boolean]("decoded")))
   }
 
+  test("AviMjpeg: synthAvi demuxes to exact geometry/frame count; gray within JPEG tolerance") {
+    val codec = new AviMjpegFrameCodec
+    for (id <- Seq(0L, 3L, 7L, 63L, 64L, 255L, 12345L)) {
+      val fs = codec.frames(AviMjpeg.synthAvi(id)).get
+      assert(fs.length == 3 + (id % 4).toInt, s"id=$id")
+      fs.zipWithIndex.foreach { case (d, f) =>
+        // container-exact: dims and frame count
+        assert(d.width == 16 + (id % 8).toInt, s"id=$id f=$f")
+        assert(d.height == 16 + ((id / 8) % 8).toInt, s"id=$id f=$f")
+        // lossy-exact: solid gray survives DC quantization within a
+        // small tolerance (the spec-side half of the mm7 contract)
+        val gray = ((id + 41L * f) % 256).toDouble
+        for (m <- Seq(d.meanR, d.meanG, d.meanB))
+          assert(math.abs(m - gray) <= 3.0, s"id=$id f=$f mean=$m gray=$gray")
+      }
+    }
+    // not AVI / truncated mid-chunk / frameless all refuse, no throw
+    assert(codec.frames("RIFFxxxxWAVE".getBytes).isEmpty)
+    val good = AviMjpeg.synthAvi(5L)
+    assert(AviMjpeg.demux(java.util.Arrays.copyOf(good, good.length - 7)).isEmpty)
+    assert(codec.frames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("AutoFrameCodec dispatches on magic bytes: GIF and AVI through one default") {
+    val docs = Seq((5L, "v")).toDF("doc_id", "text") // AVI: 3 + 5%4 = 4 frames
+    val avi = Multimodal.asSyntheticAviTable(spark, docs, "doc_id")
+    val fs = Multimodal.sampleFrameFeatures(spark, avi, every = 2).collect()
+      .sortBy(_.getAs[Int]("frame_no"))
+    assert(fs.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2))
+    assert(fs.forall(_.getAs[Boolean]("decoded")))
+    assert(fs.forall(_.getAs[Int]("width") == 21)) // 16 + 5%8
+    // same default codec still decodes the GIF table (magic dispatch)
+    val gif = Multimodal.asSyntheticVideoTable(spark, docs, "doc_id")
+    val gs = Multimodal.sampleFrameFeatures(spark, gif, every = 2).collect()
+    assert(gs.length == 3 && gs.forall(_.getAs[Boolean]("decoded"))) // 5 gif frames -> 0,2,4
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString + "/t"
