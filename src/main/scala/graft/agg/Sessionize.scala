@@ -38,7 +38,9 @@ import org.apache.spark.sql.types.TimestampType
   *     boundary-crossing sessions with one follow-up window over
   *     SESSION rows (orders of magnitude fewer than events). For
   *     telemetry-shaped corpora (bounded events/user/day) the plain
-  *     form is the right default.
+  *     form is the right default — and it OBSERVES the hazard: a
+  *     dominant key fires a rate-limited SkewTelemetry WARN pointing
+  *     at the bucketed variant (see [[sessionStats]]).
   *   - Money/measure sums quantize to DECIMAL(18,2) (exact,
   *     order-free) before aggregation, so results are deterministic
   *     under any partitioning and SQL-replayable.
@@ -87,7 +89,19 @@ object Sessionize {
   }
 
   /** Per-session rollup: bounds, size, duration, exact value sum.
-    * One user-keyed shuffle total (see scale notes above). */
+    * One user-keyed shuffle total (see scale notes above).
+    *
+    * Skew telemetry (no-silent-caps principle, the observing analog of
+    * the LSH bucket gates): the documented hot-user hazard — one
+    * dominant user serializing its window sort into a single task —
+    * is OBSERVED on the result frame via `observe()` (zero extra jobs)
+    * and surfaced through [[graft.quality.SkewTelemetry]]: when the
+    * largest single session carries ≥ half of all events and the
+    * corpus is big enough to care (`hotSessionMinEvents`), the
+    * rate-limited WARN fires once per session and points at
+    * [[sessionStatsBucketed]]. The largest session is a lower bound on
+    * the largest user's event count, so a firing is always a true
+    * positive for the hazard. */
   def sessionStats(
       events: DataFrame,
       userCol: String,
@@ -95,8 +109,14 @@ object Sessionize {
       valueCol: String,
       gapUs: Long,
       tieBreak: Seq[String] = Seq.empty,
-  ): DataFrame =
-    tagSessions(events, userCol, tsCol, gapUs, tieBreak)
+      hotSessionMinEvents: Long = 1000000L,
+  ): DataFrame = {
+    graft.quality.SkewTelemetry.ensureRegistered(events.sparkSession)
+    graft.quality.SkewTelemetry.registerAdvice("sessionize",
+      "A dominant user key serializes the per-user window sort into one " +
+        "task; use sessionStatsBucketed(bucketUs) to bound per-task input " +
+        "by (user, time bucket) — bit-identical output, two bounded exchanges.")
+    val stats = tagSessions(events, userCol, tsCol, gapUs, tieBreak)
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         min(col(tsCol)).as("session_start"),
@@ -106,6 +126,14 @@ object Sessionize {
           .as("duration_us"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"),
       )
+    stats.observe(
+      graft.quality.SkewTelemetry.nextMetricName("sessionize"),
+      when(max(col("n_events")) * 2 >= sum(col("n_events")) &&
+        sum(col("n_events")) >= hotSessionMinEvents, 1L).otherwise(0L)
+        .as("hot_groups"),
+      coalesce(max(col("n_events")), lit(0L)).as("max_session_events"),
+      lit(0L).as("skipped_pairs"))
+  }
 
   /** [[sessionStats]] with the hot-user skew mitigation: identical
     * output (same schema, same rows) computed in two bounded stages.

@@ -92,6 +92,25 @@ object SkewTelemetry {
   private[quality] def familyOf(metric: String): String =
     metric.stripPrefix(MetricPrefix).replaceAll("_\\d+$", "")
 
+  /** Advice appended to the bucket-cap WARN when a family registered
+    * none — phrased for the LSH/semdedup gates that established the
+    * pattern. */
+  val DefaultAdvice: String =
+    "Raise the operator's size cap for exact all-pairs semantics on " +
+      "these groups, or re-partition the space (wider banding / more " +
+      "centroids) to shrink them."
+
+  private val advice = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Family-specific remediation text for the one WARN that family
+    * gets per session (e.g. sessionize points at its bucketed
+    * variant; the default text talks LSH caps). First registration
+    * wins; idempotent per family. */
+  def registerAdvice(family: String, text: String): Unit = {
+    advice.putIfAbsent(family, text)
+    ()
+  }
+
   /** Unique-within-query observation name. Spark requires observation
     * names be unique per query; a JVM-wide counter keeps two dedup
     * calls composed into one plan distinct. */
@@ -114,13 +133,16 @@ object SkewTelemetry {
                 val family = familyOf(name)
                 val prior = warned.putIfAbsent(family, new AtomicLong(0))
                 if (prior == null) {
+                  val declined =
+                    if (ev.skippedPairs > 0)
+                      s"; routed through the linear representative path, " +
+                        s"declining ${ev.skippedPairs} candidate pair(s)"
+                    else ""
+                  val remedy = Option(advice.get(family)).getOrElse(DefaultAdvice)
                   log.warn(
                     s"$name: ${ev.oversizedBuckets} oversized group(s), " +
-                      s"largest ${ev.maxBucketSize} members; routed through the linear " +
-                      s"representative path, declining ${ev.skippedPairs} candidate pair(s). " +
-                      "Raise the operator's size cap for exact all-pairs semantics on " +
-                      "these groups, or re-partition the space (wider banding / more " +
-                      "centroids) to shrink them. Further '" + family + "' skew events " +
+                      s"largest ${ev.maxBucketSize} members$declined. " +
+                      remedy + " Further '" + family + "' skew events " +
                       "this session log at DEBUG with a suppressed count.")
                 } else {
                   val n = prior.incrementAndGet()

@@ -160,4 +160,49 @@ class SessionizeSpec extends SparkSpec {
     assert(planTxt.contains("windowspecdefinition(user_id"), planTxt.take(2000))
     assert(planTxt.toLowerCase.contains("_bucket"), planTxt.take(2000))
   }
+
+  test("skew telemetry: a 50%-hot user fires the rate-limited WARN once, pointing at bucketed") {
+    import graft.quality.SkewTelemetry
+    SkewTelemetry.reset()
+    // 50%-hot corpus: user "hot" contributes 100 of 200 events in ONE
+    // contiguous session (events 1 min apart << 1 h gap); 100 other
+    // users contribute one event each.
+    val rows =
+      (0 until 100).map(i => ("hot", f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00", i, 1.0)) ++
+        (0 until 100).map(i => (s"u$i", f"2024-02-${1 + i % 28}%02d 00:00:00", 1000 + i, 1.0))
+    val e = ev(rows)
+    def run(): Unit = {
+      Sessionize.sessionStats(e, "user_id", "ts", "value", gapUs,
+        tieBreak = Seq("event_id"), hotSessionMinEvents = 100)
+        .write.mode("overwrite").format("noop").save()
+      ()
+    }
+    run()
+    // observe() metrics surface after the action; listener runs async
+    var tries = 0
+    while (SkewTelemetry.lastEvent.isEmpty && tries < 100) { Thread.sleep(50); tries += 1 }
+    val ev1 = SkewTelemetry.lastEvent.get
+    assert(ev1.metric.contains("sessionize"))
+    assert(ev1.oversizedBuckets == 1L, s"hot-user event not flagged: $ev1")
+    assert(ev1.maxBucketSize == 100L, s"largest session miscounted: $ev1")
+    assert(SkewTelemetry.suppressedWarnings("sessionize") == 0L, "first event must WARN")
+    // second run: rate limit folds the repeat into a suppressed DEBUG
+    run()
+    tries = 0
+    while (SkewTelemetry.suppressedWarnings("sessionize") == 0L && tries < 100) {
+      Thread.sleep(50); tries += 1
+    }
+    assert(SkewTelemetry.suppressedWarnings("sessionize") == 1L,
+      "repeat hot-user events must be suppressed, not re-WARN")
+    // a balanced corpus (no session >= 50%) observes zero hot groups
+    SkewTelemetry.reset()
+    val balanced = ev((0 until 200).map(i =>
+      (s"u${i % 50}", f"2024-03-${1 + i % 28}%02d ${i % 24}%02d:00:00", i, 1.0)))
+    Sessionize.sessionStats(balanced, "user_id", "ts", "value", gapUs,
+      tieBreak = Seq("event_id"), hotSessionMinEvents = 100)
+      .write.mode("overwrite").format("noop").save()
+    tries = 0
+    while (SkewTelemetry.lastEvent.isEmpty && tries < 100) { Thread.sleep(50); tries += 1 }
+    assert(SkewTelemetry.lastEvent.exists(_.oversizedBuckets == 0L))
+  }
 }
