@@ -32,10 +32,18 @@ import scala.util.control.NonFatal
   *   - alongside the min-based total, a `robust_value`: the MEDIAN of
   *     round totals. One stalled round cannot poison it (the min-total
   *     can read optimistic if per-query minima come from different
-  *     rounds; the median-round total is the number to trust when the
-  *     two disagree), and it is computable post-hoc from the per-round
+  *     rounds), and it is computable post-hoc from the per-round
   *     vectors persisted in BENCH_FULL.json (`rounds_detail`), so a
   *     judge can re-derive any robust statistic without re-running;
+  *   - and a `steady_value`: the median of the BEST-3 round totals —
+  *     the same set the spread gate certifies. The r8 post-mortem
+  *     quantified why three numbers: round totals keep declining
+  *     through timed rounds 1–3 even after warm-up (cold rounds
+  *     inflate robust_value ~5%), while the min-composite assembles
+  *     each query's luckiest round (deflates value ~6%);
+  *     steady_value is a certified round total that actually
+  *     happened. Trust order: steady_value ≥ robust_value > value
+  *     when they disagree;
   *   - if STILL unconverged at budget exhaustion, the line carries
   *     "dispersion_ok":false — the min-based number is then NOT
   *     authoritative and must not adjudicate a regression; use
@@ -155,12 +163,33 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // Phase 2 — ONE untimed whole-suite pass at the measured scale:
+    // Wall budget for the TIMED rounds (defined up here because the
+    // warm-up pass count keys off it). Default sized against the
+    // known-accepted envelope: the r7 driver run sustained ~9 min of
+    // timed rounds; 900 s keeps the worst case (unconverged, full
+    // budget) comparable while still giving ~2.5× the samples of a
+    // fixed 6-round cap. A kill for overrunning an external step
+    // timeout would lose the printed line entirely — worse than a
+    // noisy number — so the default stays conservative; raise via env
+    // for exclusive-host scale probes.
+    val budgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
+        scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
+
+    // Phase 2 — untimed whole-suite passes at the measured scale:
     // sf0.001 covers JIT, but data-dependent state (page cache for
     // these exact files, AQE statistics, broadcast builds, thread-pool
     // inflation for the larger task counts) only materializes here.
     // Round 3/4 showed timing without it swings >2× on identical code.
+    // TWO passes since round 9: the r8 builder-exclusive provenance
+    // (BENCH_R8_BUILDER.json rounds_detail) shows round totals still
+    // declining through timed rounds 1–3 (102.8 → 95.3 → 88.9 s
+    // steady) after a single pass — C2 recompilation and cache
+    // residency outlast it, and those cold rounds inflate the
+    // median-round robust_value. The second pass is skipped when the
+    // budget is small (scale probes pay ~minutes per pass).
     order.foreach(runOnce)
+    if (budgetSec >= 300) order.foreach(runOnce)
 
     def roundBoundary(): Unit = {
       // The ONE GC-driven ContextCleaner sweep per round, at an
@@ -180,16 +209,6 @@ object Bench {
     val minRounds = 3
     val hardCapRounds = 20
     val maxSpreadPct = 5.0
-    // Default sized against the known-accepted envelope: the r7 driver
-    // run sustained ~9 min of timed rounds; 900 s keeps the worst case
-    // (unconverged, full budget) comparable while still giving ~2.5×
-    // the samples of a fixed 6-round cap. A kill for overrunning an
-    // external step timeout would lose the printed line entirely —
-    // worse than a noisy number — so the default stays conservative;
-    // raise via env for exclusive-host scale probes.
-    val budgetSec =
-      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
-        scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     def completeRounds = rounds.filter(_.size == order.size)
     // Spread is only meaningful over COMPLETE rounds — a round with
@@ -326,6 +345,27 @@ object Bench {
     }
   }
 
+  /** Median of the BEST-3 complete round totals — the steady-state
+    * headline. This is exactly the set the dispersion gate certifies
+    * (`spread_pct` is computed over it), so when `dispersion_ok` is
+    * true, steady_value is a round total that (a) actually happened
+    * and (b) is provably within the spread of its two neighbors.
+    * It sits between the two existing statistics and closes their
+    * documented gap: `value` (per-query minima, possibly from
+    * different rounds) composes each query's luckiest moment and
+    * reads ~5–10% optimistic; `robust_value` (median of ALL rounds)
+    * includes the still-cold early rounds and reads pessimistic —
+    * the r8 builder run measured 83.2 / 88.6 / 92.8 for the three. */
+  def steadyRoundTotal(roundsDetail: Seq[Map[String, Double]]): Double = {
+    if (roundsDetail.isEmpty) 0.0
+    else {
+      val maxSize = roundsDetail.map(_.size).max
+      val totals = roundsDetail.filter(_.size == maxSize)
+        .map(_.values.sum).sorted.take(3)
+      totals(totals.size / 2)
+    }
+  }
+
   def renderLines(
       results: Map[String, Double],
       sfDir: String,
@@ -342,12 +382,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val robust = if (roundsDetail.nonEmpty) medianRoundTotal(roundsDetail) else total
+    val steady = if (roundsDetail.nonEmpty) steadyRoundTotal(roundsDetail) else total
     // queries that never succeeded are loudly absent from the times —
     // a missing entry must read as "failed", never as "fast"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meth =
       s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk,""" +
-        s""""robust_value":${f3(robust)},"failed":$failedJson"""
+        s""""robust_value":${f3(robust)},"steady_value":${f3(steady)},"failed":$failedJson"""
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,"queries":$qs,""" +
         s""""other_sec":${f3(rest.map(_._2).sum)},"other_n":${rest.size},"sf":"$sfDir"}"""

@@ -35,8 +35,28 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""rounds":8"""))
     assert(line.contains(""""spread_pct":12.345"""))
     assert(line.contains(""""dispersion_ok":false"""))
-    // and the round-8 robust headline (median of round totals)
+    // and the round-8/9 robust headlines (median of round totals;
+    // median of the best-3 the dispersion gate certifies)
     assert(line.contains(""""robust_value":"""))
+    assert(line.contains(""""steady_value":"""))
+  }
+
+  test("steady_value is the median of the best-3 complete round totals") {
+    // totals 3.0, 30.0 (stalled), 4.0, 5.0 → best-3 {3,4,5} → 4.0;
+    // cold/stalled rounds cannot move it, unlike robust_value
+    val r1 = Map("a" -> 1.0, "b" -> 2.0)
+    val r2 = Map("a" -> 10.0, "b" -> 20.0)
+    val r3 = Map("a" -> 1.5, "b" -> 2.5)
+    val r4 = Map("a" -> 2.0, "b" -> 3.0)
+    assert(Bench.steadyRoundTotal(Seq(r1, r2, r3, r4)) == 4.0)
+    assert(Bench.steadyRoundTotal(Seq(r1, r2)) == 30.0) // best-3 of 2 → upper median
+    assert(Bench.steadyRoundTotal(Seq.empty) == 0.0)
+    // partial rounds are provenance, not statistics
+    assert(Bench.steadyRoundTotal(Seq(r1, r2, r3, Map("a" -> 0.1))) == 4.0)
+    val (line, _) =
+      Bench.renderLines(Map("a" -> 1.0, "b" -> 2.0), "/tmp/sf0.1", 4, 2.0, true,
+        Seq.empty, Seq(r1, r2, r3, r4))
+    assert(line.contains(""""steady_value":4.000"""))
   }
 
   test("robust_value is the median round total; rounds_detail persists full provenance") {
