@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -855,6 +855,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(200)),
 
+    // Bounded-state sketches (integer-exact, fully oracle-replayed):
+    // count-min frequency cells evaluated at the exact top-20 tokens —
+    // the one-sided overcount is part of the compared output — and the
+    // KMV k-minimum-values distinct estimator with its signed error.
+    "t16_cms_topk_counts" -> ((s, dir) =>
+      Sketches.cmsTopkCounts(tbl(s, dir, "documents"), "text",
+        depth = 4, width = 1024, topK = 20)),
+
+    "t17_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(tbl(s, dir, "documents"), "text", k = 256)),
+
     // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
     // boolean per rule + the conjunction — the per-rule report a
     // curation run logs. All gates are integer-derived doubles, so the
@@ -1085,6 +1096,14 @@ object SparkEntry {
     // span-level dedup pass gates on.
     "td12_dup_gram_stats" -> ((s, dir) =>
       TextDedup.dupGramStats(tbl(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // Span REMOVAL over the td12 signal (Lee et al. ExactSubstr at
+    // token-8-gram alignment): every corpus-duplicated gram instance's
+    // span is cut, overlapping/adjacent spans coalesce per doc, and the
+    // rebuilt text is md5-compared — so the oracle re-derives the full
+    // interval-union algebra, not just counts.
+    "td14_exact_substring_dedup" -> ((s, dir) =>
+      TextDedup.exactSubstringDedup(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
 
     "td8_line_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(
@@ -3102,6 +3121,53 @@ object SparkEntry {
          |ORDER BY n DESC, token
          |LIMIT 200""".stripMargin,
 
+    // Replays the count-min cells (multiply-add permutation buckets
+    // mod 2^64 masked to width 1024, cells summed from the collapsed
+    // (token, count) frame), the exact top-20 probe set, and the
+    // min-over-rows estimate with its one-sided overcount.
+    "t16_cms_topk_counts" ->
+      s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
+         |tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |inst AS (SELECT unnest(t) AS tok FROM tk),
+         |cnt AS (SELECT tok, COUNT(*) AS n_exact FROM inst GROUP BY tok),
+         |h AS (SELECT tok, n_exact, ${gmixSql(fnvSql("tok"))} AS hv FROM cnt),
+         |jb AS (SELECT tok, n_exact, j,
+         |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % 1024 AS bucket
+         |  FROM h, c, (SELECT unnest(range(0, 4)) AS j) js),
+         |cells AS (SELECT j, bucket, SUM(n_exact) AS cell FROM jb GROUP BY j, bucket),
+         |probes AS (SELECT tok FROM cnt ORDER BY n_exact DESC, tok LIMIT 20),
+         |sel AS (SELECT jb.tok, jb.n_exact, MIN(cl.cell) AS n_cms
+         |  FROM jb JOIN probes p USING (tok)
+         |  JOIN cells cl ON cl.j = jb.j AND cl.bucket = jb.bucket
+         |  GROUP BY jb.tok, jb.n_exact)
+         |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_cms AS BIGINT) AS n_cms,
+         |  CAST(n_cms - n_exact AS BIGINT) AS overcount FROM sel""".stripMargin,
+
+    // Replays the distinct-token unsigned hash stream, the k smallest
+    // values, and the (k-1)·2^64 // u_k floor-division estimate —
+    // integer arithmetic end to end; rel_err is one double division
+    // over integer operands, identical in both engines.
+    "t17_kmv_distinct" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |it AS (SELECT unnest(t) AS tok FROM tk),
+         |dt AS (SELECT DISTINCT tok FROM it),
+         |h AS (SELECT ${gmixSql(fnvSql("tok"))} AS u FROM dt),
+         |low AS (SELECT u FROM h ORDER BY u LIMIT 256),
+         |s AS (SELECT COUNT(*) AS k_used, MAX(u) AS uk FROM low),
+         |n AS (SELECT COUNT(*) AS n_exact FROM h),
+         |e AS (SELECT n_exact, k_used, uk,
+         |    CASE WHEN k_used < 256 OR uk IS NULL OR uk = 0 THEN n_exact
+         |      ELSE (255::HUGEINT * $M64) // uk END AS est
+         |  FROM n, s)
+         |SELECT CAST(n_exact AS BIGINT) AS n_distinct_exact,
+         |  CAST(k_used AS INT) AS k_used,
+         |  CAST(est AS BIGINT) AS est_distinct,
+         |  CASE WHEN n_exact = 0 THEN 0.0
+         |    ELSE ROUND(CAST(est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |  END AS rel_err
+         |FROM e""".stripMargin,
+
     // All gate inputs are integer-derived doubles (counts and count
     // ratios), so the threshold comparisons are exact in both engines
     // without rounding.
@@ -3241,6 +3307,42 @@ object SparkEntry {
          |  CASE WHEN COALESCE(p.ng, 0) = 0 THEN 0.0
          |    ELSE ROUND(CAST(p.ndup AS DOUBLE) / p.ng, 6) END AS dup_frac
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // Replays the positional 8-grams with their start ordinals, the
+    // corpus-wide instance count, the per-doc interval union
+    // (lag gap test + running-sum group ids + min/max span bounds),
+    // the span-complement token filter, and the md5 of the rebuilt
+    // text — the full ExactSubstr removal algebra.
+    "td14_exact_substring_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gl AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(0, greatest(len(t) - 8, 0) + 1),
+         |      i -> array_to_string(array_slice(t, i + 1, i + 8), ' ')) END AS gs
+         |  FROM tk),
+         |g AS (SELECT doc_id, unnest(gs) AS gram,
+         |    generate_subscripts(gs, 1) - 1 AS st FROM gl),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+         |ds AS (SELECT doc_id, st FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |br AS (SELECT doc_id, st,
+         |    CASE WHEN st > LAG(st) OVER (PARTITION BY doc_id ORDER BY st) + 8
+         |      THEN 1 ELSE 0 END AS brk FROM ds),
+         |gr AS (SELECT doc_id, st,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM br),
+         |sp AS (SELECT doc_id, grp, MIN(st) AS s, MAX(st) + 7 AS e
+         |  FROM gr GROUP BY doc_id, grp),
+         |tp AS (SELECT doc_id, unnest(t) AS tok,
+         |    generate_subscripts(t, 1) - 1 AS idx FROM tk),
+         |kept AS (SELECT tp.doc_id, tp.tok, tp.idx FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tp.doc_id AND tp.idx BETWEEN sp.s AND sp.e)),
+         |reb AS (SELECT doc_id, COUNT(*) AS nk,
+         |    string_agg(tok, ' ' ORDER BY idx) AS txt FROM kept GROUP BY doc_id),
+         |nsp AS (SELECT doc_id, COUNT(*) AS ns FROM sp GROUP BY doc_id)
+         |SELECT k.doc_id, CAST(len(k.t) AS INT) AS n_tokens,
+         |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
+         |  CAST(COALESCE(n.ns, 0) AS INT) AS n_spans_removed,
+         |  md5(COALESCE(r.txt, '')) AS clean_md5
+         |FROM tk k LEFT JOIN reb r USING (doc_id) LEFT JOIN nsp n USING (doc_id)""".stripMargin,
 
     // Replays the synthesized boilerplate, the per-line document
     // frequency, the >50 removal, and the order-preserving reassembly

@@ -242,6 +242,24 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** token_hash(s) → gmix64(fnv1a(s)): the scalar form of the per-token
+  * hash every signature family already uses ([[SimHashCore]] /
+  * [[GHash]]) — exposed so bounded-state sketch operators
+  * ([[graft.text.Sketches]]) hash EXPLODED token streams with the
+  * same SQL-replayable chain the array expressions use internally. */
+case class TokenHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    GHash.gmix64(SimHashCore.fnv1aUtf8(s.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hash_shingles(arr<string>) → sorted distinct arr<long> (FNV-1a 64
   * over UTF-8 bytes — [[GHash.fnv1a]], SQL-replayable). Hashing once
   * per *document* turns the per-*pair* join payload from ~5 KB of
@@ -565,5 +583,7 @@ object GraftFunctions {
         args.lift(2).getOrElse(Literal(0)))),
     desc("graft_poly_fold", "wrapping polynomial fold of a long array from a seed",
       args => PolyFoldLong(args(0), args(1))),
+    desc("graft_token_hash", "gmix64(fnv1a(s)) scalar token hash",
+      args => TokenHash64(args(0))),
   )
 }

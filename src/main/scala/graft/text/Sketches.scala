@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.GHash
+
+/** Bounded-state approximate aggregates — the sketch family a
+  * 100 TB pipeline reaches for when an exact aggregate's state would
+  * not fit (or would shuffle too much): count-min frequency estimation
+  * (Cormode & Muthukrishnan 2005) and KMV distinct counting
+  * (Bar-Yossef et al. 2002, the k-minimum-values estimator).
+  *
+  * Everything here is INTEGER-exact on purpose: the hashes are the
+  * corpus-wide `gmix64(fnv1a(token))` chain every signature family
+  * already replays in SQL, the count-min cells are plain sums, and the
+  * KMV estimate is a floor division in unsigned-64 arithmetic — so the
+  * DuckDB oracle reproduces every output bit, unlike float-mixing
+  * sketches (HLL's harmonic mean) whose last-ulp behavior is
+  * engine-private.
+  *
+  * Scale shape: both sketches collapse the token INSTANCE stream to
+  * the (token, count) / distinct-token frame first — one linear hash
+  * shuffle — and everything after is bounded by the sketch parameters,
+  * not the corpus: count-min state is depth × width cells (16 K rows
+  * here — broadcastable), KMV state is k 64-bit values (a TakeOrdered,
+  * never a global sort). That is the point of a sketch: the same
+  * operators run unchanged as streaming accumulators because their
+  * state never grows with the data. */
+object Sketches {
+
+  private val TwoTo64 = new java.math.BigDecimal("18446744073709551616")
+
+  /** Signed long column reinterpreted as its unsigned value, as
+    * DECIMAL(22,0) — the order the sketch math needs. */
+  private def unsignedDec(c: Column): Column =
+    c.cast(DecimalType(22, 0)) +
+      when(c < 0, lit(TwoTo64)).otherwise(lit(java.math.BigDecimal.ZERO))
+
+  /** Exact floor division of two non-negative decimal columns:
+    * subtract the remainder (exact decimal op) before dividing, so the
+    * quotient is integral and no rounding-mode edge can disagree with
+    * the oracle's integer `//`. */
+  private def floorDiv(num: Column, den: Column): Column =
+    ((num - num % den) / den).cast("long")
+
+  /** Token instance stream of `textCol` under the corpus-standard
+    * normal form — the shared front of both sketches. */
+  private def instances(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
+
+  /** Count-min bucket of hash `hv` for sketch row `j`: the same
+    * multiply-add permutation family the minhash signatures use
+    * ([[GHash.permA]]/[[GHash.permB]], wrapping mod-2^64), masked to a
+    * power-of-two `width` (unsigned mod == bitwise AND, sign-safe). */
+  private def cmsBucket(hv: Column, j: Int, width: Int): Column =
+    (hv * lit(GHash.permA(j)) + lit(GHash.permB(j))).bitwiseAND(lit(width - 1L))
+
+  /** Count-min sketch over the corpus token frequencies, evaluated at
+    * the exact top-`topK` tokens: per probe token, the exact count,
+    * the count-min estimate (min over `depth` rows of the hashed cell
+    * sums) and the overcount — the one-sided error the sketch
+    * guarantees (estimate ≥ truth; E[over] ≤ 2·N/width per row).
+    *
+    * The cells frame is depth × width rows regardless of corpus size,
+    * so the probe join broadcasts the SKETCH, and the only data-sized
+    * stages are the instance collapse to (token, count) and the exact
+    * top-k (TakeOrderedAndProject). Output: `tok`, `n_exact`, `n_cms`,
+    * `overcount`, all integer-exact. */
+  def cmsTopkCounts(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      topK: Int = 20,
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0, s"width must be a power of two, got $width")
+    val cnt = instances(docs, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val hashed = cnt.withColumn("hv", call_function("graft_token_hash", col("tok")))
+    def jBuckets(c: Column): Column = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(c, j, width).as("bucket"))): _*))
+    // cell(j, b) = Σ counts of tokens hashing there — identical to
+    // counting instances directly, paid on the collapsed frame
+    val cells = hashed
+      .select(jBuckets(col("hv")).as("jb"), col("n_exact"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum("n_exact").as("cell"))
+    val probes = hashed
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), col("n_exact"), jBuckets(col("hv")).as("jb"))
+      .select(col("tok"), col("n_exact"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("tok")
+      .agg(
+        first(col("n_exact")).as("n_exact"),
+        min(col("cell")).as("n_cms"))
+      .select(
+        col("tok"),
+        col("n_exact"),
+        col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+  }
+
+  /** KMV (k-minimum-values) distinct-token estimator: keep the k
+    * smallest distinct unsigned token hashes; with the k-th smallest at
+    * unsigned value u, the hashes are ~uniform on [0, 2^64), so the
+    * distinct count ≈ (k-1) · 2^64 / u. Below k distinct values the
+    * sketch IS the exact set and the estimate is exact.
+    *
+    * One row out: `n_distinct_exact`, `k_used`, `est_distinct`,
+    * `rel_err` (signed, rounded to 6). The sketch state is k longs —
+    * a TakeOrdered over the distinct-token frame, never a global
+    * sort — which is what makes it a mergeable streaming accumulator
+    * (union two sketches = merge-take-k). */
+  def kmvDistinct(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 256,
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val u = instances(docs, textCol)
+      .select(col("tok")).distinct()
+      .select(unsignedDec(call_function("graft_token_hash", col("tok"))).as("u"))
+    val nRow = u.agg(count(lit(1)).as("n_exact"))
+    val kth = u.orderBy(col("u").asc).limit(k)
+      .agg(count(lit(1)).as("k_used"), max(col("u")).as("uk"))
+    val num = lit(TwoTo64.multiply(new java.math.BigDecimal(k - 1)))
+    nRow.crossJoin(kth)
+      .select(
+        col("n_exact").as("n_distinct_exact"),
+        coalesce(col("k_used"), lit(0L)).cast("int").as("k_used"),
+        when(col("k_used") < k || col("uk") === 0 || col("uk").isNull, col("n_exact"))
+          .otherwise(floorDiv(num, col("uk"))).as("est_distinct"))
+      .select(
+        col("n_distinct_exact"),
+        col("k_used"),
+        col("est_distinct"),
+        when(col("n_distinct_exact") === 0, lit(0.0))
+          .otherwise(round(
+            (col("est_distinct") - col("n_distinct_exact")).cast("double") /
+              col("n_distinct_exact").cast("double"), 6)).as("rel_err"))
+  }
+}

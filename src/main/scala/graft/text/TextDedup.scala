@@ -713,4 +713,75 @@ object TextDedup {
           .otherwise(round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
           .as("dup_frac"))
   }
+
+  /** Exact substring dedup — the span-REMOVAL pass [[dupGramStats]] is
+    * the signal for: Lee et al. 2021 (arXiv:2107.06499) ExactSubstr at
+    * token-k-gram alignment. A positional k-gram instance is duplicated
+    * when its text occurs more than once corpus-wide (within OR across
+    * documents; like the reference algorithm, EVERY occurrence is
+    * removed, not every-but-one). Per document, the duplicated gram
+    * start positions union into maximal removal intervals — overlapping
+    * or token-adjacent spans coalesce — so a repeated region of length
+    * L ≥ k is removed as ONE span, the k-gram approximation of the
+    * suffix-array-found repeated substring.
+    *
+    * Output per input document: `n_tokens`, `n_tokens_kept` (tokens
+    * outside every removal span), `n_spans_removed` (maximal spans),
+    * `clean_md5` (md5 of the kept tokens re-joined by single spaces; a
+    * document the pass does not touch keeps
+    * `md5(normalized(text))` — the [[TextAnalysis.fingerprintMd5]]
+    * invariant the spec pins).
+    *
+    * Scale shape: the gram instance stream is n_tokens rows per doc —
+    * linear, the same explode [[dupGramStats]] pays — and every stage
+    * after it is a hash shuffle keyed by gram text or doc id; the
+    * interval union is a per-doc window (lag + running sum, spans
+    * sorted by unique start position), never a global sort. Duplicated
+    * starts are typically a small fraction of the corpus, so the window
+    * input is the duplicated subset, not the instance stream. At real
+    * 100 TB the gram-text shuffle key would hash-pack to 128 bits
+    * (xxhash64 pair) to cut shuffle bytes — collision odds then bound
+    * false removals, which is why this implementation keeps the exact
+    * text key and leaves the packed variant as a documented knob. */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toksDf = docs.select(
+      col(idCol),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("_tk"))
+    val starts = toksDf
+      .select(col(idCol), posexplode(positionalGramsOfTokens(col("_tk"), k)).as(Seq("_st", "_gram")))
+    // corpus-wide duplicated gram TEXTS (instance count > 1, so a
+    // within-doc repeat duplicates itself, as in the reference)
+    val dupGrams = starts.groupBy("_gram")
+      .agg(count(lit(1)).as("_occ")).filter(col("_occ") > 1).select("_gram")
+    val dupStarts = starts.join(dupGrams, "_gram").select(col(idCol), col("_st"))
+    // interval union: all spans have width k, so starts (unique per
+    // doc) sort-merge with a lag gap test — a new maximal span begins
+    // when this start leaves even token-adjacency with the previous
+    // span's end (prev_st + k - 1) + 1
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_st"))
+    val spans = dupStarts
+      .withColumn("_brk", when(col("_st") > lag(col("_st"), 1).over(w) + k, lit(1)).otherwise(lit(0)))
+      .withColumn("_grp", sum(col("_brk")).over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_st")).as("_s"), (max(col("_st")) + k - 1).as("_e"))
+    val spansPerDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_spans"))
+    val emptySpans = array().cast("array<struct<_s:int,_e:int>>")
+    toksDf.join(spansPerDoc, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_spans"), emptySpans))
+      .withColumn("_kept", filter(col("_tk"), (t, i) =>
+        !exists(col("_sp"), sp => i >= sp.getField("_s") && i <= sp.getField("_e"))))
+      .select(
+        col(idCol),
+        size(col("_tk")).as("n_tokens"),
+        size(col("_kept")).as("n_tokens_kept"),
+        size(col("_sp")).as("n_spans_removed"),
+        md5(concat_ws(" ", col("_kept"))).as("clean_md5"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cmsTopkCounts: estimates are one-sided (>= exact) and exact in the collision-free regime") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta theta"),
+    ).toDF("doc_id", "text")
+    val out = Sketches.cmsTopkCounts(docs, "text", depth = 4, width = 1024, topK = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 5)
+    // one-sided error law holds row by row
+    out.values.foreach { case (exact, cms, over) =>
+      assert(cms >= exact); assert(over == cms - exact)
+    }
+    // 8 distinct tokens vs 4×1024 cells: a 4-row simultaneous
+    // collision is absent for this fixed hash family — estimates exact
+    assert(out("alpha") == ((3L, 3L, 0L)))
+    assert(out("beta") == ((2L, 2L, 0L)))
+  }
+
+  test("cmsTopkCounts: probe set is the exact top-k with deterministic tiebreak") {
+    val docs = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
+    val out = Sketches.cmsTopkCounts(docs, "text", depth = 2, width = 16, topK = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("b", "a")) // c (count 1) loses; a beats c on count
+  }
+
+  test("cmsTopkCounts rejects non-power-of-two width") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTopkCounts(Seq((1L, "x")).toDF("doc_id", "text"), "text", width = 100)
+    }
+  }
+
+  test("kmvDistinct: below k the sketch is exact") {
+    val docs = Seq((1L, "one two three two one")).toDF("doc_id", "text")
+    val r = Sketches.kmvDistinct(docs, "text", k = 256).collect().head
+    assert(r.getLong(0) == 3L)       // n_distinct_exact
+    assert(r.getInt(1) == 3)         // k_used
+    assert(r.getLong(2) == 3L)       // est_distinct == exact
+    assert(r.getDouble(3) == 0.0)    // rel_err
+  }
+
+  test("kmvDistinct: above k the estimate lands near the truth") {
+    // 1000 distinct synthetic tokens, k=256: KMV's relative error
+    // concentrates around 1/sqrt(k-1) ≈ 6.3%; assert a loose 25% band
+    // (deterministic hashes → this either always passes or never does)
+    val text = (0 until 1000).map(i => s"tok$i").mkString(" ")
+    val r = Sketches.kmvDistinct(Seq((1L, text)).toDF("doc_id", "text"), "text", k = 256)
+      .collect().head
+    assert(r.getLong(0) == 1000L)
+    assert(r.getInt(1) == 256)
+    val est = r.getLong(2)
+    assert(est > 750 && est < 1250, s"KMV estimate $est outside the 25% band")
+    assert(math.abs(r.getDouble(3) - (est - 1000.0) / 1000.0) < 1e-6)
+  }
+}

@@ -312,4 +312,62 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L) == ((0, 0, 0.0)))
     assert(out(5L) == ((1, 0, 0.0)))
   }
+
+  private def esd(rows: Seq[(Long, String)], k: Int) =
+    TextDedup.exactSubstringDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+
+  test("exactSubstringDedup: untouched docs keep the fingerprint md5; dup docs vanish entirely") {
+    val out = esd(Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),          // exact dup of 1 → BOTH fully removed (Lee et al.)
+      (3L, "one two three four"),   // unique → untouched
+      (4L, ""),                     // empty → trivially untouched
+    ), k = 3)
+    assert(out(1L) == ((6, 0, 1, md5Hex(""))))
+    assert(out(2L) == ((6, 0, 1, md5Hex(""))))
+    assert(out(3L) == ((4, 4, 0, md5Hex("one two three four"))))
+    assert(out(4L) == ((0, 0, 0, md5Hex(""))))
+  }
+
+  test("exactSubstringDedup: shared interior span is cut exactly; flanks survive") {
+    // docs 1/2 share the 4-token run "c1 c2 c3 c4"; with k=3 the dup
+    // gram starts cover exactly that run (two overlapping 3-grams →
+    // one coalesced span), the distinct flanks stay
+    val out = esd(Seq(
+      (1L, "l1 l2 c1 c2 c3 c4 r1 r2"),
+      (2L, "x1 c1 c2 c3 c4 y1 y2 y3"),
+    ), k = 3)
+    assert(out(1L) == ((8, 4, 1, md5Hex("l1 l2 r1 r2"))))
+    assert(out(2L) == ((8, 4, 1, md5Hex("x1 y1 y2 y3"))))
+  }
+
+  test("exactSubstringDedup: within-doc repeat duplicates itself; disjoint spans stay separate") {
+    // "p q r" occurs twice inside doc 1 only — instance count 2 →
+    // duplicated; the occurrences are far apart → two spans
+    val out = esd(Seq(
+      (1L, "p q r m1 m2 m3 m4 m5 p q r"),
+      (2L, "totally other words here now"),
+    ), k = 3)
+    assert(out(1L) == ((11, 5, 2, md5Hex("m1 m2 m3 m4 m5"))))
+    assert(out(2L)._3 == 0)
+  }
+
+  test("exactSubstringDedup: token-adjacent spans coalesce into one maximal span") {
+    // doc 1 shares "a1 a2 a3" with doc 2 and "b1 b2 b3" with doc 3;
+    // in doc 1 the two runs are adjacent → ONE removal span of 6
+    val out = esd(Seq(
+      (1L, "u1 a1 a2 a3 b1 b2 b3 u2"),
+      (2L, "a1 a2 a3 w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5 b1 b2 b3"),
+    ), k = 3)
+    assert(out(1L) == ((8, 2, 1, md5Hex("u1 u2"))))
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 }
