@@ -861,10 +861,38 @@ object SparkEntry {
     // KMV k-minimum-values distinct estimator with its signed error.
     "t16_cms_topk_counts" -> ((s, dir) =>
       Sketches.cmsTopkCounts(tbl(s, dir, "documents"), "text",
-        depth = 4, width = 1024, topK = 20)),
+        depth = CmsDepth, width = CmsWidth, topK = CmsTopK)),
 
     "t17_kmv_distinct" -> ((s, dir) =>
-      Sketches.kmvDistinct(tbl(s, dir, "documents"), "text", k = 256)),
+      Sketches.kmvDistinct(tbl(s, dir, "documents"), "text", k = KmvK)),
+
+    // Mergeability proofs for the two sketches, run as queries: the
+    // corpus splits into two disjoint halves by doc_id parity, each
+    // half builds its own sketch, the halves MERGE, and the merged
+    // sketch is evaluated exactly as t16/t17 evaluate the whole-corpus
+    // one. The oracle for both is the UNMERGED whole-corpus SQL replay
+    // (t16's / t17's own), which is the strongest possible check:
+    // merge ≡ recompute must hold bit-for-bit, or the hash compare
+    // fails. This is the per-partition / per-micro-batch accumulator
+    // contract the sketch doc comments claim, made falsifiable.
+    "t18_cms_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cellsA = Sketches.cmsCells(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", CmsDepth, CmsWidth)
+      val cellsB = Sketches.cmsCells(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", CmsDepth, CmsWidth)
+      Sketches.cmsTopkCountsFromCells(
+        docs, "text", Sketches.cmsMerge(cellsA, cellsB), CmsDepth, CmsWidth, CmsTopK)
+    }),
+
+    "t19_kmv_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val a = Sketches.kmvSketch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", KmvK)
+      val b = Sketches.kmvSketch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", KmvK)
+      Sketches.kmvDistinctFromSketch(docs, "text", Sketches.kmvMerge(a, b, KmvK), KmvK)
+    }),
 
     // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
     // boolean per rule + the conjunction — the per-rule report a
@@ -1103,7 +1131,7 @@ object SparkEntry {
     // rebuilt text is md5-compared — so the oracle re-derives the full
     // interval-union algebra, not just counts.
     "td14_exact_substring_dedup" -> ((s, dir) =>
-      TextDedup.exactSubstringDedup(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
+      TextDedup.exactSubstringDedup(tbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
 
     "td8_line_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(
@@ -1719,6 +1747,67 @@ object SparkEntry {
   private val MinhashMaxBucket = text.TextDedup.DefaultMaxBucketSize
   private val PermASql = hlist((0 until MinhashH).map(GHash.permA))
   private val PermBSql = hlist((0 until MinhashH).map(GHash.permB))
+
+  // Sketch / span-removal parameters, shared between each query
+  // registration and its oracle SQL (the PermASql/M64 pattern): a
+  // call-site parameter change re-derives the paired SQL instead of
+  // silently de-pairing it.
+  private val CmsDepth = 4
+  private val CmsWidth = 1024 // power of two: unsigned mod == AND on the Spark side
+  private val CmsTopK = 20
+  private val KmvK = 256
+  private val SubstrK = 8
+
+  /** Whole-corpus count-min replay (cells = multiply-add permutation
+    * buckets mod 2^64 masked to CmsWidth, summed from the collapsed
+    * (token, count) frame; exact top-CmsTopK probes; min-over-rows
+    * estimate with its one-sided overcount). Shared VERBATIM by
+    * `t16_cms_topk_counts` and `t18_cms_merge`: the merged two-part
+    * sketch must equal the whole-corpus sketch bit-for-bit (cells are
+    * linear sums), so the strongest oracle for the merge is the
+    * unmerged replay. */
+  private lazy val CmsTopkSql =
+    s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
+       |tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |inst AS (SELECT unnest(t) AS tok FROM tk),
+       |cnt AS (SELECT tok, COUNT(*) AS n_exact FROM inst GROUP BY tok),
+       |h AS (SELECT tok, n_exact, ${gmixSql(fnvSql("tok"))} AS hv FROM cnt),
+       |jb AS (SELECT tok, n_exact, j,
+       |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % $CmsWidth AS bucket
+       |  FROM h, c, (SELECT unnest(range(0, $CmsDepth)) AS j) js),
+       |cells AS (SELECT j, bucket, SUM(n_exact) AS cell FROM jb GROUP BY j, bucket),
+       |probes AS (SELECT tok FROM cnt ORDER BY n_exact DESC, tok LIMIT $CmsTopK),
+       |sel AS (SELECT jb.tok, jb.n_exact, MIN(cl.cell) AS n_cms
+       |  FROM jb JOIN probes p USING (tok)
+       |  JOIN cells cl ON cl.j = jb.j AND cl.bucket = jb.bucket
+       |  GROUP BY jb.tok, jb.n_exact)
+       |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_cms AS BIGINT) AS n_cms,
+       |  CAST(n_cms - n_exact AS BIGINT) AS overcount FROM sel""".stripMargin
+
+  /** Whole-corpus KMV replay (distinct-token unsigned hash stream, k
+    * smallest values, (k-1)·2^64 // u_k floor division) — shared
+    * VERBATIM by `t17_kmv_distinct` and `t19_kmv_merge` on the same
+    * merge ≡ recompute argument as [[CmsTopkSql]]. */
+  private lazy val KmvSql =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |it AS (SELECT unnest(t) AS tok FROM tk),
+       |dt AS (SELECT DISTINCT tok FROM it),
+       |h AS (SELECT ${gmixSql(fnvSql("tok"))} AS u FROM dt),
+       |low AS (SELECT u FROM h ORDER BY u LIMIT $KmvK),
+       |s AS (SELECT COUNT(*) AS k_used, MAX(u) AS uk FROM low),
+       |n AS (SELECT COUNT(*) AS n_exact FROM h),
+       |e AS (SELECT n_exact, k_used, uk,
+       |    CASE WHEN k_used < $KmvK OR uk IS NULL OR uk = 0 THEN n_exact
+       |      ELSE (${KmvK - 1}::HUGEINT * $M64) // uk END AS est
+       |  FROM n, s)
+       |SELECT CAST(n_exact AS BIGINT) AS n_distinct_exact,
+       |  CAST(k_used AS INT) AS k_used,
+       |  CAST(est AS BIGINT) AS est_distinct,
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |    ELSE ROUND(CAST(est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       |  END AS rel_err
+       |FROM e""".stripMargin
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
   private val FnvOffU = GHash.u64(GHash.FnvOffset)
@@ -3122,51 +3211,22 @@ object SparkEntry {
          |LIMIT 200""".stripMargin,
 
     // Replays the count-min cells (multiply-add permutation buckets
-    // mod 2^64 masked to width 1024, cells summed from the collapsed
-    // (token, count) frame), the exact top-20 probe set, and the
+    // mod 2^64 masked to CmsWidth, cells summed from the collapsed
+    // (token, count) frame), the exact top-k probe set, and the
     // min-over-rows estimate with its one-sided overcount.
-    "t16_cms_topk_counts" ->
-      s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
-         |tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |inst AS (SELECT unnest(t) AS tok FROM tk),
-         |cnt AS (SELECT tok, COUNT(*) AS n_exact FROM inst GROUP BY tok),
-         |h AS (SELECT tok, n_exact, ${gmixSql(fnvSql("tok"))} AS hv FROM cnt),
-         |jb AS (SELECT tok, n_exact, j,
-         |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % 1024 AS bucket
-         |  FROM h, c, (SELECT unnest(range(0, 4)) AS j) js),
-         |cells AS (SELECT j, bucket, SUM(n_exact) AS cell FROM jb GROUP BY j, bucket),
-         |probes AS (SELECT tok FROM cnt ORDER BY n_exact DESC, tok LIMIT 20),
-         |sel AS (SELECT jb.tok, jb.n_exact, MIN(cl.cell) AS n_cms
-         |  FROM jb JOIN probes p USING (tok)
-         |  JOIN cells cl ON cl.j = jb.j AND cl.bucket = jb.bucket
-         |  GROUP BY jb.tok, jb.n_exact)
-         |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
-         |  CAST(n_cms AS BIGINT) AS n_cms,
-         |  CAST(n_cms - n_exact AS BIGINT) AS overcount FROM sel""".stripMargin,
+    "t16_cms_topk_counts" -> CmsTopkSql,
 
     // Replays the distinct-token unsigned hash stream, the k smallest
     // values, and the (k-1)·2^64 // u_k floor-division estimate —
     // integer arithmetic end to end; rel_err is one double division
     // over integer operands, identical in both engines.
-    "t17_kmv_distinct" ->
-      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |it AS (SELECT unnest(t) AS tok FROM tk),
-         |dt AS (SELECT DISTINCT tok FROM it),
-         |h AS (SELECT ${gmixSql(fnvSql("tok"))} AS u FROM dt),
-         |low AS (SELECT u FROM h ORDER BY u LIMIT 256),
-         |s AS (SELECT COUNT(*) AS k_used, MAX(u) AS uk FROM low),
-         |n AS (SELECT COUNT(*) AS n_exact FROM h),
-         |e AS (SELECT n_exact, k_used, uk,
-         |    CASE WHEN k_used < 256 OR uk IS NULL OR uk = 0 THEN n_exact
-         |      ELSE (255::HUGEINT * $M64) // uk END AS est
-         |  FROM n, s)
-         |SELECT CAST(n_exact AS BIGINT) AS n_distinct_exact,
-         |  CAST(k_used AS INT) AS k_used,
-         |  CAST(est AS BIGINT) AS est_distinct,
-         |  CASE WHEN n_exact = 0 THEN 0.0
-         |    ELSE ROUND(CAST(est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
-         |  END AS rel_err
-         |FROM e""".stripMargin,
+    "t17_kmv_distinct" -> KmvSql,
+
+    // The merge queries' oracle is the UNMERGED whole-corpus replay:
+    // merge ≡ recompute must hold bit-for-bit or the hash compare
+    // fails — see the t18/t19 registrations.
+    "t18_cms_merge" -> CmsTopkSql,
+    "t19_kmv_merge" -> KmvSql,
 
     // All gate inputs are integer-derived doubles (counts and count
     // ratios), so the threshold comparisons are exact in both engines
@@ -3316,19 +3376,19 @@ object SparkEntry {
     "td14_exact_substring_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
          |gl AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(0, greatest(len(t) - 8, 0) + 1),
-         |      i -> array_to_string(array_slice(t, i + 1, i + 8), ' ')) END AS gs
+         |    ELSE list_transform(range(0, greatest(len(t) - $SubstrK, 0) + 1),
+         |      i -> array_to_string(array_slice(t, i + 1, i + $SubstrK), ' ')) END AS gs
          |  FROM tk),
          |g AS (SELECT doc_id, unnest(gs) AS gram,
          |    generate_subscripts(gs, 1) - 1 AS st FROM gl),
          |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
          |ds AS (SELECT doc_id, st FROM g WHERE gram IN (SELECT gram FROM dup)),
          |br AS (SELECT doc_id, st,
-         |    CASE WHEN st > LAG(st) OVER (PARTITION BY doc_id ORDER BY st) + 8
+         |    CASE WHEN st > LAG(st) OVER (PARTITION BY doc_id ORDER BY st) + $SubstrK
          |      THEN 1 ELSE 0 END AS brk FROM ds),
          |gr AS (SELECT doc_id, st,
          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM br),
-         |sp AS (SELECT doc_id, grp, MIN(st) AS s, MAX(st) + 7 AS e
+         |sp AS (SELECT doc_id, grp, MIN(st) AS s, MAX(st) + ${SubstrK - 1} AS e
          |  FROM gr GROUP BY doc_id, grp),
          |tp AS (SELECT doc_id, unnest(t) AS tok,
          |    generate_subscripts(t, 1) - 1 AS idx FROM tk),

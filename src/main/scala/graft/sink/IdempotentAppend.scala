@@ -49,6 +49,14 @@ import graft.dedup.Dedup
   */
 object IdempotentAppend {
 
+  /** Default for the `lock` parameters below: true unless the JVM was
+    * started with `-Dgraft.append.lock=false`. The property exists for
+    * ONE purpose — the bench lease-cost isolation run (same queries,
+    * lease on vs off, same session conditions); production callers
+    * never set it, so the writer-lease guarantee stays the default. */
+  private[graft] def lockDefault: Boolean =
+    !"false".equals(System.getProperty("graft.append.lock"))
+
   final case class UpsertResult(incoming: Long, inserted: Long, duplicates: Long)
 
   /** Null-safe equi-join condition over natural-key columns, written
@@ -135,7 +143,7 @@ object IdempotentAppend {
       nullSafeCols: Set[String] = Set.empty,
       timeCol: Option[String] = Some("timestamp_ms"),
       incomingCount: Option[Long] = None,
-      lock: Boolean = true,
+      lock: Boolean = lockDefault,
   ): UpsertResult = {
     val (cached, owned) = graft.quality.CacheScope.acquire(batch)
     try {
@@ -194,7 +202,7 @@ object IdempotentAppend {
       orderCols: Seq[String],
       nullSafeCols: Set[String] = Set.empty,
       timeCol: Option[String] = Some("timestamp_ms"),
-      lock: Boolean = true,
+      lock: Boolean = lockDefault,
   ): UpsertResult = {
     val batch = Dedup.firstWinsByName(incoming, keys, orderCols)
     appendNew(spark, batch, tablePath, keys, nullSafeCols, timeCol,

@@ -187,13 +187,20 @@ object StreamingIngest {
     * gated against the PERSISTENT band-bucket index: a document is
     * admitted only if NONE of its LSH band buckets was registered by a
     * previously admitted document, and admitted documents register
-    * their buckets. Cross-batch semantics are the LSH candidate curve,
-    * not verified jaccard — the index stores buckets, not signatures,
-    * so a cross-batch collision drops without a verify
+    * their buckets. DEFAULT cross-batch semantics are the LSH
+    * candidate curve, not verified jaccard — the index stores buckets,
+    * not signatures, so a cross-batch collision drops without a verify
     * (P(drop | jaccard s) = 1−(1−s^r)^b: ~99.5% of s=0.9 near-dups,
     * ~17% of s=0.5 pairs at the b=6, r=5 defaults — the recall-heavy
-    * trade every streaming LSH gate makes; run the batch
-    * `minhashDedup` over the admitted corpus for verified semantics).
+    * trade every streaming LSH gate makes). `verifyJaccard = true`
+    * buys back exact batch semantics: the index carries per-document
+    * bucket rows plus an (id, shingles) store at `bucketIndexPath_sh`,
+    * and a cross-batch collision drops only after the same
+    * exact-jaccard verify the batch dedup runs
+    * ([[graft.text.TextDedup.verifiedCollisionGate]]) — the 0.09%
+    * admitted-count delta vs batch goes to zero (StreamingIngestSpec),
+    * for the cost of the candidate-volume verify joins and the
+    * linear-in-corpus shingle store.
     *
     * Both sinks go through [[graft.sink.IdempotentAppend.appendNew]],
     * so checkpoint redelivery re-admits nothing and re-registers
@@ -213,6 +220,7 @@ object StreamingIngest {
       k: Int = 3,
       numHashes: Int = 30,
       bands: Int = 6,
+      verifyJaccard: Boolean = false,
   ): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -220,23 +228,51 @@ object StreamingIngest {
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem
           .get(spark.sparkContext.hadoopConfiguration)
+        val haveIndex = fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath))
         val local = graft.text.TextDedup.minhashDedup(
           batch.toDF(), idCol, textCol, threshold, k, numHashes, bands)
+        val hashed = graft.text.TextDedup
+          .withHashedShingles(local, textCol, k, "sh").select(col(idCol), col("sh"))
         val buckets = graft.text.TextDedup
           .minhashBuckets(local, idCol, textCol, k, numHashes, bands)
         // same (band, bucket) gate as the batch incremental dedup —
-        // TextDedup.collisionGate IS the shared kernel
+        // TextDedup.collisionGate IS the shared kernel; with
+        // verifyJaccard the index additionally carries per-doc bucket
+        // rows + a shingle store and the gate upgrades to the
+        // exact-jaccard-verified form (TextDedup.verifiedCollisionGate
+        // — stream admission ≡ batch semantics, at the cost of the
+        // candidate-volume verify joins and the (id, sh) state)
+        val shinglePath = bucketIndexPath.stripSuffix("/") + "_sh"
         val admitted =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(bucketIndexPath))) local
-          else graft.text.TextDedup.collisionGate(
-            local, buckets, spark.read.parquet(bucketIndexPath), idCol)
+          if (!haveIndex) local
+          else if (!verifyJaccard)
+            graft.text.TextDedup.collisionGate(
+              local, buckets, spark.read.parquet(bucketIndexPath), idCol)
+          else
+            graft.text.TextDedup.verifiedCollisionGate(
+              local, hashed, buckets,
+              spark.read.parquet(bucketIndexPath),
+              spark.read.parquet(shinglePath),
+              idCol, threshold)
         graft.sink.IdempotentAppend.appendNew(
           spark, admitted, admittedPath, Seq(idCol), timeCol = None)
-        graft.sink.IdempotentAppend.appendNew(
-          spark,
-          buckets.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
-            .select(col("band"), col("bucket")).distinct(),
-          bucketIndexPath, Seq("band", "bucket"), timeCol = None)
+        if (!verifyJaccard)
+          graft.sink.IdempotentAppend.appendNew(
+            spark,
+            buckets.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col("band"), col("bucket")).distinct(),
+            bucketIndexPath, Seq("band", "bucket"), timeCol = None)
+        else {
+          graft.sink.IdempotentAppend.appendNew(
+            spark,
+            buckets.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col("band"), col("bucket"), col(idCol)).distinct(),
+            bucketIndexPath, Seq("band", "bucket", idCol), timeCol = None)
+          graft.sink.IdempotentAppend.appendNew(
+            spark,
+            hashed.join(admitted.select(col(idCol)), Seq(idCol), "left_semi"),
+            shinglePath, Seq(idCol), timeCol = None)
+        }
         ()
       }
       .option("checkpointLocation", checkpointPath)

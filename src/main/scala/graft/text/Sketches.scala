@@ -41,9 +41,16 @@ object Sketches {
   /** Exact floor division of two non-negative decimal columns:
     * subtract the remainder (exact decimal op) before dividing, so the
     * quotient is integral and no rounding-mode edge can disagree with
-    * the oracle's integer `//`. */
+    * the oracle's integer `//`. The quotient is clamped to
+    * Long.MaxValue before the cast: with ANSI off an overflowing
+    * decimal→long cast yields NULL silently. The clamp is reachable
+    * only when the k-th smallest hash u_k < (k-1)·2^64 / 2^63 ≈ 510,
+    * i.e. ~2^55 distinct tokens — far beyond any corpus this runs on,
+    * but a sketch must degrade to a saturated estimate, never to
+    * NULL. */
   private def floorDiv(num: Column, den: Column): Column =
-    ((num - num % den) / den).cast("long")
+    least((num - num % den) / den, lit(java.math.BigDecimal.valueOf(Long.MaxValue)))
+      .cast("long")
 
   /** Token instance stream of `textCol` under the corpus-standard
     * normal form — the shared front of both sketches. */
@@ -75,23 +82,84 @@ object Sketches {
       depth: Int = 4,
       width: Int = 1024,
       topK: Int = 20,
-  ): DataFrame = {
-    require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")
+  ): DataFrame =
+    cmsTopkCountsFromCells(docs, textCol, cmsCells(docs, textCol, depth, width),
+      depth, width, topK)
+
+  private def requireCmsParams(depth: Int, width: Int): Unit = {
+    // depth caps at 30, not 32: each row j draws its permutation from
+    // the same [[GHash.permA]]/[[GHash.permB]] stream the DuckDB
+    // oracle materializes as a 30-entry list (SparkEntry.MinhashH) —
+    // a depth beyond that list would index the oracle's array out of
+    // bounds (NULL in DuckDB) and silently corrupt its buckets.
+    require(depth >= 1 && depth <= 30, s"depth must be in [1,30], got $depth")
     require(width >= 2 && (width & (width - 1)) == 0, s"width must be a power of two, got $width")
-    val cnt = instances(docs, textCol)
+  }
+
+  /** Per-token `(tok, n_exact, hv)` collapse of the instance stream —
+    * the shared front of the cells frame and the probe set. */
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    instances(docs, textCol)
       .groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    val hashed = cnt.withColumn("hv", call_function("graft_token_hash", col("tok")))
-    def jBuckets(c: Column): Column = explode(array((0 until depth).map(j =>
+      .withColumn("hv", call_function("graft_token_hash", col("tok")))
+
+  private def jBuckets(c: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(j =>
       struct(lit(j).as("j"), cmsBucket(c, j, width).as("bucket"))): _*))
-    // cell(j, b) = Σ counts of tokens hashing there — identical to
-    // counting instances directly, paid on the collapsed frame
-    val cells = hashed
-      .select(jBuckets(col("hv")).as("jb"), col("n_exact"))
+
+  /** The count-min SKETCH itself as a frame: `(j, bucket, cell)` with
+    * cell(j, b) = Σ counts of tokens hashing there — identical to
+    * counting instances directly, paid on the collapsed (token, count)
+    * frame. At most depth × width rows regardless of corpus size.
+    *
+    * Cells are plain sums, so the sketch is MERGEABLE by construction:
+    * [[cmsMerge]] of the cells of two disjoint corpus parts equals the
+    * cells of their union exactly (bit-for-bit, not approximately) —
+    * the property that lets the sketch run as a per-partition or
+    * per-micro-batch accumulator. SketchesSpec proves merge ≡
+    * recompute; the `t18_cms_merge` query oracle-checks a two-part
+    * merge against the whole-corpus SQL replay. */
+  def cmsCells(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+  ): DataFrame = {
+    requireCmsParams(depth, width)
+    tokenCounts(docs, textCol)
+      .select(jBuckets(col("hv"), depth, width).as("jb"), col("n_exact"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(sum("n_exact").as("cell"))
-    val probes = hashed
+  }
+
+  /** Merge two count-min cells frames (same depth/width): cells are
+    * linear, so merged = summed. Absent (j, bucket) rows are implicit
+    * zeros, hence the full outer union shape. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum("cell").as("cell"))
+
+  /** Evaluate a (possibly merged) cells frame at the exact top-`topK`
+    * tokens of `docs`: per probe token, the exact count, the count-min
+    * estimate (min over `depth` rows of the hashed cell sums) and the
+    * one-sided overcount (estimate ≥ truth; E[over] ≤ 2·N/width per
+    * row). The cells frame is depth × width rows, so the probe join
+    * broadcasts the SKETCH; the only data-sized stages are the
+    * instance collapse and the exact top-k (TakeOrderedAndProject).
+    * Output: `tok`, `n_exact`, `n_cms`, `overcount`, integer-exact. */
+  def cmsTopkCountsFromCells(
+      docs: DataFrame,
+      textCol: String,
+      cells: DataFrame,
+      depth: Int = 4,
+      width: Int = 1024,
+      topK: Int = 20,
+  ): DataFrame = {
+    requireCmsParams(depth, width)
+    val probes = tokenCounts(docs, textCol)
       .orderBy(col("n_exact").desc, col("tok").asc).limit(topK)
-      .select(col("tok"), col("n_exact"), jBuckets(col("hv")).as("jb"))
+      .select(col("tok"), col("n_exact"), jBuckets(col("hv"), depth, width).as("jb"))
       .select(col("tok"), col("n_exact"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
     probes.join(broadcast(cells), Seq("j", "bucket"))
       .groupBy("tok")
@@ -120,13 +188,56 @@ object Sketches {
       docs: DataFrame,
       textCol: String,
       k: Int = 256,
+  ): DataFrame =
+    kmvDistinctFromSketch(docs, textCol, kmvSketch(docs, textCol, k), k)
+
+  /** The KMV SKETCH itself as a frame: the k smallest DISTINCT
+    * unsigned token hashes of the corpus, one `u` DECIMAL(22,0) column
+    * (fewer than k rows iff the corpus has fewer than k distinct
+    * tokens — the regime where the sketch is the exact set).
+    *
+    * Mergeable by construction: the k smallest of a union are all
+    * members of each part's k smallest, so [[kmvMerge]] (union →
+    * distinct → take-k) of two parts equals the sketch of their union
+    * exactly. Distinct matters: the same token appears in both parts
+    * with the same hash, and a duplicated u would displace a genuine
+    * k-th value. SketchesSpec proves merge ≡ recompute; the
+    * `t19_kmv_merge` query oracle-checks a two-part merge against the
+    * whole-corpus SQL replay. */
+  def kmvSketch(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 256,
   ): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val u = instances(docs, textCol)
+    instances(docs, textCol)
       .select(col("tok")).distinct()
       .select(unsignedDec(call_function("graft_token_hash", col("tok"))).as("u"))
-    val nRow = u.agg(count(lit(1)).as("n_exact"))
-    val kth = u.orderBy(col("u").asc).limit(k)
+      .orderBy(col("u").asc).limit(k)
+  }
+
+  /** Merge two KMV sketch frames built with the same k: the k smallest
+    * distinct values of the union. TakeOrdered over ≤ 2k rows. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    a.unionByName(b).distinct().orderBy(col("u").asc).limit(k)
+  }
+
+  /** Estimate from a (possibly merged) sketch frame, compared against
+    * the exact distinct count of `docs` — same output contract as
+    * [[kmvDistinct]]: `n_distinct_exact`, `k_used`, `est_distinct`,
+    * `rel_err`. */
+  def kmvDistinctFromSketch(
+      docs: DataFrame,
+      textCol: String,
+      sketch: DataFrame,
+      k: Int = 256,
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val nRow = instances(docs, textCol)
+      .select(col("tok")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    val kth = sketch
       .agg(count(lit(1)).as("k_used"), max(col("u")).as("uk"))
     val num = lit(TwoTo64.multiply(new java.math.BigDecimal(k - 1)))
     nRow.crossJoin(kth)

@@ -533,6 +533,49 @@ object TextDedup {
     docs.join(collided, Seq(idCol), "left_anti")
   }
 
+  /** JACCARD-VERIFIED admission gate — the [[collisionGate]] upgraded
+    * from "drop on any bucket collision" to "drop only when exact
+    * shingle jaccard against a colliding BASE document ≥ threshold":
+    * the base side carries per-document bucket rows
+    * (band, bucket, id) plus a shingle store (id, sh), so a collision
+    * resolves to candidate PAIRS and each pair is verified with the
+    * same exact-jaccard kernel the batch dedup uses. Closes the
+    * cross-batch LSH false-positive drop (the documented 0.09%
+    * admitted-count delta of the unverified stream gate): with this
+    * gate a document is dropped ONLY for a true near-dup among the
+    * admitted corpus — the batch drop criterion, modulo admission
+    * order (StreamingIngestSpec pins stream ≡ batch on the fixture).
+    *
+    * Scale shape: the bucket join shuffles b × |batch| slim key rows
+    * and fans out only on real collisions; the two shingle-store
+    * joins are id-keyed on the COLLIDING CANDIDATE subset, never the
+    * corpus — the verify cost is proportional to candidate volume,
+    * the same bound the batch LSH pays. The extra state vs the
+    * unverified gate is the shingle store: one (id, sh) row per
+    * admitted doc, ~H·8 bytes each — linear in the admitted corpus,
+    * id-partitioned, never joined wholesale. */
+  def verifiedCollisionGate(
+      docs: DataFrame,
+      docHashed: DataFrame,
+      docBuckets: DataFrame,
+      baseBuckets: DataFrame,
+      baseShingles: DataFrame,
+      idCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val cand = docBuckets
+      .join(baseBuckets.select(col("band"), col("bucket"), col(idCol).as("_base_id")),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("_base_id")).distinct()
+    val dropped = cand
+      .join(docHashed.select(col(idCol), col("sh").as("_sh_new")), Seq(idCol))
+      .join(baseShingles.select(col(idCol).as("_base_id"), col("sh").as("_sh_base")),
+        Seq("_base_id"))
+      .filter(jaccardSorted(col("_sh_new"), col("_sh_base")) >= threshold)
+      .select(col(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Incremental MinHash near-dup dedup: dedup a NEW batch against an
     * already-admitted corpus without reprocessing the corpus — the
     * near-dup analog of [[exactDedupAgainstBase]], and the batch form
@@ -660,7 +703,19 @@ object TextDedup {
   /** Positional (NON-distinct, order-preserving) k-grams of bound
     * tokens; empty token array → empty gram array. Unlike
     * [[shinglesOfTokens]] this keeps every instance, because the
-    * duplicated-span statistic counts instances, not types. */
+    * duplicated-span statistic counts instances, not types.
+    *
+    * Short-document behavior (deliberate, oracle-matched): a document
+    * with 1 ≤ n_tokens < k emits ONE truncated sub-k "gram" — its
+    * whole token sequence (the slice clamps). Consequence for the
+    * dedup passes built on this: two identical docs shorter than k
+    * are still seen as duplicated (their single truncated gram
+    * collides) and [[exactSubstringDedup]] removes them ENTIRELY,
+    * even though they share no strict k-gram. That is the exact-dup
+    * limit of the span pass, not an accident — without it, sub-k
+    * exact duplicates would be invisible to the span statistics —
+    * and both engines (this and the DuckDB SQL replay) implement the
+    * same clamp, so the behavior is pinned by the td14 oracle. */
   def positionalGramsOfTokens(toks: Column, k: Int): Column =
     when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(
@@ -741,20 +796,65 @@ object TextDedup {
     * input is the duplicated subset, not the instance stream. At real
     * 100 TB the gram-text shuffle key would hash-pack to 128 bits
     * (xxhash64 pair) to cut shuffle bytes — collision odds then bound
-    * false removals, which is why this implementation keeps the exact
-    * text key and leaves the packed variant as a documented knob. */
+    * false removals, which is why THIS entry point keeps the exact
+    * text key; [[exactSubstringDedupPacked]] is that knob, proven
+    * output-equal on the fixture corpus by TextDedupSpec. */
   def exactSubstringDedup(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
+  ): DataFrame =
+    exactSubstringDedupImpl(docs, idCol, textCol, k, packKey = false)
+
+  /** [[exactSubstringDedup]] with the gram shuffle key hash-packed to
+    * 128 bits — the 100 TB shuffle knob the exact variant documents.
+    * The duplicated-gram groupBy and the gate join key on
+    * `(xxhash64(gram), xxhash64(gram, salt))` — 16 bytes — instead of
+    * the gram TEXT (k tokens re-joined: ~50–60 bytes at k=8, and
+    * unbounded in token length), cutting the dominant shuffle's key
+    * bytes ~4× while leaving the plan shape identical.
+    *
+    * Cost of the packing: two distinct gram texts that collide on BOTH
+    * 64-bit hashes are treated as the same gram, which can only ADD
+    * removal spans (one-sided: extra removal, never a missed one). The
+    * two hashes are independent draws (the second is salted with an
+    * odd 64-bit constant), so for a corpus of G distinct gram texts
+    * the expected number of colliding PAIRS is ≈ G²/2^129: at
+    * G = 10^13 (a generous 100 TB gram-type count) that is ~10^-13
+    * expected false pairs — collision-free in any practical sense,
+    * and each false pair would mis-remove at most one k-token span.
+    * TextDedupSpec pins packed ≡ exact on the fixture corpus. */
+  def exactSubstringDedupPacked(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+  ): DataFrame =
+    exactSubstringDedupImpl(docs, idCol, textCol, k, packKey = true)
+
+  private def exactSubstringDedupImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      packKey: Boolean,
   ): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val toksDf = docs.select(
       col(idCol),
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("_tk"))
-    val starts = toksDf
+    val textStarts = toksDf
       .select(col(idCol), posexplode(positionalGramsOfTokens(col("_tk"), k)).as(Seq("_st", "_gram")))
+    // the packed key replaces the gram TEXT before the first shuffle,
+    // so every stage downstream of the explode moves 16-byte keys
+    val starts =
+      if (!packKey) textStarts
+      else textStarts.select(
+        col(idCol), col("_st"),
+        struct(
+          xxhash64(col("_gram")).as("h1"),
+          xxhash64(col("_gram"), lit(0x9E3779B97F4A7C15L)).as("h2")).as("_gram"))
     // corpus-wide duplicated gram TEXTS (instance count > 1, so a
     // within-doc repeat duplicates itself, as in the reference)
     val dupGrams = starts.groupBy("_gram")

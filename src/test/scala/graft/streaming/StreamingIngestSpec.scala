@@ -167,6 +167,63 @@ class StreamingIngestSpec extends SparkSpec {
       == Set(1L, 3L, 5L))
   }
 
+  test("verified near-dup gate: cross-batch LSH false positive admitted, true near-dup dropped, stream ≡ batch") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-vnd-in")
+    val adm = Files.createTempDirectory("graft-stream-vnd-adm").resolve("t").toString
+    val idx = Files.createTempDirectory("graft-stream-vnd-idx").resolve("i").toString
+    val admU = Files.createTempDirectory("graft-stream-vnd-admu").resolve("t").toString
+    val idxU = Files.createTempDirectory("graft-stream-vnd-idxu").resolve("i").toString
+    val base = (0 until 60).map(i => s"w$i")
+    // doc 11: all 60 base tokens + 15 extras → jaccard 60/75 = 0.8
+    // (< 0.9 threshold) but shares LSH buckets with doc 1 whenever a
+    // band's 5 permutation minima all land on base tokens — a genuine
+    // cross-batch LSH false positive for the unverified gate
+    val superset = (base ++ (0 until 15).map(i => s"extra$i")).mkString(" ")
+    // doc 10: drops one base token → jaccard 59/60 ≈ 0.983: true near-dup
+    val nearDup = base.tail.mkString(" ")
+    def drain(verify: Boolean, a: String, x: String): Unit = {
+      val ckpt = Files.createTempDirectory("graft-stream-vnd-ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema).json(in.toString)
+      StreamingIngest.drainNearDupGate(stream, a, x, ckpt,
+        "doc_id", "text", threshold = 0.9, k = 1,
+        verifyJaccard = verify).awaitTermination()
+    }
+    Files.writeString(in.resolve("a.jsonl"),
+      s"""{"doc_id":1,"text":"${base.mkString(" ")}"}
+         |""".stripMargin)
+    drain(verify = true, adm, idx)
+    drain(verify = false, admU, idxU)
+    Files.writeString(in.resolve("b.jsonl"),
+      s"""{"doc_id":10,"text":"$nearDup"}
+         |{"doc_id":11,"text":"$superset"}
+         |""".stripMargin)
+    drain(verify = true, adm, idx)
+    drain(verify = false, admU, idxU)
+    def ids(p: String) =
+      spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
+    // the unverified gate over-drops doc 11 on the bucket collision
+    // (pinning that the fixture really exercises a false positive)...
+    assert(ids(admU) == Set(1L))
+    // ...the verified gate resolves the collision with exact jaccard:
+    // 11 admitted (0.8 < 0.9), 10 dropped (0.983 ≥ 0.9)
+    assert(ids(adm) == Set(1L, 11L))
+    // ...which is exactly the batch result over the same corpus
+    val batchKept = graft.text.TextDedup.minhashDedup(
+      Seq((1L, base.mkString(" ")), (10L, nearDup), (11L, superset))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0.9, 1, 30, 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == ids(adm))
+    // idempotent replay: a fresh-checkpoint re-drain of the same files
+    // admits and registers nothing new through all THREE verify sinks
+    drain(verify = true, adm, idx)
+    assert(ids(adm) == Set(1L, 11L))
+  }
+
   test("samplers are stream-safe: streamed output equals the batch result row-for-row") {
     import graft.text.{Sampling, TrainOrder}
     val in = Files.createTempDirectory("graft-stream-smp-in")

@@ -46,6 +46,74 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)    // rel_err
   }
 
+  test("cmsCells merge ≡ recompute: merged two-part cells equal whole-corpus cells bit-for-bit") {
+    // overlapping vocab across the parts on purpose: shared tokens
+    // land in the same cells and their counts must ADD exactly
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"shared common tok${i % 7} tok${i % 11} uniq$i")).toDF("doc_id", "text")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = cellMap(Sketches.cmsMerge(
+      Sketches.cmsCells(a, "text", depth = 4, width = 64),
+      Sketches.cmsCells(b, "text", depth = 4, width = 64)))
+    val whole = cellMap(Sketches.cmsCells(docs, "text", depth = 4, width = 64))
+    assert(merged == whole)
+  }
+
+  test("cmsTopkCountsFromCells over a merged sketch == cmsTopkCounts over the whole corpus") {
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"alpha beta tok${i % 5} filler$i")).toDF("doc_id", "text")
+    val a = docs.filter($"doc_id" < 20) // uneven split: merge must not assume balance
+    val b = docs.filter($"doc_id" >= 20)
+    val viaMerge = Sketches.cmsTopkCountsFromCells(docs, "text",
+      Sketches.cmsMerge(
+        Sketches.cmsCells(a, "text", depth = 3, width = 32),
+        Sketches.cmsCells(b, "text", depth = 3, width = 32)),
+      depth = 3, width = 32, topK = 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val whole = Sketches.cmsTopkCounts(docs, "text", depth = 3, width = 32, topK = 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(viaMerge == whole)
+  }
+
+  test("cmsTopkCounts rejects depth beyond the oracle's 30-entry permutation list") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTopkCounts(Seq((1L, "x")).toDF("doc_id", "text"), "text", depth = 31)
+    }
+  }
+
+  test("kmvMerge ≡ recompute: merged two-part sketch equals the whole-corpus sketch") {
+    // the parts SHARE tokens (same hash lands in both sketches):
+    // without the distinct inside kmvMerge a duplicated value would
+    // displace a genuine k-th smallest
+    val text1 = (0 until 400).map(i => s"tok$i").mkString(" ") + " shared0 shared1"
+    val text2 = (300 until 700).map(i => s"tok$i").mkString(" ") + " shared0 shared1"
+    val docs = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    def uList(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getDecimal(0)).sortBy(_.toString).toList
+    val merged = uList(Sketches.kmvMerge(
+      Sketches.kmvSketch(docs.filter($"doc_id" === 1), "text", k = 64),
+      Sketches.kmvSketch(docs.filter($"doc_id" === 2), "text", k = 64), k = 64))
+    val whole = uList(Sketches.kmvSketch(docs, "text", k = 64))
+    assert(merged == whole)
+    assert(merged.size == 64)
+  }
+
+  test("kmvDistinctFromSketch over a merged sketch == kmvDistinct over the whole corpus") {
+    val text1 = (0 until 500).map(i => s"tok$i").mkString(" ")
+    val text2 = (250 until 900).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    val merged = Sketches.kmvDistinctFromSketch(docs, "text",
+      Sketches.kmvMerge(
+        Sketches.kmvSketch(docs.filter($"doc_id" === 1), "text", k = 128),
+        Sketches.kmvSketch(docs.filter($"doc_id" === 2), "text", k = 128), k = 128),
+      k = 128).collect().head
+    val whole = Sketches.kmvDistinct(docs, "text", k = 128).collect().head
+    assert(merged.toSeq == whole.toSeq)
+  }
+
   test("kmvDistinct: above k the estimate lands near the truth") {
     // 1000 distinct synthetic tokens, k=256: KMV's relative error
     // concentrates around 1/sqrt(k-1) ≈ 6.3%; assert a loose 25% band

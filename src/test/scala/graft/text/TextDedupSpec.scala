@@ -365,6 +365,40 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == ((8, 2, 1, md5Hex("u1 u2"))))
   }
 
+  test("exactSubstringDedupPacked ≡ exactSubstringDedup on the crafted corpus") {
+    // every structural case the exact-variant tests cover, in one
+    // corpus: exact dup, shared interior span, within-doc repeat,
+    // adjacent coalesce, empty doc, untouched doc
+    val rows = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "l1 l2 c1 c2 c3 c4 r1 r2"),
+      (4L, "x1 c1 c2 c3 c4 y1 y2 y3"),
+      (5L, "p q r m1 m2 m3 m4 m5 p q r"),
+      (6L, ""),
+      (7L, "one two three four"),
+    ).toDF("doc_id", "text")
+    val exact = TextDedup.exactSubstringDedup(rows, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val packed = TextDedup.exactSubstringDedupPacked(rows, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(packed == exact)
+  }
+
+  test("exactSubstringDedupPacked ≡ exactSubstringDedup on the fixture corpus") {
+    // the real 500-doc fixture at the td14 parameters: the packed
+    // 128-bit gram key must reproduce the exact-text result
+    // bit-for-bit (collision odds ~G²/2^129 — zero at any fixture G)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = TextDedup.exactSubstringDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val packed = TextDedup.exactSubstringDedupPacked(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(packed == exact)
+    assert(exact.size == 500)
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
