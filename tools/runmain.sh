@@ -15,8 +15,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra JVM flags (e.g. -Dgraft.append.lock=false for
+# the bench lease-cost isolation run).
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "$@"
