@@ -894,6 +894,25 @@ object SparkEntry {
       Sketches.kmvDistinctFromSketch(docs, "text", Sketches.kmvMerge(a, b, KmvK), KmvK)
     }),
 
+    // Integer-exact HyperLogLog (Flajolet et al. 2007): rank from a
+    // generated power-of-two comparison chain, harmonic mean as an
+    // exact integer sum, fixed-point alpha, lookup-table linear
+    // counting — no float executes in either engine, so the estimate
+    // is bit-replayable like the CMS/KMV rows above. t21 is the
+    // register-merge proof on the same halves-merge-vs-whole-replay
+    // contract as t18/t19.
+    "t20_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(tbl(s, dir, "documents"), "text", p = HllP)),
+
+    "t21_hll_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val a = Sketches.hllRegisters(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", HllP)
+      val b = Sketches.hllRegisters(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", HllP)
+      Sketches.hllDistinctFromRegisters(docs, "text", Sketches.hllMerge(a, b), HllP)
+    }),
+
     // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
     // boolean per rule + the conjunction — the per-rule report a
     // curation run logs. All gates are integer-derived doubles, so the
@@ -1756,6 +1775,7 @@ object SparkEntry {
   private val CmsWidth = 1024 // power of two: unsigned mod == AND on the Spark side
   private val CmsTopK = 20
   private val KmvK = 256
+  private val HllP = 8 // m = 256 registers, same state budget as KmvK
   private val SubstrK = 8
 
   /** Whole-corpus count-min replay (cells = multiply-add permutation
@@ -1808,6 +1828,59 @@ object SparkEntry {
        |    ELSE ROUND(CAST(est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
        |  END AS rel_err
        |FROM e""".stripMargin
+  /** Whole-corpus integer-exact HLL replay (Sketches.hllDistinct):
+    * low-p-bit buckets of the distinct-token unsigned hashes, rank =
+    * leading-zero count over the next 40 bits via a generated
+    * power-of-two comparison chain (double log2 mis-floors near 2^k
+    * past ~2^45, so neither engine runs a float log), harmonic-mean
+    * denominator as the exact integer S = Σ 2^(41−r), fixed-point
+    * alpha floor division, and the linear-counting branch as the same
+    * precomputed integer lookup list the Scala side evaluates. Shared
+    * VERBATIM by `t20_hll_distinct` and `t21_hll_merge` on the same
+    * merge ≡ recompute argument as [[CmsTopkSql]]/[[KmvSql]]. */
+  private lazy val HllSql = {
+    val rb = Sketches.HllRankBits // 40
+    val m = 1 << HllP
+    val mask = (1L << rb) - 1
+    // descending CASE chain: floor(log2(w)) for w in [1, 2^rb)
+    val flog2 = (rb - 1 to 0 by -1)
+      .map(j => s"WHEN w >= ${1L << j} THEN $j").mkString("CASE ", " ", " END")
+    val termList = hlist((1 to rb + 1).map(r => 1L << (rb + 1 - r)))
+    val lcList = hlist(Sketches.hllLinearCountTable(m))
+    val num = java.math.BigInteger.valueOf(Sketches.hllAlphaNum(m))
+      .multiply(java.math.BigInteger.valueOf(m.toLong * m))
+      .multiply(java.math.BigInteger.ONE.shiftLeft(rb + 1))
+    s"""WITH c AS (SELECT $termList AS tl, $lcList AS lc),
+       |tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |it AS (SELECT unnest(t) AS tok FROM tk),
+       |dt AS (SELECT DISTINCT tok FROM it),
+       |h AS (SELECT ${gmixSql(fnvSql("tok"))} AS u FROM dt),
+       |br AS (SELECT u % $m AS bucket, (u // $m) % ${mask + 1} AS w FROM h),
+       |rk AS (SELECT bucket,
+       |    CASE WHEN w = 0 THEN ${rb + 1} ELSE $rb - ($flog2) END AS r FROM br),
+       |regs AS (SELECT bucket, MAX(r) AS r FROM rk GROUP BY bucket),
+       |s AS (SELECT COUNT(*) AS occupied,
+       |    COALESCE(SUM(tl[CAST(r AS INT)]), 0) AS s_occ FROM regs, c),
+       |e AS (SELECT ($m - occupied) AS v_zero,
+       |    (($m - occupied) * ${1L << (rb + 1)}::HUGEINT + s_occ) AS s2 FROM s),
+       |n AS (SELECT COUNT(*) AS n_exact FROM h),
+       |est AS (SELECT n_exact, v_zero,
+       |    ($num::HUGEINT) // (s2::HUGEINT * ${Sketches.HllAlphaDen}) AS raw
+       |  FROM n, e),
+       |f AS (SELECT n_exact, v_zero,
+       |    CASE WHEN v_zero > 0 AND raw * 2 <= ${5L * m}
+       |      THEN lc[CAST(v_zero AS INT)] ELSE raw END AS est
+       |  FROM est, c)
+       |SELECT CAST(n_exact AS BIGINT) AS n_distinct_exact,
+       |  CAST($m AS INT) AS m,
+       |  CAST(v_zero AS INT) AS v_zero,
+       |  CAST(est AS BIGINT) AS est_distinct,
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |    ELSE ROUND(CAST(est - n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       |  END AS rel_err
+       |FROM f""".stripMargin
+  }
+
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
   private val FnvOffU = GHash.u64(GHash.FnvOffset)
@@ -3227,6 +3300,14 @@ object SparkEntry {
     // fails — see the t18/t19 registrations.
     "t18_cms_merge" -> CmsTopkSql,
     "t19_kmv_merge" -> KmvSql,
+
+    // Replays the integer-exact HLL end to end (bucket/rank from the
+    // unsigned hash stream, exact harmonic-sum denominator,
+    // fixed-point-alpha floor division, lookup-table linear counting);
+    // the merge query shares the unmerged replay per the t18/t19
+    // argument.
+    "t20_hll_distinct" -> HllSql,
+    "t21_hll_merge" -> HllSql,
 
     // All gate inputs are integer-derived doubles (counts and count
     // ratios), so the threshold comparisons are exact in both engines

@@ -255,4 +255,164 @@ object Sketches {
             (col("est_distinct") - col("n_distinct_exact")).cast("double") /
               col("n_distinct_exact").cast("double"), 6)).as("rel_err"))
   }
+
+  // -------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007), integer-exact variant.
+  //
+  // The header comment above rules out float-mixing sketches because
+  // their last-ulp behavior is engine-private — so this HLL is built
+  // to produce NO float anywhere the oracle compares:
+  //   - rank = leading-zero count over a fixed 40-bit window of the
+  //     hash (a generated comparison chain against power-of-two
+  //     literals, not floor(log2(w)): double log2 mis-floors near
+  //     2^k boundaries once w exceeds ~2^45);
+  //   - the harmonic mean denominator is the exact integer
+  //     S = Σ_j 2^(Rank_max − r_j) (zero registers contribute
+  //     2^Rank_max), ≤ m · 2^41 — a plain BIGINT sum;
+  //   - alpha_m enters as a fixed-point rational (round(alpha · 10^6)
+  //     over 10^6), so the estimate is one exact floor division;
+  //   - the small-range linear-counting branch m·ln(m/V) is a
+  //     LOOKUP TABLE of m precomputed integers (V has only m possible
+  //     values), interpolated identically into both engines.
+  // Deviations from canonical 64-bit HLL, both documented trade-offs:
+  // the rank window is 40 bits, not 64−p (an all-zero 40-bit run has
+  // probability 2^-40 per bucket — unobservable; keeps every
+  // intermediate in BIGINT range), and alpha is 6-decimal fixed-point
+  // (a <1e-6 relative perturbation, far under the 1.04/√m sketch
+  // error).
+  // -------------------------------------------------------------------
+
+  /** Rank window width in bits; max rank = RankBits + 1. */
+  val HllRankBits = 40
+
+  /** Fixed-point alpha_m numerator over [[HllAlphaDen]]:
+    * round(10^6 · 0.7213 / (1 + 1.079 / m)). */
+  def hllAlphaNum(m: Int): Long =
+    math.round(1e6 * 0.7213 / (1.0 + 1.079 / m))
+  val HllAlphaDen = 1000000L
+
+  /** Linear-counting lookup: lc(v) = round(m · ln(m / v)) for
+    * v = 1..m zero registers (v = m → 0; the v = 0 case never reaches
+    * the table — the branch requires v > 0). Precomputed in Scala and
+    * interpolated as the same literal list into the oracle SQL, so the
+    * one ln() in HLL never executes inside either engine. */
+  def hllLinearCountTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(v => math.round(m * math.log(m.toDouble / v)))
+
+  private def requireHllParams(p: Int): Unit =
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+
+  /** The HLL SKETCH itself as a frame: `(bucket, r)` — the max rank
+    * per occupied bucket, at most m = 2^p rows regardless of corpus
+    * size. bucket = low p bits of the token hash; rank = leading-zero
+    * count + 1 over the next [[HllRankBits]] bits (so r ∈ [1, 41]).
+    *
+    * Mergeable by construction: registers combine by per-bucket MAX,
+    * so [[hllMerge]] of two disjoint corpus parts equals the sketch of
+    * their union exactly (bit-for-bit — max is idempotent,
+    * commutative, associative), the same per-partition /
+    * per-micro-batch accumulator contract as [[cmsCells]] /
+    * [[kmvSketch]]. SketchesSpec proves merge ≡ recompute; the
+    * `t21_hll_merge` query oracle-checks a two-part merge against the
+    * whole-corpus SQL replay. */
+  def hllRegisters(
+      docs: DataFrame,
+      textCol: String,
+      p: Int = 8,
+  ): DataFrame = {
+    requireHllParams(p)
+    val m = 1 << p
+    val hv = call_function("graft_token_hash", col("tok"))
+    val bucket = hv.bitwiseAND(lit(m - 1L))
+    val w = shiftrightunsigned(hv, p).bitwiseAND(lit((1L << HllRankBits) - 1))
+    // rank = RankBits - floor(log2(w)) for w > 0, else RankBits + 1:
+    // a descending integer comparison chain, no float log anywhere.
+    val fl = (HllRankBits - 2 to 0 by -1).foldLeft(
+      when(w >= lit(1L << (HllRankBits - 1)), lit(HllRankBits - 1))) {
+      (acc, j) => acc.when(w >= lit(1L << j), lit(j))
+    }
+    val rank = when(w === 0, lit(HllRankBits + 1))
+      .otherwise(lit(HllRankBits) - fl)
+    instances(docs, textCol)
+      .select(col("tok")).distinct()
+      .select(bucket.as("bucket"), rank.as("r"))
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+  }
+
+  /** Merge two HLL register frames built with the same p: per-bucket
+    * max. Absent buckets are implicit rank-0 registers, hence the
+    * union shape. At most 2m input rows. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
+
+  /** Distinct-token estimate from a (possibly merged) register frame,
+    * compared against the exact distinct count of `docs`. Output one
+    * row: `n_distinct_exact`, `m`, `v_zero` (empty registers),
+    * `est_distinct`, `rel_err` (signed, rounded to 6) — the same
+    * contract as [[kmvDistinctFromSketch]].
+    *
+    * est = floor(alphaNum · m² · 2^(RankBits+1) / (alphaDen · S)) with
+    * S = v_zero · 2^(RankBits+1) + Σ 2^(RankBits+1−r); when v_zero > 0
+    * and the raw estimate ≤ 5m/2, the canonical small-range branch
+    * takes over via the precomputed [[hllLinearCountTable]]. The
+    * 64-bit large-range correction is unnecessary (no 32-bit hash
+    * collision regime) and omitted. */
+  def hllDistinctFromRegisters(
+      docs: DataFrame,
+      textCol: String,
+      registers: DataFrame,
+      p: Int = 8,
+  ): DataFrame = {
+    requireHllParams(p)
+    val m = 1 << p
+    val scaleExp = HllRankBits + 1 // term(r) = 2^(scaleExp - r), r ∈ [0, 41]
+    val nRow = instances(docs, textCol)
+      .select(col("tok")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    // term(r) = 2^(scaleExp − r) via a 1-indexed literal lookup
+    // (shiftleft's bit count is a static Int in the DSL, and a lookup
+    // matches the oracle's element_at replay literal-for-literal).
+    val termByRank = array((1 to scaleExp).map(r => lit(1L << (scaleExp - r))): _*)
+    val sRow = registers
+      .agg(
+        count(lit(1)).cast("long").as("occupied"),
+        coalesce(sum(element_at(termByRank, col("r").cast("int"))), lit(0L))
+          .as("s_occ"))
+      .select(
+        (lit(m.toLong) - col("occupied")).as("v_zero"),
+        ((lit(m.toLong) - col("occupied")) * lit(1L << scaleExp) + col("s_occ")).as("s"))
+    val num = new java.math.BigDecimal(hllAlphaNum(m))
+      .multiply(new java.math.BigDecimal(m.toLong * m))
+      .multiply(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(scaleExp)))
+    val lc = hllLinearCountTable(m)
+    val lcCol = element_at(
+      array(lc.map(lit): _*), col("v_zero").cast("int")) // 1-indexed: v_zero ∈ [1, m]
+    val rawEst = floorDiv(
+      lit(num), col("s").cast(DecimalType(38, 0)) * lit(HllAlphaDen))
+    nRow.crossJoin(sRow)
+      .select(
+        col("n_exact").as("n_distinct_exact"),
+        lit(m).as("m"),
+        col("v_zero").cast("int").as("v_zero"),
+        when(col("v_zero") > 0 && rawEst * 2 <= lit(5L * m), lcCol)
+          .otherwise(rawEst).as("est_distinct"))
+      .select(
+        col("n_distinct_exact"),
+        col("m"),
+        col("v_zero"),
+        col("est_distinct"),
+        when(col("n_distinct_exact") === 0, lit(0.0))
+          .otherwise(round(
+            (col("est_distinct") - col("n_distinct_exact")).cast("double") /
+              col("n_distinct_exact").cast("double"), 6)).as("rel_err"))
+  }
+
+  /** Whole-corpus HLL distinct estimate — [[hllRegisters]] +
+    * [[hllDistinctFromRegisters]]. */
+  def hllDistinct(
+      docs: DataFrame,
+      textCol: String,
+      p: Int = 8,
+  ): DataFrame =
+    hllDistinctFromRegisters(docs, textCol, hllRegisters(docs, textCol, p), p)
 }

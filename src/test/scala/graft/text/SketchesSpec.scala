@@ -127,4 +127,78 @@ class SketchesSpec extends SparkSpec {
     assert(est > 750 && est < 1250, s"KMV estimate $est outside the 25% band")
     assert(math.abs(r.getDouble(3) - (est - 1000.0) / 1000.0) < 1e-6)
   }
+
+  test("hllDistinct: above the linear-counting regime the estimate lands near the truth") {
+    // 5000 distinct tokens, m=256 registers: HLL's relative error
+    // concentrates around 1.04/sqrt(m) ≈ 6.5%; assert a loose 25% band
+    // (deterministic hashes → this either always passes or never does)
+    val text = (0 until 5000).map(i => s"tok$i").mkString(" ")
+    val r = Sketches.hllDistinct(Seq((1L, text)).toDF("doc_id", "text"), "text", p = 8)
+      .collect().head
+    assert(r.getLong(0) == 5000L) // n_distinct_exact
+    assert(r.getInt(1) == 256)    // m
+    assert(r.getInt(2) == 0)      // v_zero: 5000 >> 256, every bucket hit
+    val est = r.getLong(3)
+    assert(est > 3750 && est < 6250, s"HLL estimate $est outside the 25% band")
+    assert(math.abs(r.getDouble(4) - (est - 5000.0) / 5000.0) < 1e-6)
+  }
+
+  test("hllDistinct: small cardinality takes the lookup-table linear-counting branch exactly") {
+    // 10 distinct tokens, m=256: v_zero >= 246 and the raw estimate is
+    // far under 5m/2, so est must equal the precomputed integer
+    // round(m·ln(m/v)) — the branch the oracle replays literal-for-literal
+    val docs = Seq((1L, "a b c d e f g h i j a b c")).toDF("doc_id", "text")
+    val r = Sketches.hllDistinct(docs, "text", p = 8).collect().head
+    assert(r.getLong(0) == 10L)
+    val vZero = r.getInt(2)
+    assert(vZero >= 246 && vZero <= 256) // ≤10 occupied buckets
+    val expected = Sketches.hllLinearCountTable(256)(vZero - 1)
+    assert(r.getLong(3) == expected,
+      s"linear-counting branch must hit the lookup table: got ${r.getLong(3)}, want $expected")
+  }
+
+  test("hllMerge ≡ recompute: merged two-part registers equal the whole-corpus registers") {
+    // the parts SHARE tokens (same hash → same bucket/rank in both
+    // sketches): per-bucket max must absorb the duplicate exactly
+    val text1 = (0 until 800).map(i => s"tok$i").mkString(" ") + " shared0 shared1"
+    val text2 = (600 until 1400).map(i => s"tok$i").mkString(" ") + " shared0 shared1"
+    val docs = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = regMap(Sketches.hllMerge(
+      Sketches.hllRegisters(docs.filter($"doc_id" === 1), "text", p = 8),
+      Sketches.hllRegisters(docs.filter($"doc_id" === 2), "text", p = 8)))
+    val whole = regMap(Sketches.hllRegisters(docs, "text", p = 8))
+    assert(merged == whole)
+  }
+
+  test("hllDistinctFromRegisters over a merged sketch == hllDistinct over the whole corpus") {
+    val text1 = (0 until 900).map(i => s"tok$i").mkString(" ")
+    val text2 = (400 until 1600).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text1), (2L, text2)).toDF("doc_id", "text")
+    val merged = Sketches.hllDistinctFromRegisters(docs, "text",
+      Sketches.hllMerge(
+        Sketches.hllRegisters(docs.filter($"doc_id" === 1), "text", p = 8),
+        Sketches.hllRegisters(docs.filter($"doc_id" === 2), "text", p = 8)), p = 8)
+      .collect().head
+    val whole = Sketches.hllDistinct(docs, "text", p = 8).collect().head
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("hllRegisters: ranks stay inside [1, HllRankBits + 1]") {
+    val text = (0 until 2000).map(i => s"tok$i").mkString(" ")
+    val regs = Sketches.hllRegisters(Seq((1L, text)).toDF("doc_id", "text"), "text", p = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(regs.nonEmpty)
+    regs.foreach { case (b, r) =>
+      assert(b >= 0 && b < 64)
+      assert(r >= 1 && r <= Sketches.HllRankBits + 1, s"rank $r out of range at bucket $b")
+    }
+  }
+
+  test("hllDistinct rejects p outside [4, 14]") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(Seq((1L, "x")).toDF("doc_id", "text"), "text", p = 3)
+    }
+  }
 }
