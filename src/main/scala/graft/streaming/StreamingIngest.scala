@@ -349,6 +349,107 @@ object StreamingIngest {
     * has no equivalent for. State is bounded by entity cardinality. */
   final case class EntityState(entity: String, totalMwh: Double, records: Long)
 
+  /** Stream → persistent corpus SKETCHES — the streaming-accumulator
+    * form the mergeable-sketch family was built for
+    * ([[graft.text.Sketches]]: CMS cells are linear sums, KMV is
+    * min-k, HLL registers are per-bucket max — all three merge ≡
+    * recompute, proven by SketchesSpec and the t18/t19/t21 oracles).
+    *
+    * Per micro-batch: build the batch's own bounded partial sketches
+    * and append them keyed by `batch_id` through
+    * [[graft.sink.IdempotentAppend.appendNew]] — a crash between
+    * appends followed by checkpoint redelivery of the SAME batch id
+    * re-inserts nothing (the CMS fold is a SUM, so at-least-once
+    * delivery without the key guard would double-count; KMV/HLL would
+    * merely re-merge idempotently, but all three go through the same
+    * guard for one recovery story). State is
+    * batches × sketch-size rows — KBs per batch whatever the corpus.
+    *
+    * Read side ([[cmsStateCells]]/[[kmvStateSketch]]/
+    * [[hllStateRegisters]]): fold the partials with the merge law
+    * (sum / distinct-take-k / max) — by the merge ≡ recompute
+    * theorems the result equals the whole-corpus sketch bit-for-bit,
+    * so estimates from the drained state ARE the batch estimates
+    * (StreamingIngestSpec pins this end to end). */
+  def drainSketchState(
+      df: DataFrame,
+      textCol: String,
+      statePath: String,
+      checkpointPath: String,
+      cmsDepth: Int = 4,
+      cmsWidth: Int = 1024,
+      kmvK: Int = 256,
+      hllP: Int = 8,
+  ): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeSketchBatch(batch.toDF(), textCol, statePath, batchId,
+          cmsDepth, cmsWidth, kmvK, hllP)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch's sketch merge — factored out so redelivery
+    * idempotence is testable without faking a checkpoint crash:
+    * calling this twice with the same `batchId` must leave the state
+    * unchanged (the append key is (batch_id, sketch coordinates)). */
+  private[graft] def mergeSketchBatch(
+      batch: DataFrame,
+      textCol: String,
+      statePath: String,
+      batchId: Long,
+      cmsDepth: Int,
+      cmsWidth: Int,
+      kmvK: Int,
+      hllP: Int,
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val bid = lit(batchId).as("batch_id")
+    graft.sink.IdempotentAppend.appendNew(
+      spark,
+      graft.text.Sketches.cmsCells(batch, textCol, cmsDepth, cmsWidth).select(bid, col("j"), col("bucket"), col("cell")),
+      s"$statePath/cms", Seq("batch_id", "j", "bucket"), timeCol = None)
+    graft.sink.IdempotentAppend.appendNew(
+      spark,
+      graft.text.Sketches.kmvSketch(batch, textCol, kmvK).select(bid, col("u")),
+      s"$statePath/kmv", Seq("batch_id", "u"), timeCol = None)
+    graft.sink.IdempotentAppend.appendNew(
+      spark,
+      graft.text.Sketches.hllRegisters(batch, textCol, hllP).select(bid, col("bucket"), col("r")),
+      s"$statePath/hll", Seq("batch_id", "bucket"), timeCol = None)
+    ()
+  }
+
+  /** Folded CMS cells of the drained state — equals
+    * [[graft.text.Sketches.cmsCells]] over the whole drained corpus
+    * (cells are linear). Feed to `cmsTopkCountsFromCells`. */
+  def cmsStateCells(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$statePath/cms")
+      .groupBy("j", "bucket").agg(sum("cell").as("cell"))
+  }
+
+  /** Folded KMV sketch of the drained state — the k smallest distinct
+    * hashes across every batch partial (n-way [[graft.text.Sketches.kmvMerge]]).
+    * Feed to `kmvDistinctFromSketch`. */
+  def kmvStateSketch(spark: SparkSession, statePath: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$statePath/kmv")
+      .select(col("u")).distinct().orderBy(col("u").asc).limit(k)
+  }
+
+  /** Folded HLL registers of the drained state — per-bucket max across
+    * every batch partial ([[graft.text.Sketches.hllMerge]] n-way).
+    * Feed to `hllDistinctFromRegisters`. */
+  def hllStateRegisters(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$statePath/hll")
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+  }
+
   def runningTotals(
       spark: SparkSession,
       stream: DataFrame,

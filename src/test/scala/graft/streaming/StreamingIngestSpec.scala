@@ -400,4 +400,55 @@ class StreamingIngestSpec extends SparkSpec {
     // bit-equal scores
     assert(streamed == admittedBatch, s"streamed=$streamed batch=${batch.toSeq}")
   }
+
+  test("sketch-state drain: folded CMS/KMV/HLL state equals the whole-corpus sketches bit-for-bit") {
+    import graft.text.Sketches
+    val in = Files.createTempDirectory("graft-stream-sk-in")
+    val st = Files.createTempDirectory("graft-stream-sk-st").resolve("s").toString
+    val ckpt = Files.createTempDirectory("graft-stream-sk-ckpt").toString
+    // 3 files → 3 micro-batches (maxFilesPerTrigger=1) with SHARED
+    // vocab across batches: the fold must add CMS counts, dedup KMV
+    // values and max HLL ranks across the partials
+    val mk = (lo: Int, hi: Int) => (lo until hi).map(i => s"tok${i % 97} uniq$i").mkString(" ")
+    Files.writeString(in.resolve("a.jsonl"), s"""{"doc_id":1,"text":"${mk(0, 120)}"}\n""")
+    Files.writeString(in.resolve("b.jsonl"), s"""{"doc_id":2,"text":"${mk(80, 240)}"}\n""")
+    Files.writeString(in.resolve("c.jsonl"), s"""{"doc_id":3,"text":"${mk(200, 400)}"}\n""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    StreamingIngest.drainSketchState(stream, "text", st, ckpt,
+      cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6).awaitTermination()
+    assert(spark.read.parquet(s"$st/cms").select("batch_id").distinct().count() == 3)
+
+    val whole = spark.read.json(in.toString) // the drained corpus, as a batch
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cellMap(StreamingIngest.cmsStateCells(spark, st))
+      == cellMap(Sketches.cmsCells(whole, "text", 3, 64)))
+    assert(StreamingIngest.kmvStateSketch(spark, st, 128).collect().map(_.getDecimal(0)).toSet
+      == Sketches.kmvSketch(whole, "text", 128).collect().map(_.getDecimal(0)).toSet)
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regMap(StreamingIngest.hllStateRegisters(spark, st))
+      == regMap(Sketches.hllRegisters(whole, "text", 6)))
+
+    // estimates from the drained state ARE the batch estimates
+    val fromState = Sketches.hllDistinctFromRegisters(
+      whole, "text", StreamingIngest.hllStateRegisters(spark, st), 6).collect().head
+    val direct = Sketches.hllDistinct(whole, "text", 6).collect().head
+    assert(fromState.toSeq == direct.toSeq)
+
+    // crash redelivery: re-merging an already-applied batch_id is a
+    // no-op (the CMS fold is a SUM — without the key guard this
+    // would double-count). Deterministic twin-state replay: same
+    // batch content, same batch_id, applied twice.
+    val st2 = Files.createTempDirectory("graft-stream-sk-st2").resolve("s").toString
+    val doc1 = whole.filter(col("doc_id") === 1)
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6)
+    val snap = cellMap(StreamingIngest.cmsStateCells(spark, st2))
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6)
+    assert(cellMap(StreamingIngest.cmsStateCells(spark, st2)) == snap)
+  }
 }
