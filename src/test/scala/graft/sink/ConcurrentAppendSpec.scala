@@ -51,7 +51,20 @@ class ConcurrentAppendSpec extends SparkSpec {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def run(b: org.apache.spark.sql.DataFrame) = Future {
         gate.await(10, TimeUnit.SECONDS)
-        IdempotentAppend.appendNew(spark, b, dir, keys)
+        // The bounded lease refusal is the lease's DOCUMENTED retryable
+        // outcome ("retry later"): under full-suite CPU contention the
+        // peer's append can legitimately outlast one acquire budget
+        // (20 attempts ≈ 31 s). A production writer loops; so does the
+        // spec — the atomicity invariants below must hold exactly
+        // regardless of how many acquire rounds each writer needed.
+        def attempt(left: Int): IdempotentAppend.UpsertResult =
+          try IdempotentAppend.appendNew(spark, b, dir, keys)
+          catch {
+            case e: IllegalStateException
+                if left > 0 && e.getMessage.contains("writer lease") =>
+              attempt(left - 1)
+          }
+        attempt(3)
       }
       val (f1, f2) = (run(b1), run(b2))
       gate.countDown() // release both at the same instant
