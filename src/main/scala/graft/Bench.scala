@@ -383,14 +383,27 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val robust = if (roundsDetail.nonEmpty) medianRoundTotal(roundsDetail) else total
     val steady = if (roundsDetail.nonEmpty) steadyRoundTotal(roundsDetail) else total
+    // The headline `value` is the min-composite ONLY when the
+    // dispersion gate certifies it (best-3 round totals within 5%).
+    // An unconverged run's min-composite is each query's luckiest
+    // moment in a noisy environment — r10's committed 106.1 s sat 44%
+    // under its own median round — so when `dispersion_ok` is false
+    // the headline falls back to steady_value (a certified round
+    // total that actually happened) and the optimistic composite is
+    // demoted to `min_value` for provenance. `value_source` says
+    // which one the reader got.
+    val converged = dispersionOk || roundsDetail.isEmpty
+    val headline = if (converged) total else steady
+    val valueSource = if (converged) "min_composite" else "steady"
     // queries that never succeeded are loudly absent from the times —
     // a missing entry must read as "failed", never as "fast"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meth =
       s""""rounds":$nRounds,"spread_pct":${f3(spreadPct)},"dispersion_ok":$dispersionOk,""" +
+        s""""value_source":"$valueSource","min_value":${f3(total)},""" +
         s""""robust_value":${f3(robust)},"steady_value":${f3(steady)},"failed":$failedJson"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,"queries":$qs,""" +
+      s"""{"metric":"total","value":${f3(headline)},"unit":"sec",$meth,"queries":$qs,""" +
         s""""other_sec":${f3(rest.map(_._2).sum)},"other_n":${rest.size},"sf":"$sfDir"}"""
     val full = sorted.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -403,7 +416,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meth,""" +
+      s"""{"metric":"total","value":${f3(headline)},"unit":"sec",$meth,""" +
         s""""skipped_baseline":$skippedJson,"queries":$full,""" +
         s""""rounds_detail":$detailJson,"sf":"$sfDir"}"""
     (line, fullJson)

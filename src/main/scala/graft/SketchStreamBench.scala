@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming sketch-accumulator throughput point — the measured cost
+  * of [[graft.streaming.StreamingIngest.drainSketchState]]'s claim
+  * that corpus sketches ride along with ingest for ~nothing (state
+  * bounded by sketch parameters, per-batch work one narrow pass).
+  *
+  * Method: the corpus's documents are staged as `nChunks` file
+  * arrivals; TWO AvailableNow drains run the same idempotent-append
+  * ingest through `foreachBatch` — one plain (append only), one that
+  * additionally folds the micro-batch's CMS+KMV+HLL partials into the
+  * persistent sketch state (the exact
+  * [[graft.streaming.StreamingIngest.mergeSketchBatch]] path
+  * drainSketchState runs). docs/s on vs off prices the accumulators;
+  * the sketch-state byte size against the ingested corpus shows the
+  * state is parameter-bounded, not data-bounded.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 tools/runmain.sh graft.SketchStreamBench
+  * Prints ONE JSON line; the campaign merges it into STREAM_SF1.json
+  * as the `sketch_accum` block.
+  */
+object SketchStreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val nChunks = sys.env.get("SPARK_GRAFT_STREAM_CHUNKS").map(_.toInt).getOrElse(32)
+    val fpt = sys.env.get("SPARK_GRAFT_STREAM_FPT").map(_.toInt).getOrElse(4)
+    val cpus = Defaults.cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+
+    def scratch(p: String) = Files.createTempDirectory(p)
+
+    // One ingest drain: parquet-file arrivals → foreachBatch idempotent
+    // append; `statePath` nonempty adds the per-batch sketch fold.
+    def drain(inDir: String, tablePath: String, statePath: Option[String]): Double = {
+      val ckpt = scratch("graft-skb-ckpt").toString
+      val t0 = System.nanoTime()
+      spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", fpt)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.sink.IdempotentAppend.appendNew(
+            batch.sparkSession, batch, tablePath, Seq("doc_id"), timeCol = None)
+          statePath.foreach { sp =>
+            graft.streaming.StreamingIngest.mergeSketchBatch(
+              batch.toDF(), "text", sp, batchId,
+              cmsDepth = 4, cmsWidth = 1024, kmvK = 256, hllP = 8)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+
+    // Warm-up: small prefix through scratch sinks, sketches ON (covers
+    // both code paths' JIT + stream-engine startup).
+    val warmIn = scratch("graft-skb-warm-in").toString
+    docs.limit(2000).repartition(4).write.mode("overwrite").parquet(warmIn)
+    drain(warmIn, scratch("graft-skb-warm-t").resolve("t").toString,
+      Some(scratch("graft-skb-warm-s").resolve("s").toString))
+    spark.catalog.clearCache()
+
+    val inDir = scratch("graft-skb-in").toString
+    docs.repartition(nChunks).write.mode("overwrite").parquet(inDir)
+
+    val offTable = scratch("graft-skb-off").resolve("t").toString
+    val offSec = drain(inDir, offTable, None)
+    spark.catalog.clearCache()
+
+    val onTable = scratch("graft-skb-on").resolve("t").toString
+    val statePath = scratch("graft-skb-state").resolve("s").toString
+    val onSec = drain(inDir, onTable, Some(statePath))
+
+    val stateBytes = dirBytes(statePath)
+    val corpusBytes = dirBytes(onTable)
+    val stateRows = Seq("cms", "kmv", "hll").map { s =>
+      s""""$s":${spark.read.parquet(s"$statePath/$s").count()}"""
+    }.mkString("{", ",", "}")
+
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val line =
+      s"""{"metric":"sketch_accum","sf":"$sfDir","docs":$nDocs,"chunks":$nChunks,""" +
+        s""""files_per_trigger":$fpt,""" +
+        s""""off_sec":${f2(offSec)},"off_docs_per_sec":${f1(nDocs / offSec)},""" +
+        s""""on_sec":${f2(onSec)},"on_docs_per_sec":${f1(nDocs / onSec)},""" +
+        s""""overhead_pct":${f1((onSec / offSec - 1.0) * 100.0)},""" +
+        s""""state_bytes":$stateBytes,"ingested_corpus_bytes":$corpusBytes,""" +
+        s""""state_rows":$stateRows}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_SKETCH_OUT").foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}

@@ -529,7 +529,11 @@ object SparkEntry {
         .agg(dsum(col("o_totalprice")).as("revenue"))
       // unpartitioned window is safe here: the frame is the already-
       // aggregated monthly series (bounded by calendar cardinality,
-      // ~100s of rows at any corpus scale), not the fact table
+      // ~100s of rows at any corpus scale), not the fact table.
+      // The "WindowExec: No Partition Defined ... single partition"
+      // WARN this line triggers in bench logs is Spark flagging
+      // exactly that bound — expected, audited, harmless; BenchSpec
+      // pins this as the repo's ONE unpartitioned-window site.
       val w = Window.orderBy(col("month"))
       monthly.select(col("month"), col("revenue"),
         round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), lit(0.0)), 2)
@@ -1151,6 +1155,13 @@ object SparkEntry {
     // interval-union algebra, not just counts.
     "td14_exact_substring_dedup" -> ((s, dir) =>
       TextDedup.exactSubstringDedup(tbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
+
+    // td14 with the gram shuffle key hash-packed to 128 bits (two
+    // independent xxhash64 draws) — the 100 TB shuffle-bytes knob.
+    // Answers to the SAME oracle SQL as td14, so packed ≡ exact is an
+    // oracle-checked fact every round, not only a spec assertion.
+    "td15_substring_dedup_packed" -> ((s, dir) =>
+      TextDedup.exactSubstringDedupPacked(tbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
 
     "td8_line_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(
@@ -2038,6 +2049,44 @@ object SparkEntry {
   /** One oracle, two plans: w3 (single user-keyed window) and w4 (the
     * bucketed skew mitigation) both answer to this SQL — semantic
     * equivalence of the mitigation is an oracle-checked fact. */
+  /** td14/td15's shared DuckDB oracle — the full ExactSubstr removal
+    * algebra (positional k-grams at k = SubstrK with start ordinals,
+    * corpus-wide
+    * instance counts, per-doc interval union, span-complement token
+    * filter, md5 of the rebuilt text). Two queries answer to it: the
+    * exact-text-key form and the 128-bit packed-key form, so the
+    * packing's output-equivalence is oracle-checked every round. */
+  private lazy val ExactSubstrOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+         |gl AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(0, greatest(len(t) - $SubstrK, 0) + 1),
+         |      i -> array_to_string(array_slice(t, i + 1, i + $SubstrK), ' ')) END AS gs
+         |  FROM tk),
+         |g AS (SELECT doc_id, unnest(gs) AS gram,
+         |    generate_subscripts(gs, 1) - 1 AS st FROM gl),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+         |ds AS (SELECT doc_id, st FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |br AS (SELECT doc_id, st,
+         |    CASE WHEN st > LAG(st) OVER (PARTITION BY doc_id ORDER BY st) + $SubstrK
+         |      THEN 1 ELSE 0 END AS brk FROM ds),
+         |gr AS (SELECT doc_id, st,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM br),
+         |sp AS (SELECT doc_id, grp, MIN(st) AS s, MAX(st) + ${SubstrK - 1} AS e
+         |  FROM gr GROUP BY doc_id, grp),
+         |tp AS (SELECT doc_id, unnest(t) AS tok,
+         |    generate_subscripts(t, 1) - 1 AS idx FROM tk),
+         |kept AS (SELECT tp.doc_id, tp.tok, tp.idx FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tp.doc_id AND tp.idx BETWEEN sp.s AND sp.e)),
+         |reb AS (SELECT doc_id, COUNT(*) AS nk,
+         |    string_agg(tok, ' ' ORDER BY idx) AS txt FROM kept GROUP BY doc_id),
+         |nsp AS (SELECT doc_id, COUNT(*) AS ns FROM sp GROUP BY doc_id)
+         |SELECT k.doc_id, CAST(len(k.t) AS INT) AS n_tokens,
+         |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
+         |  CAST(COALESCE(n.ns, 0) AS INT) AS n_spans_removed,
+         |  md5(COALESCE(r.txt, '')) AS clean_md5
+         |FROM tk k LEFT JOIN reb r USING (doc_id) LEFT JOIN nsp n USING (doc_id)""".stripMargin
+
   private val SessionizeOracleSql: String =
     """WITH flag AS (
       |  SELECT user_id, ts, event_id, value,
@@ -3454,36 +3503,13 @@ object SparkEntry {
     // (lag gap test + running-sum group ids + min/max span bounds),
     // the span-complement token filter, and the md5 of the rebuilt
     // text — the full ExactSubstr removal algebra.
-    "td14_exact_substring_dedup" ->
-      s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
-         |gl AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(0, greatest(len(t) - $SubstrK, 0) + 1),
-         |      i -> array_to_string(array_slice(t, i + 1, i + $SubstrK), ' ')) END AS gs
-         |  FROM tk),
-         |g AS (SELECT doc_id, unnest(gs) AS gram,
-         |    generate_subscripts(gs, 1) - 1 AS st FROM gl),
-         |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
-         |ds AS (SELECT doc_id, st FROM g WHERE gram IN (SELECT gram FROM dup)),
-         |br AS (SELECT doc_id, st,
-         |    CASE WHEN st > LAG(st) OVER (PARTITION BY doc_id ORDER BY st) + $SubstrK
-         |      THEN 1 ELSE 0 END AS brk FROM ds),
-         |gr AS (SELECT doc_id, st,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM br),
-         |sp AS (SELECT doc_id, grp, MIN(st) AS s, MAX(st) + ${SubstrK - 1} AS e
-         |  FROM gr GROUP BY doc_id, grp),
-         |tp AS (SELECT doc_id, unnest(t) AS tok,
-         |    generate_subscripts(t, 1) - 1 AS idx FROM tk),
-         |kept AS (SELECT tp.doc_id, tp.tok, tp.idx FROM tp
-         |  WHERE NOT EXISTS (SELECT 1 FROM sp
-         |    WHERE sp.doc_id = tp.doc_id AND tp.idx BETWEEN sp.s AND sp.e)),
-         |reb AS (SELECT doc_id, COUNT(*) AS nk,
-         |    string_agg(tok, ' ' ORDER BY idx) AS txt FROM kept GROUP BY doc_id),
-         |nsp AS (SELECT doc_id, COUNT(*) AS ns FROM sp GROUP BY doc_id)
-         |SELECT k.doc_id, CAST(len(k.t) AS INT) AS n_tokens,
-         |  CAST(COALESCE(r.nk, 0) AS INT) AS n_tokens_kept,
-         |  CAST(COALESCE(n.ns, 0) AS INT) AS n_spans_removed,
-         |  md5(COALESCE(r.txt, '')) AS clean_md5
-         |FROM tk k LEFT JOIN reb r USING (doc_id) LEFT JOIN nsp n USING (doc_id)""".stripMargin,
+    "td14_exact_substring_dedup" -> ExactSubstrOracleSql,
+
+    // packed ≡ exact: the 128-bit hash-packed-key variant answers to
+    // the SAME SQL, so any divergence introduced by the key packing
+    // (a double-xxhash64 collision, a plan-shape bug) turns this row
+    // red — the oracle-checked form of TextDedupSpec's equivalence.
+    "td15_substring_dedup_packed" -> ExactSubstrOracleSql,
 
     // Replays the synthesized boilerplate, the per-line document
     // frequency, the >50 removal, and the order-preserving reassembly

@@ -124,14 +124,28 @@ object StreamBench {
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
+    // On-disk weight of a sink (0 when absent) — in verify mode the
+    // (id, shingles) store at `<idx>_sh` is the linear-in-corpus state
+    // that buys batch-exact admission, so its size vs the admitted
+    // corpus is part of the price and gets reported per point.
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+
     final case class Point(fpt: Int, streamSec: Double, admitted: Long,
-        batchSecs: Seq[Double]) {
+        batchSecs: Seq[Double], admittedBytes: Long, indexBytes: Long,
+        shingleBytes: Long) {
       def json: String =
         s"""{"files_per_trigger":$fpt,""" +
           s""""micro_batches":${math.ceil(nChunks.toDouble / fpt).toInt},""" +
           s""""stream_sec":${f2(streamSec)},"docs_per_sec":${f1(nDocs / streamSec)},""" +
           s""""sec_per_batch":${f2(if (batchSecs.nonEmpty) streamSec / batchSecs.size else streamSec)},""" +
           s""""admitted":$admitted,""" +
+          s""""admitted_bytes":$admittedBytes,"index_bytes":$indexBytes,""" +
+          s""""shingle_store_bytes":$shingleBytes,""" +
           s""""batch_secs":${batchSecs.map(f2).mkString("[", ",", "]")}}"""
     }
 
@@ -141,7 +155,8 @@ object StreamBench {
       val t0 = System.nanoTime()
       val batchSecs = drain(inDir, adm, idx, fpt)
       val streamSec = (System.nanoTime() - t0) / 1e9
-      val p = Point(fpt, streamSec, spark.read.parquet(adm).count(), batchSecs)
+      val p = Point(fpt, streamSec, spark.read.parquet(adm).count(), batchSecs,
+        dirBytes(adm), dirBytes(idx), dirBytes(idx.stripSuffix("/") + "_sh"))
       System.err.println(s"[streambench] ${p.json}")
       spark.catalog.clearCache()
       p

@@ -14,7 +14,7 @@ import javax.imageio.ImageIO
   * stub until a codec library is available.
   *
   * Codec instances are created per partition inside `mapPartitions`
-  * (see [[Multimodal.extractFeatures]]) so any native-library init
+  * (see [[Multimodal.extractImageFeatures]]) so any native-library init
   * cost amortizes over the batch — executors never serialize codec
   * state from the driver.
   */

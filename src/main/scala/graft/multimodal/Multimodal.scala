@@ -304,9 +304,12 @@ object Multimodal {
     }.toDF()
   }
 
-  /** ??? in spirit: a deterministic fake decode so the pipeline is
-    * testable end-to-end. Real implementation would call the codec
-    * here, once per partition. */
+  /** Deterministic fake decode — the documented FALLBACK for payloads
+    * the real codecs cannot parse (see [[extractImageFeatures]], which
+    * marks such rows `decoded = false`). Never a public entry point:
+    * since round 11 every public feature path is codec-first, and the
+    * stub is reachable only through the undecodable-payload branch (or
+    * the package-private test seams below). */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val head = r.payload.take(64)
     val checksum = head.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -317,27 +320,30 @@ object Multimodal {
     MediaFeatures(r.media_id, r.media_type, r.n_bytes, w, h, checksum, feats)
   }
 
-  /** Partition-batched decode/feature-extract. */
-  def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  /** Stub-only decode over a partition batch — the test seam that pins
+    * [[decodeStub]]'s determinism (MultimodalSpec). Package-private:
+    * users reach features through [[extractImageFeatures]] /
+    * [[extractAudioFeatures]], where the real codec decodes and the
+    * stub is only the undecodable-payload fallback. */
+  private[multimodal] def extractFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real decoder init would happen here, once per partition batch
       it.map(decodeStub)
     }
   }
 
-  /** DataFrame convenience: media table → features table. */
-  def extractFeaturesDf(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** DataFrame face of the [[extractFeatures]] test seam. */
+  private[multimodal] def extractFeaturesDf(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     extractFeatures(media.as[MediaRecord])(spark).toDF()
   }
 
-  /** ??? in spirit: "resize" — a real implementation re-encodes the
-    * decoded image at (w, h); the stub deterministically resamples the
-    * payload bytes to w*h/64 bytes so output size scales like a real
-    * thumbnail. The Spark shape (partition-batched, payload-in /
-    * payload-out, metadata updated) is the real contract. */
-  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+  /** Stub-only resize — deterministically resamples the payload bytes
+    * to w*h/64 bytes so output size scales like a real thumbnail.
+    * Package-private test seam for the [[resampleStub]] fallback;
+    * users resize through [[resizeImages]], where the real codec
+    * re-encodes and this resample only handles undecodable payloads. */
+  private[multimodal] def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       // real codec init once per partition batch
@@ -349,13 +355,15 @@ object Multimodal {
     }.toDF()
   }
 
-  /** ??? in spirit: "frame sample" — a real implementation decodes a
-    * video and emits every Nth frame; the stub splits the payload into
-    * fixed-size chunks and keeps every Nth, one output row per kept
-    * frame (the generator/explode shape of frame sampling). */
+  /** Stub-only frame sampling — splits the payload into fixed-size
+    * chunks and keeps every Nth, one output row per kept frame (the
+    * generator/explode shape of frame sampling). Package-private test
+    * seam; users sample frames through [[sampleFrameFeatures]], where
+    * the real GIF/MJPEG-AVI container parsers walk actual frames and
+    * the byte-chunk shape only covers unparseable payloads. */
   final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
 
-  def sampleFrames(
+  private[multimodal] def sampleFrames(
       spark: SparkSession,
       media: DataFrame,
       frameBytes: Int = 32,

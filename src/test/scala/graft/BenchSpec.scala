@@ -39,6 +39,30 @@ class BenchSpec extends AnyFunSuite {
     // median of the best-3 the dispersion gate certifies)
     assert(line.contains(""""robust_value":"""))
     assert(line.contains(""""steady_value":"""))
+    // round-11: an unconverged line declares its headline provenance
+    assert(line.contains(""""value_source":"steady""""))
+    assert(line.contains(""""min_value":"""))
+  }
+
+  test("unconverged headline is steady_value, not the optimistic min-composite") {
+    // totals 3.0, 30.0, 4.0, 5.0; min-composite would be 3.0 (per-query
+    // minima), steady = median of best-3 {3,4,5} = 4.0
+    val r1 = Map("a" -> 1.0, "b" -> 2.0)
+    val r2 = Map("a" -> 10.0, "b" -> 20.0)
+    val r3 = Map("a" -> 1.5, "b" -> 2.5)
+    val r4 = Map("a" -> 2.0, "b" -> 3.0)
+    val results = Map("a" -> 1.0, "b" -> 2.0)
+    val (bad, badFull) = Bench.renderLines(
+      results, "/tmp/sf0.1", 4, 66.7, false, Seq.empty, Seq(r1, r2, r3, r4))
+    assert(bad.contains(""""value":4.000"""), bad)
+    assert(bad.contains(""""value_source":"steady""""))
+    assert(bad.contains(""""min_value":3.000"""))
+    assert(badFull.contains(""""value":4.000"""))
+    // converged: headline stays the min-composite, source says so
+    val (ok, _) = Bench.renderLines(
+      results, "/tmp/sf0.1", 4, 2.0, true, Seq.empty, Seq(r1, r2, r3, r4))
+    assert(ok.contains(""""value":3.000"""), ok)
+    assert(ok.contains(""""value_source":"min_composite""""))
   }
 
   test("steady_value is the median of the best-3 complete round totals") {

@@ -6,7 +6,9 @@
 # Env: SPARK_DRIVER_MEM (default 8g) — same knob build.sbt honors.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES: override the classes dir (e.g. a snapshot copy, so a
+# multi-hour bench keeps a stable classpath while sbt recompiles).
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
