@@ -917,6 +917,32 @@ object SparkEntry {
       Sketches.hllDistinctFromRegisters(docs, "text", Sketches.hllMerge(a, b), HllP)
     }),
 
+    // Misra–Gries heavy hitters in the order-free top-k-with-offset
+    // form (classic streaming MG is processing-order-dependent —
+    // useless under nondeterministic partitioning). Completes the
+    // sketch quadrant: CMS = "how often" (one-sided OVERcount), MG =
+    // "which are frequent" (one-sided UNDERcount + membership
+    // guarantee). The bound_ok column IS the MG guarantee
+    // undercount ≤ m/(k+1), decided in integer arithmetic and
+    // hash-compared like any other output bit.
+    "t22_mg_heavy_hitters" -> ((s, dir) =>
+      Sketches.mgTopk(tbl(s, dir, "documents"), "text", k = MgK, topK = CmsTopK)),
+
+    // The merge proof: MG's merge is LOSSY (merged ≠ recomputed, so
+    // the whole-corpus replay can't serve as the oracle like t18/t19/
+    // t21) but DETERMINISTIC — the oracle replays the two-part
+    // algebra (per-half reduce, counter sums, re-reduce) exactly, and
+    // the merged summary must still satisfy the global m/(k+1) bound
+    // (Agarwal et al. 2013), carried as the compared bound_ok column.
+    "t23_mg_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val a = Sketches.mgSummary(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", MgK)
+      val b = Sketches.mgSummary(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", MgK)
+      Sketches.mgHeavyHitters(docs, "text", Sketches.mgMerge(a, b, MgK), MgK, CmsTopK)
+    }),
+
     // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
     // boolean per rule + the conjunction — the per-rule report a
     // curation run logs. All gates are integer-derived doubles, so the
@@ -1787,6 +1813,7 @@ object SparkEntry {
   private val CmsTopK = 20
   private val KmvK = 256
   private val HllP = 8 // m = 256 registers, same state budget as KmvK
+  private val MgK = 64 // Misra–Gries counters; guarantee: undercount ≤ m/65
   private val SubstrK = 8
 
   /** Whole-corpus count-min replay (cells = multiply-add permutation
@@ -1891,6 +1918,66 @@ object SparkEntry {
        |  END AS rel_err
        |FROM f""".stripMargin
   }
+
+  /** Whole-corpus Misra–Gries replay: exact (token, count) frame,
+    * ROW_NUMBER over the total order (count desc, token asc), offset
+    * t = the (k+1)-th count (0 when absent), summary = top-k with
+    * counter − t > 0, evaluated at the exact top-CmsTopK probes with
+    * the integer-decided undercount·(k+1) ≤ m bound. Every step is a
+    * pure function of the exact counts — the whole point of the
+    * order-free MG formulation. */
+  private lazy val MgTopkSql =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |inst AS (SELECT unnest(t) AS tok FROM tk),
+       |cnt AS (SELECT tok, COUNT(*) AS n FROM inst GROUP BY tok),
+       |mm AS (SELECT COUNT(*) AS m FROM inst),
+       |ord AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnt),
+       |toff AS (SELECT COALESCE(MAX(CASE WHEN rn = ${MgK + 1} THEN n END), 0) AS t
+       |  FROM ord WHERE rn <= ${MgK + 1}),
+       |summ AS (SELECT tok, n - toff.t AS counter FROM ord, toff
+       |  WHERE rn <= $MgK AND n - toff.t > 0),
+       |probes AS (SELECT tok, n FROM ord WHERE rn <= $CmsTopK)
+       |SELECT p.tok, CAST(p.n AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(s.counter, 0) AS BIGINT) AS n_mg_lower,
+       |  CAST(p.n - COALESCE(s.counter, 0) AS BIGINT) AS undercount,
+       |  (p.n - COALESCE(s.counter, 0)) * ${MgK + 1} <= mm.m AS bound_ok
+       |FROM probes p LEFT JOIN summ s USING (tok), mm""".stripMargin
+
+  /** Two-part Misra–Gries merge replay: the same reduce applied to
+    * each doc_id-parity half, counters summed per token, re-reduced
+    * with the same offset rule, then evaluated against the WHOLE
+    * corpus's exact top tokens and total-m bound — step-for-step the
+    * algebra `t23_mg_merge` runs in Spark. */
+  private lazy val MgMergeSql =
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |cntA AS (SELECT tok, COUNT(*) AS n FROM (SELECT unnest(t) AS tok FROM tk WHERE doc_id % 2 = 0) GROUP BY tok),
+       |cntB AS (SELECT tok, COUNT(*) AS n FROM (SELECT unnest(t) AS tok FROM tk WHERE doc_id % 2 = 1) GROUP BY tok),
+       |ordA AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cntA),
+       |ordB AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cntB),
+       |tA AS (SELECT COALESCE(MAX(CASE WHEN rn = ${MgK + 1} THEN n END), 0) AS t
+       |  FROM ordA WHERE rn <= ${MgK + 1}),
+       |tB AS (SELECT COALESCE(MAX(CASE WHEN rn = ${MgK + 1} THEN n END), 0) AS t
+       |  FROM ordB WHERE rn <= ${MgK + 1}),
+       |summA AS (SELECT tok, n - tA.t AS counter FROM ordA, tA
+       |  WHERE rn <= $MgK AND n - tA.t > 0),
+       |summB AS (SELECT tok, n - tB.t AS counter FROM ordB, tB
+       |  WHERE rn <= $MgK AND n - tB.t > 0),
+       |comb AS (SELECT tok, SUM(counter) AS counter
+       |  FROM (SELECT * FROM summA UNION ALL SELECT * FROM summB) GROUP BY tok),
+       |ordC AS (SELECT tok, counter, ROW_NUMBER() OVER (ORDER BY counter DESC, tok) AS rn FROM comb),
+       |tC AS (SELECT COALESCE(MAX(CASE WHEN rn = ${MgK + 1} THEN counter END), 0) AS t
+       |  FROM ordC WHERE rn <= ${MgK + 1}),
+       |merged AS (SELECT tok, counter - tC.t AS counter FROM ordC, tC
+       |  WHERE rn <= $MgK AND counter - tC.t > 0),
+       |inst AS (SELECT unnest(t) AS tok FROM tk),
+       |cnt AS (SELECT tok, COUNT(*) AS n FROM inst GROUP BY tok),
+       |mm AS (SELECT COUNT(*) AS m FROM inst),
+       |probes AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT $CmsTopK)
+       |SELECT p.tok, CAST(p.n AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(s.counter, 0) AS BIGINT) AS n_mg_lower,
+       |  CAST(p.n - COALESCE(s.counter, 0) AS BIGINT) AS undercount,
+       |  (p.n - COALESCE(s.counter, 0)) * ${MgK + 1} <= mm.m AS bound_ok
+       |FROM probes p LEFT JOIN merged s USING (tok), mm""".stripMargin
 
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
@@ -3357,6 +3444,17 @@ object SparkEntry {
     // argument.
     "t20_hll_distinct" -> HllSql,
     "t21_hll_merge" -> HllSql,
+
+    // Replays the order-free Misra–Gries reduce (ROW_NUMBER over
+    // (count desc, tok), (k+1)-th-count offset, zero-drop) and the
+    // top-k probe evaluation with the integer-decided m/(k+1) bound.
+    "t22_mg_heavy_hitters" -> MgTopkSql,
+
+    // Replays the TWO-PART algebra exactly (per-half reduce → counter
+    // sums → re-reduce): MG's merge is lossy, so unlike t18/t19/t21
+    // the whole-corpus replay cannot stand in for it — determinism of
+    // the offset form is what makes this oracle possible at all.
+    "t23_mg_merge" -> MgMergeSql,
 
     // All gate inputs are integer-derived doubles (counts and count
     // ratios), so the threshold comparisons are exact in both engines

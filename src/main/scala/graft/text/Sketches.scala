@@ -415,4 +415,109 @@ object Sketches {
       p: Int = 8,
   ): DataFrame =
     hllDistinctFromRegisters(docs, textCol, hllRegisters(docs, textCol, p), p)
+
+  // -------------------------------------------------------------------
+  // Misra–Gries heavy hitters (Misra & Gries 1982), order-free form.
+  // -------------------------------------------------------------------
+
+  /** The Misra–Gries summary in its ORDER-FREE "top-k with offset"
+    * formulation (the form Agarwal et al. 2013, "Mergeable Summaries",
+    * analyzes): from the exact (token, count) frame, keep the k most
+    * frequent tokens under the total order (count desc, token asc)
+    * with counter(x) = f(x) − t, where t is the (k+1)-th largest count
+    * (0 when fewer than k+1 distinct tokens exist); boundary tokens
+    * whose counter hits 0 drop. The classic streaming MG is
+    * processing-order-dependent — useless under Spark's
+    * nondeterministic partitioning — while this formulation is a pure
+    * function of the exact counts, so two engines (and two runs)
+    * agree bit-for-bit, and the DuckDB oracle replays it with a
+    * ROW_NUMBER window. It satisfies the MG guarantee: ≤ k counters,
+    * f(x) − m/(k+1) ≤ counter(x) ≤ f(x) (k+1 tokens each with count
+    * ≥ t sum to ≤ m, so t ≤ m/(k+1)).
+    *
+    * Scale shape: the instance stream collapses to (token, count) —
+    * one linear hash shuffle, the same front every sketch here pays —
+    * and the reduce is a TakeOrdered over k+1 rows; state is ≤ k
+    * (token, counter) pairs. Completes the sketch family's coverage:
+    * CMS answers "how often is X" (one-sided OVERcount), MG answers
+    * "which X are frequent" with a one-sided UNDERcount and a
+    * deterministic membership guarantee (every token with
+    * f(x) > m/(k+1) is in the summary). */
+  def mgSummary(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 64,
+  ): DataFrame =
+    mgReduce(
+      instances(docs, textCol).groupBy("tok").agg(count(lit(1)).as("counter")),
+      k)
+
+  /** The offset reduce at the heart of the summary: top-(k+1) of the
+    * counter frame under (counter desc, tok asc), subtract the
+    * (k+1)-th counter from the top k, drop zeros. Everything after the
+    * input frame is bounded by k (TakeOrderedAndProject, never a
+    * global sort). */
+  def mgReduce(counters: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = counters.orderBy(col("counter").desc, col("tok").asc).limit(k + 1)
+    val t = top.agg(
+      when(count(lit(1)) === k + 1, min(col("counter")))
+        .otherwise(lit(0L)).as("t"))
+    top.orderBy(col("counter").desc, col("tok").asc).limit(k)
+      .crossJoin(t)
+      .select(col("tok"), (col("counter") - col("t")).as("counter"))
+      .filter(col("counter") > 0)
+  }
+
+  /** Merge two MG summaries built with the same k: counters are
+    * additive lower bounds, so merged = per-token counter sums
+    * re-reduced with the same offset rule — ≤ 2k input rows, bounded
+    * work. Unlike the CMS/KMV/HLL merges this one is LOSSY (merged ≠
+    * recomputed in general) but it is deterministic and keeps the
+    * global guarantee: the merged summary's undercount stays ≤
+    * m_total/(k+1) (Agarwal et al. 2013, Thm. 1) — the
+    * `t23_mg_merge` oracle replays the two-part algebra exactly and
+    * the bound rides along as a compared output column. */
+  def mgMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    mgReduce(
+      a.unionByName(b).groupBy("tok").agg(sum("counter").as("counter")),
+      k)
+
+  /** Evaluate a (possibly merged) summary at the exact top-`topK`
+    * tokens of `docs`: per probe token the exact count, the MG lower
+    * bound (0 when the token fell out of the summary), the one-sided
+    * undercount, and `bound_ok` — the MG guarantee
+    * undercount ≤ m/(k+1), checked in integer arithmetic
+    * (undercount·(k+1) ≤ m) so both engines decide it identically.
+    * Output: `tok, n_exact, n_mg_lower, undercount, bound_ok`. */
+  def mgHeavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      summary: DataFrame,
+      k: Int = 64,
+      topK: Int = 20,
+  ): DataFrame = {
+    val cnt = instances(docs, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val m = instances(docs, textCol).agg(count(lit(1)).as("m_total"))
+    cnt.orderBy(col("n_exact").desc, col("tok").asc).limit(topK)
+      .join(broadcast(summary), Seq("tok"), "left")
+      .crossJoin(m)
+      .select(
+        col("tok"),
+        col("n_exact"),
+        coalesce(col("counter"), lit(0L)).as("n_mg_lower"),
+        (col("n_exact") - coalesce(col("counter"), lit(0L))).as("undercount"),
+        ((col("n_exact") - coalesce(col("counter"), lit(0L))) * lit(k + 1L)
+          <= col("m_total")).as("bound_ok"))
+  }
+
+  /** Whole-corpus heavy hitters — [[mgSummary]] + [[mgHeavyHitters]]. */
+  def mgTopk(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 64,
+      topK: Int = 20,
+  ): DataFrame =
+    mgHeavyHitters(docs, textCol, mgSummary(docs, textCol, k), k, topK)
 }

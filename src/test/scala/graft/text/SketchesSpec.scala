@@ -201,4 +201,72 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllDistinct(Seq((1L, "x")).toDF("doc_id", "text"), "text", p = 3)
     }
   }
+
+  private def summaryMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("mgSummary: offset form — counters = count minus the (k+1)-th count") {
+    // counts: a=4, b=3, c=2, d=1; k=2 → top-3 (a,b,c), t = 2
+    val docs = Seq((1L, "a a a a b b b c c d")).toDF("doc_id", "text")
+    assert(summaryMap(Sketches.mgSummary(docs, "text", k = 2)) ==
+      Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("mgSummary: boundary ties drop to zero and are evicted") {
+    // counts: a=3, b=2, c=2; k=2 → order (a, b, c), t = 2 → b evicted
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    assert(summaryMap(Sketches.mgSummary(docs, "text", k = 2)) == Map("a" -> 1L))
+  }
+
+  test("mgSummary: below k+1 distinct tokens the summary is the exact counts") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    assert(summaryMap(Sketches.mgSummary(docs, "text", k = 4)) ==
+      Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("mgTopk: lower bounds, one-sided undercount within m/(k+1), heavy token guaranteed present") {
+    // one token with f > m/(k+1) MUST be in the summary (membership law)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"heavy heavy tok${i % 13} filler$i")).toDF("doc_id", "text")
+    val rows = Sketches.mgTopk(docs, "text", k = 8, topK = 10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, lower, under, ok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(lower >= 0 && lower <= exact)
+      assert(under == exact - lower)
+      assert(ok, s"MG bound violated at ${r.getString(0)}")
+    }
+    val heavy = rows.find(_.getString(0) == "heavy").get
+    assert(heavy.getLong(2) > 0L, "token with f > m/(k+1) missing from summary")
+  }
+
+  test("mgMerge: two-part merge replays the deterministic offset algebra exactly") {
+    // half A counts: a=3,b=2,c=1 → t=1 → {a→2, b→1}
+    // half B counts: b=3,d=2,a=1 → t=1 → {b→2, d→1}
+    // combined: b=3,a=2,d=1 → t=1 → merged {b→2, a→1}
+    val a = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val b = Seq((1L, "a b b b d d")).toDF("doc_id", "text")
+    val merged = Sketches.mgMerge(
+      Sketches.mgSummary(a, "text", k = 2),
+      Sketches.mgSummary(b, "text", k = 2), k = 2)
+    assert(summaryMap(merged) == Map("b" -> 2L, "a" -> 1L))
+
+    // evaluated against the union corpus: m=12, k=2 → bound 4
+    val whole = a.unionByName(b)
+    val out = Sketches.mgHeavyHitters(whole, "text", merged, k = 2, topK = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      "b" -> ((5L, 2L, 3L, true)),
+      "a" -> ((4L, 1L, 3L, true)),
+      "d" -> ((2L, 0L, 2L, true)),
+      "c" -> ((1L, 0L, 1L, true))))
+  }
+
+  test("mgReduce rejects k < 1") {
+    intercept[IllegalArgumentException] {
+      Sketches.mgSummary(Seq((1L, "x")).toDF("doc_id", "text"), "text", k = 0)
+    }
+  }
 }
