@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming sketch-accumulator throughput point — the measured cost
-  * of [[graft.streaming.StreamingIngest.drainSketchState]]'s claim
-  * that corpus sketches ride along with ingest for ~nothing (state
-  * bounded by sketch parameters, per-batch work one narrow pass).
+/** Streaming sketch-accumulator throughput sweep — the measured cost
+  * of [[graft.streaming.StreamingIngest.drainSketchState]]. What the
+  * round-11 sweep established (MEASUREMENTS_R11.json): the overhead
+  * decomposes as a FIXED ~2 s per micro-batch (three bounded
+  * lease-serialized appends, amortized by trigger size exactly like
+  * admission's B ≥ λ·c rule) plus a LINEAR one-sketch-pass over the
+  * batch data (inherent — the same arithmetic the batch t16/t17/t20
+  * queries pay); the STATE is what stays ~zero (89 KB of batch-keyed
+  * partials against a 5.9 MB sf1 corpus, parameter-bounded).
   *
   * Method: the corpus's documents are staged as `nChunks` file
   * arrivals; TWO AvailableNow drains run the same idempotent-append
@@ -29,7 +34,13 @@ object SketchStreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val nChunks = sys.env.get("SPARK_GRAFT_STREAM_CHUNKS").map(_.toInt).getOrElse(32)
-    val fpt = sys.env.get("SPARK_GRAFT_STREAM_FPT").map(_.toInt).getOrElse(4)
+    // Sweep over trigger sizes: the accumulator's cost is three extra
+    // bounded appends PER MICRO-BATCH (state is sketch-parameter-sized,
+    // so the append work is job overhead, not data), which means the
+    // overhead must amortize ~linearly with files_per_trigger — the
+    // sweep turns that claim into a measured curve.
+    val fpts = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "4,16,32")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = Defaults.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,7 +62,8 @@ object SketchStreamBench {
 
     // One ingest drain: parquet-file arrivals → foreachBatch idempotent
     // append; `statePath` nonempty adds the per-batch sketch fold.
-    def drain(inDir: String, tablePath: String, statePath: Option[String]): Double = {
+    def drain(inDir: String, tablePath: String, statePath: Option[String],
+        fpt: Int): Double = {
       val ckpt = scratch("graft-skb-ckpt").toString
       val t0 = System.nanoTime()
       spark.readStream
@@ -88,35 +100,46 @@ object SketchStreamBench {
     val warmIn = scratch("graft-skb-warm-in").toString
     docs.limit(2000).repartition(4).write.mode("overwrite").parquet(warmIn)
     drain(warmIn, scratch("graft-skb-warm-t").resolve("t").toString,
-      Some(scratch("graft-skb-warm-s").resolve("s").toString))
+      Some(scratch("graft-skb-warm-s").resolve("s").toString), 4)
     spark.catalog.clearCache()
 
     val inDir = scratch("graft-skb-in").toString
     docs.repartition(nChunks).write.mode("overwrite").parquet(inDir)
 
-    val offTable = scratch("graft-skb-off").resolve("t").toString
-    val offSec = drain(inDir, offTable, None)
-    spark.catalog.clearCache()
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
 
-    val onTable = scratch("graft-skb-on").resolve("t").toString
-    val statePath = scratch("graft-skb-state").resolve("s").toString
-    val onSec = drain(inDir, onTable, Some(statePath))
+    var lastState: Option[String] = None
+    val points = fpts.map { fpt =>
+      val nBatches = math.ceil(nChunks.toDouble / fpt).toInt
+      val offSec = drain(inDir, scratch("graft-skb-off").resolve("t").toString,
+        None, fpt)
+      spark.catalog.clearCache()
+      val statePath = scratch("graft-skb-state").resolve("s").toString
+      val onSec = drain(inDir, scratch("graft-skb-on").resolve("t").toString,
+        Some(statePath), fpt)
+      spark.catalog.clearCache()
+      lastState = Some(statePath)
+      val p =
+        s"""{"files_per_trigger":$fpt,"micro_batches":$nBatches,""" +
+          s""""off_sec":${f2(offSec)},"off_docs_per_sec":${f1(nDocs / offSec)},""" +
+          s""""on_sec":${f2(onSec)},"on_docs_per_sec":${f1(nDocs / onSec)},""" +
+          s""""overhead_pct":${f1((onSec / offSec - 1.0) * 100.0)},""" +
+          s""""overhead_sec_per_batch":${f2((onSec - offSec) / nBatches)}}"""
+      System.err.println(s"[sketchbench] $p")
+      p
+    }
 
+    val statePath = lastState.get
     val stateBytes = dirBytes(statePath)
-    val corpusBytes = dirBytes(onTable)
     val stateRows = Seq("cms", "kmv", "hll").map { s =>
       s""""$s":${spark.read.parquet(s"$statePath/$s").count()}"""
     }.mkString("{", ",", "}")
 
-    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val line =
       s"""{"metric":"sketch_accum","sf":"$sfDir","docs":$nDocs,"chunks":$nChunks,""" +
-        s""""files_per_trigger":$fpt,""" +
-        s""""off_sec":${f2(offSec)},"off_docs_per_sec":${f1(nDocs / offSec)},""" +
-        s""""on_sec":${f2(onSec)},"on_docs_per_sec":${f1(nDocs / onSec)},""" +
-        s""""overhead_pct":${f1((onSec / offSec - 1.0) * 100.0)},""" +
-        s""""state_bytes":$stateBytes,"ingested_corpus_bytes":$corpusBytes,""" +
+        s""""sweep":${points.mkString("[", ",", "]")},""" +
+        s""""state_bytes":$stateBytes,""" +
         s""""state_rows":$stateRows}"""
     println(line)
     sys.env.get("SPARK_GRAFT_SKETCH_OUT").foreach { p =>

@@ -45,12 +45,32 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val HotUser = 999999942L
+    // Corpus synthesized at a scale where the hazard is REAL, not
+    // nominal: re-keying the sf1 events table (the round-11 first cut)
+    // gave the hot user only 100K rows — a single-task sort of 100K
+    // rows is microseconds, so the plain variant WON (0.50 vs 0.70 s)
+    // and the measurement said nothing. The hazard is a single task
+    // sorting the hot user's entire history, so the history must be
+    // big enough to dominate a task: `nRows` events over one year,
+    // `hotPct`% of ALL rows on ONE user (tens of millions of rows in
+    // one window partition), the rest spread over `nUsers` keys.
+    // Pseudo-random event times via a multiplicative-hash spread so
+    // sessions form densely for the hot user and sparsely elsewhere.
+    val nRows = args.lift(2).map(_.toLong).getOrElse(40000000L)
+    val hotPct = 30
+    val nUsers = 200000L
+    val yearUs = 365L * 86400000000L
+    val epoch0 = 1704067200000000L // 2024-01-01 UTC, micros
     val skewedDir = java.nio.file.Files
       .createTempDirectory("graft-skewbench").resolve("events").toString
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    ev.withColumn("user_id",
-        when(pmod(col("event_id"), lit(10)) === 0, lit(HotUser))
-          .otherwise(col("user_id")))
+    spark.range(0, nRows)
+      .select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(100)) < hotPct, lit(HotUser))
+          .otherwise(pmod(col("id"), lit(nUsers))).as("user_id"),
+        timestamp_micros(
+          pmod(col("id") * lit(2654435761L), lit(yearUs)) + lit(epoch0)).as("ts"),
+        (pmod(col("id"), lit(1000)) / 10.0).as("value"))
       .write.mode("overwrite").parquet(skewedDir)
     val events = spark.read.parquet(skewedDir)
     val totalRows = events.count()

@@ -115,7 +115,9 @@ object Sessionize {
     graft.quality.SkewTelemetry.registerAdvice("sessionize",
       "A dominant user key serializes the per-user window sort into one " +
         "task; use sessionStatsBucketed(bucketUs) to bound per-task input " +
-        "by (user, time bucket) — bit-identical output, two bounded exchanges.")
+        "by (user, time bucket) — bit-identical output, two bounded " +
+        "exchanges; measured 2.69x faster (19.6 vs 7.3 s) on a 40M-row " +
+        "corpus with a 12M-row hot user (MEASUREMENTS_R11.json).")
     val stats = tagSessions(events, userCol, tsCol, gapUs, tieBreak)
       .groupBy(col(userCol), col("session_seq"))
       .agg(
