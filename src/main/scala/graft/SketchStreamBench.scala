@@ -132,7 +132,7 @@ object SketchStreamBench {
 
     val statePath = lastState.get
     val stateBytes = dirBytes(statePath)
-    val stateRows = Seq("cms", "kmv", "hll").map { s =>
+    val stateRows = Seq("cms", "kmv", "hll", "mg").map { s =>
       s""""$s":${spark.read.parquet(s"$statePath/$s").count()}"""
     }.mkString("{", ",", "}")
 

@@ -380,11 +380,12 @@ object StreamingIngest {
       cmsWidth: Int = 1024,
       kmvK: Int = 256,
       hllP: Int = 8,
+      mgK: Int = 64,
   ): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeSketchBatch(batch.toDF(), textCol, statePath, batchId,
-          cmsDepth, cmsWidth, kmvK, hllP)
+          cmsDepth, cmsWidth, kmvK, hllP, mgK)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -394,7 +395,17 @@ object StreamingIngest {
   /** One micro-batch's sketch merge — factored out so redelivery
     * idempotence is testable without faking a checkpoint crash:
     * calling this twice with the same `batchId` must leave the state
-    * unchanged (the append key is (batch_id, sketch coordinates)). */
+    * unchanged (the append key is (batch_id, sketch coordinates)).
+    *
+    * Cost shape (measured, MEASUREMENTS_R11.json): the per-batch
+    * overhead is a FIXED append cost plus one inherent sketch pass
+    * over the batch data. Two levers keep the fixed part small: the
+    * batch is persisted once so the four partial builds scan it from
+    * cache instead of re-reading the source, and the four appends go
+    * to four INDEPENDENT tables (separate paths, separate writer
+    * leases) so they run concurrently — Spark's scheduler is
+    * thread-safe for concurrent job submission, and FIFO slots the
+    * small jobs into idle cores. */
   private[graft] def mergeSketchBatch(
       batch: DataFrame,
       textCol: String,
@@ -404,23 +415,70 @@ object StreamingIngest {
       cmsWidth: Int,
       kmvK: Int,
       hllP: Int,
+      mgK: Int = 64,
   ): Unit = {
     import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
     val bid = lit(batchId).as("batch_id")
-    graft.sink.IdempotentAppend.appendNew(
-      spark,
-      graft.text.Sketches.cmsCells(batch, textCol, cmsDepth, cmsWidth).select(bid, col("j"), col("bucket"), col("cell")),
-      s"$statePath/cms", Seq("batch_id", "j", "bucket"), timeCol = None)
-    graft.sink.IdempotentAppend.appendNew(
-      spark,
-      graft.text.Sketches.kmvSketch(batch, textCol, kmvK).select(bid, col("u")),
-      s"$statePath/kmv", Seq("batch_id", "u"), timeCol = None)
-    graft.sink.IdempotentAppend.appendNew(
-      spark,
-      graft.text.Sketches.hllRegisters(batch, textCol, hllP).select(bid, col("bucket"), col("r")),
-      s"$statePath/hll", Seq("batch_id", "bucket"), timeCol = None)
-    ()
+    val cached = batch.persist()
+    try {
+      val appends = Seq(
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.cmsCells(cached, textCol, cmsDepth, cmsWidth)
+            .select(bid, col("j"), col("bucket"), col("cell")),
+          s"$statePath/cms", Seq("batch_id", "j", "bucket"), timeCol = None),
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.kmvSketch(cached, textCol, kmvK).select(bid, col("u")),
+          s"$statePath/kmv", Seq("batch_id", "u"), timeCol = None),
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.hllRegisters(cached, textCol, hllP)
+            .select(bid, col("bucket"), col("r")),
+          s"$statePath/hll", Seq("batch_id", "bucket"), timeCol = None),
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.mgSummary(cached, textCol, mgK)
+            .select(bid, col("tok"), col("counter")),
+          s"$statePath/mg", Seq("batch_id", "tok"), timeCol = None))
+      appends.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  /** Folded Misra–Gries summary of the drained state: the n-way
+    * [[graft.text.Sketches.mgMerge]] — per-token counter sums across
+    * every batch partial, re-reduced with the same offset rule. The
+    * merged summary keeps the global m_total/(k+1) undercount bound
+    * (Agarwal et al. 2013); unlike the CMS/KMV/HLL folds it is not
+    * bit-equal to the whole-corpus summary (MG's merge is lossy by
+    * design) but it IS deterministic — StreamingIngestSpec pins the
+    * fold against the batch-side n-way merge of the same partials. */
+  def mgStateSummary(spark: SparkSession, statePath: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // A batch whose summary came out EMPTY (legal: boundary ties zero
+    // out every counter) appends nothing, so a drain can finish with
+    // no mg/ dir at all — absence of state is the empty summary, not
+    // an error.
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/mg")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials =
+      if (fs.exists(path)) spark.read.parquet(path.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("counter",
+            org.apache.spark.sql.types.LongType))))
+    graft.text.Sketches.mgReduce(
+      partials.groupBy("tok").agg(sum("counter").as("counter")), k)
   }
 
   /** Folded CMS cells of the drained state — equals

@@ -419,7 +419,7 @@ class StreamingIngestSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(in.toString)
     StreamingIngest.drainSketchState(stream, "text", st, ckpt,
-      cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6).awaitTermination()
+      cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6, mgK = 8).awaitTermination()
     assert(spark.read.parquet(s"$st/cms").select("batch_id").distinct().count() == 3)
 
     val whole = spark.read.json(in.toString) // the drained corpus, as a batch
@@ -440,15 +440,30 @@ class StreamingIngestSpec extends SparkSpec {
     val direct = Sketches.hllDistinct(whole, "text", 6).collect().head
     assert(fromState.toSeq == direct.toSeq)
 
+    // MG fold = the deterministic n-way merge of the same per-batch
+    // partials (NOT the whole-corpus summary — MG's merge is lossy by
+    // design): per-doc summaries' counters summed, re-reduced
+    def mgMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val partials = (1 to 3).map(i =>
+      Sketches.mgSummary(whole.filter(col("doc_id") === i), "text", k = 8))
+    val expected = Sketches.mgReduce(
+      partials.reduce(_ unionByName _)
+        .groupBy("tok").agg(org.apache.spark.sql.functions.sum("counter").as("counter")),
+      k = 8)
+    assert(mgMap(StreamingIngest.mgStateSummary(spark, st, k = 8)) == mgMap(expected))
+
     // crash redelivery: re-merging an already-applied batch_id is a
     // no-op (the CMS fold is a SUM — without the key guard this
     // would double-count). Deterministic twin-state replay: same
     // batch content, same batch_id, applied twice.
     val st2 = Files.createTempDirectory("graft-stream-sk-st2").resolve("s").toString
     val doc1 = whole.filter(col("doc_id") === 1)
-    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6)
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8)
     val snap = cellMap(StreamingIngest.cmsStateCells(spark, st2))
-    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6)
+    val mgSnap = mgMap(StreamingIngest.mgStateSummary(spark, st2, k = 8))
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8)
     assert(cellMap(StreamingIngest.cmsStateCells(spark, st2)) == snap)
+    assert(mgMap(StreamingIngest.mgStateSummary(spark, st2, k = 8)) == mgSnap)
   }
 }
