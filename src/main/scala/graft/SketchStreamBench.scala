@@ -8,13 +8,16 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming sketch-accumulator throughput sweep — the measured cost
   * of [[graft.streaming.StreamingIngest.drainSketchState]]. What the
-  * round-11 sweep established (MEASUREMENTS_R11.json): the overhead
-  * decomposes as a FIXED ~2 s per micro-batch (three bounded
-  * lease-serialized appends, amortized by trigger size exactly like
-  * admission's B ≥ λ·c rule) plus a LINEAR one-sketch-pass over the
-  * batch data (inherent — the same arithmetic the batch t16/t17/t20
-  * queries pay); the STATE is what stays ~zero (89 KB of batch-keyed
-  * partials against a 5.9 MB sf1 corpus, parameter-bounded).
+  * round-11 sweeps established (MEASUREMENTS_R11.json): the overhead
+  * decomposes as a FIXED cost per micro-batch (bounded appends,
+  * amortized by trigger size exactly like admission's B ≥ λ·c rule)
+  * plus a LINEAR one-sketch-pass over the batch data (inherent — the
+  * same arithmetic the batch t16/t17/t20 queries pay); the STATE is
+  * what stays ~zero (90 KB of batch-keyed partials against a 5.9 MB
+  * sf1 corpus, parameter-bounded). The fixed part was measured at
+  * ~2.4 s with three serial appends; persisting the micro-batch once
+  * and submitting the four appends concurrently cut it to ~1.45 s
+  * while ADDING the MG summary (on-throughput +45% at fpt 4/16).
   *
   * Method: the corpus's documents are staged as `nChunks` file
   * arrivals; TWO AvailableNow drains run the same idempotent-append
