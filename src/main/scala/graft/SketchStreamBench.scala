@@ -135,7 +135,7 @@ object SketchStreamBench {
 
     val statePath = lastState.get
     val stateBytes = dirBytes(statePath)
-    val stateRows = Seq("cms", "kmv", "hll", "mg").map { s =>
+    val stateRows = Seq("cms", "kmv", "hll", "mg", "qs", "bloom").map { s =>
       s""""$s":${spark.read.parquet(s"$statePath/$s").count()}"""
     }.mkString("{", ",", "}")
 

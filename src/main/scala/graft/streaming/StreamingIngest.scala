@@ -352,25 +352,29 @@ object StreamingIngest {
   /** Stream → persistent corpus SKETCHES — the streaming-accumulator
     * form the mergeable-sketch family was built for
     * ([[graft.text.Sketches]]: CMS cells are linear sums, KMV is
-    * min-k, HLL registers are per-bucket max — all three merge ≡
-    * recompute, proven by SketchesSpec and the t18/t19/t21 oracles).
+    * min-k, HLL registers are per-bucket max, bottom-k quantile rows
+    * are min-k by (u, v), Bloom bits are a set union — all merge ≡
+    * recompute EXACTLY, proven by SketchesSpec and the
+    * t18/t19/t21/t25/t27 oracles; the Misra–Gries summary rides along
+    * with its deterministic-but-lossy merge).
     *
     * Per micro-batch: build the batch's own bounded partial sketches
     * and append them keyed by `batch_id` through
     * [[graft.sink.IdempotentAppend.appendNew]] — a crash between
     * appends followed by checkpoint redelivery of the SAME batch id
     * re-inserts nothing (the CMS fold is a SUM, so at-least-once
-    * delivery without the key guard would double-count; KMV/HLL would
-    * merely re-merge idempotently, but all three go through the same
-    * guard for one recovery story). State is
+    * delivery without the key guard would double-count; the others
+    * would merely re-merge idempotently, but every family goes
+    * through the same guard for one recovery story). State is
     * batches × sketch-size rows — KBs per batch whatever the corpus.
     *
     * Read side ([[cmsStateCells]]/[[kmvStateSketch]]/
-    * [[hllStateRegisters]]): fold the partials with the merge law
-    * (sum / distinct-take-k / max) — by the merge ≡ recompute
-    * theorems the result equals the whole-corpus sketch bit-for-bit,
-    * so estimates from the drained state ARE the batch estimates
-    * (StreamingIngestSpec pins this end to end). */
+    * [[hllStateRegisters]]/[[mgStateSummary]]/[[qsStateSketch]]/
+    * [[bloomStateBits]]): fold the partials with each merge law — by
+    * the merge ≡ recompute theorems the result equals the
+    * whole-corpus sketch bit-for-bit (MG: the deterministic n-way
+    * merge), so estimates from the drained state ARE the batch
+    * estimates (StreamingIngestSpec pins this end to end). */
   def drainSketchState(
       df: DataFrame,
       textCol: String,
@@ -381,11 +385,15 @@ object StreamingIngest {
       kmvK: Int = 256,
       hllP: Int = 8,
       mgK: Int = 64,
+      idCol: String = "doc_id",
+      qsK: Int = 256,
+      bloomDepth: Int = 7,
+      bloomWidth: Int = 4096,
   ): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeSketchBatch(batch.toDF(), textCol, statePath, batchId,
-          cmsDepth, cmsWidth, kmvK, hllP, mgK)
+          cmsDepth, cmsWidth, kmvK, hllP, mgK, idCol, qsK, bloomDepth, bloomWidth)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -400,12 +408,12 @@ object StreamingIngest {
     * Cost shape (measured, MEASUREMENTS_R11.json): the per-batch
     * overhead is a FIXED append cost plus one inherent sketch pass
     * over the batch data. Two levers keep the fixed part small: the
-    * batch is persisted once so the four partial builds scan it from
-    * cache instead of re-reading the source, and the four appends go
-    * to four INDEPENDENT tables (separate paths, separate writer
-    * leases) so they run concurrently — Spark's scheduler is
-    * thread-safe for concurrent job submission, and FIFO slots the
-    * small jobs into idle cores. */
+    * batch is persisted once so all partial builds scan it from
+    * cache instead of re-reading the source, and the appends go to
+    * INDEPENDENT tables (separate paths, separate writer leases) so
+    * they run concurrently — Spark's scheduler is thread-safe for
+    * concurrent job submission, and FIFO slots the small jobs into
+    * idle cores. */
   private[graft] def mergeSketchBatch(
       batch: DataFrame,
       textCol: String,
@@ -416,6 +424,10 @@ object StreamingIngest {
       kmvK: Int,
       hllP: Int,
       mgK: Int = 64,
+      idCol: String = "doc_id",
+      qsK: Int = 256,
+      bloomDepth: Int = 7,
+      bloomWidth: Int = 4096,
   ): Unit = {
     import org.apache.spark.sql.functions._
     import scala.concurrent.{Await, Future}
@@ -425,6 +437,8 @@ object StreamingIngest {
     val bid = lit(batchId).as("batch_id")
     val cached = batch.persist()
     try {
+      val qsV = size(graft.text.TextAnalysis.tokens(
+        graft.text.TextAnalysis.normalized(col(textCol))))
       val appends = Seq(
         () => graft.sink.IdempotentAppend.appendNew(
           spark,
@@ -444,12 +458,77 @@ object StreamingIngest {
           spark,
           graft.text.Sketches.mgSummary(cached, textCol, mgK)
             .select(bid, col("tok"), col("counter")),
-          s"$statePath/mg", Seq("batch_id", "tok"), timeCol = None))
+          s"$statePath/mg", Seq("batch_id", "tok"), timeCol = None),
+        // bottom-k quantile sample: draws keyed by the unique idCol,
+        // so (batch_id, u) is a genuine row identity — redelivery
+        // matches every row, and batches that PARTITION the corpus
+        // satisfy the disjointness the exact fold law needs
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.qsSketch(cached, col(idCol), qsV, qsK)
+            .select(bid, col("u"), col("v")),
+          s"$statePath/qs", Seq("batch_id", "u"), timeCol = None),
+        () => graft.sink.IdempotentAppend.appendNew(
+          spark,
+          graft.text.Sketches.bloomBits(cached, textCol, bloomDepth, bloomWidth)
+            .select(bid, col("j"), col("bucket")),
+          s"$statePath/bloom", Seq("batch_id", "j", "bucket"), timeCol = None))
       appends.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
     } finally {
       cached.unpersist()
       ()
     }
+  }
+
+  /** Folded bottom-k quantile sketch of the drained state — the n-way
+    * [[graft.text.Sketches.qsMerge]]: bottom-k by (u, v) across every
+    * batch partial. Batches partition the corpus, so by the exact
+    * bottom-k fold law this EQUALS the whole-corpus
+    * [[graft.text.Sketches.qsSketch]] bit-for-bit; feed to
+    * `qsQuantiles`. */
+  def qsStateSketch(spark: SparkSession, statePath: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readStateOrEmpty(spark, s"$statePath/qs",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.DecimalType(22, 0)),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))),
+      Seq("u", "v"))
+      .orderBy(col("u").asc, col("v").asc).limit(k)
+  }
+
+  /** Folded Bloom bits of the drained state — the n-way
+    * [[graft.text.Sketches.bloomMerge]] (set union). Equals the
+    * whole-corpus [[graft.text.Sketches.bloomBits]] exactly; feed to
+    * `bloomProbe`. */
+  def bloomStateBits(spark: SparkSession, statePath: String): DataFrame =
+    readStateOrEmpty(spark, s"$statePath/bloom",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType))),
+      Seq("j", "bucket"))
+      .distinct()
+
+  /** Read a sketch-state dir, or an empty frame of the given schema
+    * when no batch ever appended there (absence of state is the empty
+    * sketch, not an error — the mgStateSummary rule, shared). */
+  private def readStateOrEmpty(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(path)) spark.read.parquet(path.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    df.select(cols.map(col): _*)
   }
 
   /** Folded Misra–Gries summary of the drained state: the n-way
@@ -464,19 +543,15 @@ object StreamingIngest {
     import org.apache.spark.sql.functions._
     // A batch whose summary came out EMPTY (legal: boundary ties zero
     // out every counter) appends nothing, so a drain can finish with
-    // no mg/ dir at all — absence of state is the empty summary, not
-    // an error.
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/mg")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partials =
-      if (fs.exists(path)) spark.read.parquet(path.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("tok",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("counter",
-            org.apache.spark.sql.types.LongType))))
+    // no mg/ dir at all — readStateOrEmpty treats that as the empty
+    // summary, not an error.
+    val partials = readStateOrEmpty(spark, s"$statePath/mg",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("counter",
+          org.apache.spark.sql.types.LongType))),
+      Seq("tok", "counter"))
     graft.text.Sketches.mgReduce(
       partials.groupBy("tok").agg(sum("counter").as("counter")), k)
   }

@@ -419,7 +419,8 @@ class StreamingIngestSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(in.toString)
     StreamingIngest.drainSketchState(stream, "text", st, ckpt,
-      cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6, mgK = 8).awaitTermination()
+      cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6, mgK = 8,
+      qsK = 2, bloomDepth = 3, bloomWidth = 256).awaitTermination()
     assert(spark.read.parquet(s"$st/cms").select("batch_id").distinct().count() == 3)
 
     val whole = spark.read.json(in.toString) // the drained corpus, as a batch
@@ -453,17 +454,40 @@ class StreamingIngestSpec extends SparkSpec {
       k = 8)
     assert(mgMap(StreamingIngest.mgStateSummary(spark, st, k = 8)) == mgMap(expected))
 
+    // bottom-k quantile fold ≡ whole-corpus sketch bit-for-bit (the
+    // exact fold law: batches partition the docs, qsK=2 < 3 docs so
+    // the fold genuinely SELECTS across partials)
+    val qsV = org.apache.spark.sql.functions.size(
+      graft.text.TextAnalysis.tokens(graft.text.TextAnalysis.normalized(col("text"))))
+    def qsRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDecimal(0).toString, r.getLong(1))).toSeq
+    assert(qsRows(StreamingIngest.qsStateSketch(spark, st, k = 2))
+      == qsRows(Sketches.qsSketch(whole, col("doc_id"), qsV, k = 2)))
+
+    // Bloom fold ≡ whole-corpus bits exactly (set union; shared vocab
+    // across batches makes the dedup across partials real)
+    def bitSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bitSet(StreamingIngest.bloomStateBits(spark, st))
+      == bitSet(Sketches.bloomBits(whole, "text", depth = 3, width = 256)))
+
     // crash redelivery: re-merging an already-applied batch_id is a
     // no-op (the CMS fold is a SUM — without the key guard this
     // would double-count). Deterministic twin-state replay: same
     // batch content, same batch_id, applied twice.
     val st2 = Files.createTempDirectory("graft-stream-sk-st2").resolve("s").toString
     val doc1 = whole.filter(col("doc_id") === 1)
-    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8)
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8,
+      "doc_id", 2, 3, 256)
     val snap = cellMap(StreamingIngest.cmsStateCells(spark, st2))
     val mgSnap = mgMap(StreamingIngest.mgStateSummary(spark, st2, k = 8))
-    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8)
+    val qsSnap = qsRows(StreamingIngest.qsStateSketch(spark, st2, k = 2))
+    val bloomSnap = bitSet(StreamingIngest.bloomStateBits(spark, st2))
+    StreamingIngest.mergeSketchBatch(doc1, "text", st2, batchId = 7L, 3, 64, 128, 6, 8,
+      "doc_id", 2, 3, 256)
     assert(cellMap(StreamingIngest.cmsStateCells(spark, st2)) == snap)
     assert(mgMap(StreamingIngest.mgStateSummary(spark, st2, k = 8)) == mgSnap)
+    assert(qsRows(StreamingIngest.qsStateSketch(spark, st2, k = 2)) == qsSnap)
+    assert(bitSet(StreamingIngest.bloomStateBits(spark, st2)) == bloomSnap)
   }
 }

@@ -269,4 +269,123 @@ class SketchesSpec extends SparkSpec {
       Sketches.mgSummary(Seq((1L, "x")).toDF("doc_id", "text"), "text", k = 0)
     }
   }
+
+  // --- bottom-k sample quantiles -------------------------------------
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  test("qsQuantiles: corpus at or under k makes the sample the population — quantiles exact at ceil ranks") {
+    // 100 docs with token counts 1..100 (doc i repeats "w" i times)
+    val docs = (1 to 100).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val v = org.apache.spark.sql.functions.size(
+      TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+    val sk = Sketches.qsSketch(docs, col("doc_id"), v, k = 256)
+    val out = Sketches.qsQuantiles(sk, Seq(10, 25, 50, 75, 90, 99, 100))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // s = 100, rank = ceil(p·100/100) = p → est = the p-th smallest = p
+    Seq(10, 25, 50, 75, 90, 99, 100).foreach { p =>
+      assert(out(p) == ((100, p.toLong)), s"p=$p got ${out(p)}")
+    }
+  }
+
+  test("qsMerge ≡ recompute: bottom-k of disjoint parts equals the whole-corpus sketch bit-for-bit") {
+    val docs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(i % 13 + 1)("t").mkString(" "))).toDF("doc_id", "text")
+    val v = org.apache.spark.sql.functions.size(
+      TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+    def skOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.qsSketch(df, col("doc_id"), v, k = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDecimal(0), r.getLong(1))).toSeq.sortBy(_.toString)
+    val merged = Sketches.qsMerge(
+      skOf(docs.filter($"doc_id" % 2 === 0)),
+      skOf(docs.filter($"doc_id" % 2 === 1)), k = 16)
+    assert(rows(merged) == rows(skOf(docs)))
+    // and the estimates off the merged sketch match the whole-corpus ones
+    assert(
+      Sketches.qsQuantiles(merged).collect().map(_.toSeq).toSet ==
+        Sketches.qsQuantiles(skOf(docs)).collect().map(_.toSeq).toSet)
+  }
+
+  test("qsEval: exact side replays ceil-rank selection; rank_err bounded by the sample law") {
+    val docs = (1 to 500).map(i => (i.toLong, Seq.fill(i % 50 + 1)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sketches.qsTokenCountQuantiles(docs, "doc_id", "text", k = 128)
+      .collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val (p, est, exact, rankErr) =
+        (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // population: values 1..50 uniform ×10 → exact_v = ceil(p/2)
+      assert(exact == (p + 1) / 2, s"p=$p exact=$exact")
+      assert(est >= 1 && est <= 50)
+      // DKW-style sanity: at k=128 a rank error beyond ~0.15 would be
+      // a >3σ event for every p — treat as a bug, not bad luck
+      assert(rankErr <= 0.15, s"p=$p rank_err=$rankErr")
+    }
+  }
+
+  test("qsSketch/qsQuantiles reject bad parameters; empty sketch yields empty quantiles") {
+    intercept[IllegalArgumentException] {
+      Sketches.qsSketch(Seq((1L, "x")).toDF("doc_id", "text"), col("doc_id"), lit(1L), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.qsQuantiles(Seq((java.math.BigDecimal.ONE, 1L)).toDF("u", "v"), Seq(0))
+    }
+    val empty = Sketches.qsSketch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), lit(1L), k = 8)
+    assert(Sketches.qsQuantiles(empty).count() == 0)
+  }
+
+  // --- Bloom filter ---------------------------------------------------
+
+  test("bloomProbe: no false negatives; zero-hit tokens still report in_filter=false") {
+    val vocab = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "alpha beta gamma nu xi omicron pi rho")).toDF("doc_id", "text")
+    val bits = Sketches.bloomBits(vocab, "text", depth = 7, width = 4096)
+    val out = Sketches.bloomProbe(corpus, "text", bits, depth = 7, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every probe token has a row — absent-from-filter tokens included
+    assert(out.size == 8)
+    Seq("alpha", "beta", "gamma").foreach(t => assert(out(t), s"false negative on $t"))
+    // 3 tokens × 7 positions in 4096 bits: a 7-way simultaneous
+    // collision for any of the 5 non-members is absent for this fixed
+    // hash family — all five read false
+    Seq("nu", "xi", "omicron", "pi", "rho").foreach(t => assert(!out(t), s"unexpected FP on $t"))
+  }
+
+  test("bloomMerge ≡ recompute: union of part bits equals whole-corpus bits exactly") {
+    val docs = (0 until 40).map(i => (i.toLong, s"shared tok${i % 9} uniq$i"))
+      .toDF("doc_id", "text")
+    def bitSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBits(docs.filter($"doc_id" % 2 === 0), "text", depth = 5, width = 512),
+      Sketches.bloomBits(docs.filter($"doc_id" % 2 === 1), "text", depth = 5, width = 512))
+    assert(bitSet(merged) == bitSet(Sketches.bloomBits(docs, "text", depth = 5, width = 512)))
+  }
+
+  test("bloomDecontamEval: summary arithmetic closes and the no-false-negative guarantee holds") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"common${i % 4} word${i} filler${i % 17}")).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bits = Sketches.bloomBits(bench, "text", depth = 7, width = 1024)
+    val r = Sketches.bloomDecontamEval(corpus, bench, "text", bits,
+      depth = 7, width = 1024).collect().head
+    val (nProbe, nTrue, nPass, nFp, noFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    assert(noFn, "Bloom false negative — impossible by construction")
+    assert(nPass >= nTrue)           // passes ⊇ true members
+    assert(nFp == nPass - nTrue)     // summary arithmetic closes
+    assert(nProbe > nTrue)           // fixture has genuine non-members
+  }
+
+  test("bloomBits rejects non-power-of-two width") {
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBits(Seq((1L, "x")).toDF("doc_id", "text"), "text", width = 100)
+    }
+  }
 }
