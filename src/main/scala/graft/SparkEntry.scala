@@ -943,6 +943,63 @@ object SparkEntry {
       Sketches.mgHeavyHitters(docs, "text", Sketches.mgMerge(a, b, MgK), MgK, CmsTopK)
     }),
 
+    // Bottom-k sample quantiles (Cohen & Kaplan 2007) of the per-doc
+    // token counts: the distribution sketch completing the family —
+    // CMS "how often", KMV/HLL "how many distinct", MG "which are
+    // frequent", bottom-k "how are values distributed". Integer-exact:
+    // draws are the unsigned token-hash of the stringified doc_id,
+    // selection is ceil-rank arithmetic, so DuckDB replays every bit
+    // including the sampled estimates.
+    "t24_qs_quantiles" -> ((s, dir) =>
+      Sketches.qsTokenCountQuantiles(tbl(s, dir, "documents"), "doc_id", "text",
+        k = QsK, probsPct = QsProbs)),
+
+    // The merge proof, strongest form (like t18/t19/t21): bottom-k of
+    // a disjoint union equals the whole-corpus sketch EXACTLY, so the
+    // oracle is the unmerged whole-corpus replay — merge ≡ recompute
+    // bit-for-bit or the hash compare fails.
+    "t25_qs_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val v = size(TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+      val a = Sketches.qsSketch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), v, QsK)
+      val b = Sketches.qsSketch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), v, QsK)
+      Sketches.qsEval(docs, col("doc_id"), v, Sketches.qsMerge(a, b, QsK), QsProbs)
+    }),
+
+    // Bloom-filter decontamination pre-filter (Bloom 1970): the
+    // benchmark vocabulary (every 50th doc — the tp6/v14 split)
+    // builds a depth×width bit frame; the corpus vocabulary probes
+    // it. The summary row carries the no-false-negative guarantee and
+    // the observed FP rate — the quantities that decide whether the
+    // broadcast pre-filter is safe to put in front of the exact
+    // decontamination join at 100 TB (it always is: FN are impossible
+    // by construction, FP only cost re-checks).
+    "t26_bloom_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      Sketches.bloomDecontamEval(corpus, bench, "text",
+        Sketches.bloomBits(bench, "text", BloomDepth, BloomWidth),
+        BloomDepth, BloomWidth)
+    }),
+
+    // Bit-union merge proof: per-half filters union to the whole-
+    // vocabulary filter exactly (sets, not counters), so the oracle is
+    // again the unmerged whole replay.
+    "t27_bloom_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bits = Sketches.bloomMerge(
+        Sketches.bloomBits(bench.filter(pmod(col("doc_id"), lit(100)) === 0),
+          "text", BloomDepth, BloomWidth),
+        Sketches.bloomBits(bench.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+          "text", BloomDepth, BloomWidth))
+      Sketches.bloomDecontamEval(corpus, bench, "text", bits, BloomDepth, BloomWidth)
+    }),
+
     // Gopher-style hard quality gates (Rae et al. 2021 A1.1), one
     // boolean per rule + the conjunction — the per-rule report a
     // curation run logs. All gates are integer-derived doubles, so the
@@ -1355,21 +1412,25 @@ object SparkEntry {
     }),
 
     // The production ANN pattern end-to-end: quantized scoring
-    // proposes 50 candidates per query, exact cosine re-ranks to the
-    // final 10 — the exact kernel touches |q|x50 rows, not the corpus.
+    // proposes CandK candidates per query, exact cosine re-ranks to
+    // the final 10 — the exact kernel touches |q|xCandK rows, not the
+    // corpus. CandK=200 is the measured sweet spot (AnnKnobBench:
+    // recall indistinguishable from exact at the same wall as 50).
     "v9_quantized_rerank" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.quantizedRerankTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, candidateK = 50)
+        k = 10, candidateK = CandK)
     }),
 
     // Product-quantization ANN end-to-end (Jégou et al. 2011): per-
     // subspace codebooks (m=4 × ksub=16 over dim 64) trained on a
     // capped sample, corpus stored as 4 small ints per vector (32×
-    // under float32), ADC lookup-table scoring proposes 50 candidates
-    // per query, exact cosine re-ranks to 10. Hash-checked: the
+    // under float32), ADC lookup-table scoring proposes CandK
+    // candidates per query, exact cosine re-ranks to 10 (CandK=200:
+    // the knob sweep prices candidateK as ~free wall here, and the
+    // tiny oracle-sized codebooks need the wider rerank for recall). Hash-checked: the
     // fitted codebooks persist to parquet (the v7 pattern) and the
     // oracle replays encode → ADC → rerank from them.
     "v12_pq_rerank_topk" -> ((s, dir) => {
@@ -1381,7 +1442,7 @@ object SparkEntry {
         .repartition(1).write.mode("overwrite")
         .parquet(v12CodebooksPathFor(v7CorpusKeyFor(dir)))
       Similarity.pqRerankTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, candidateK = 50, cb, subDim = 16)
+        k = 10, candidateK = CandK, cb, subDim = 16)
     }),
 
     // IVF-PQ (the FAISS IVFPQ composition): v4's seed-centroid coarse
@@ -1401,7 +1462,7 @@ object SparkEntry {
         .repartition(1).write.mode("overwrite")
         .parquet(v15CodebooksPathFor(v7CorpusKeyFor(dir)))
       Similarity.ivfPqTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, candidateK = 50, cents, nprobe = 4, cb, subDim = 16)
+        k = 10, candidateK = CandK, cents, nprobe = 4, cb, subDim = 16)
     }),
 
     // --- Multimodal plumbing (beyond-reference) ------------------------
@@ -1814,6 +1875,12 @@ object SparkEntry {
   private val KmvK = 256
   private val HllP = 8 // m = 256 registers, same state budget as KmvK
   private val MgK = 64 // Misra–Gries counters; guarantee: undercount ≤ m/65
+  private val QsK = 256 // bottom-k quantile sample; rank error ~ 1/√k ≈ 6%
+  private val QsProbs = Seq(10, 25, 50, 75, 90, 99)
+  private val BloomDepth = 7 // hash functions; FP ≈ (1−e^(−7n/4096))^7
+  private val CandK = 200 // propose-cheap candidates per query before exact rerank
+
+  private val BloomWidth = 4096 // power of two, same mask rule as CmsWidth
   private val SubstrK = 8
 
   /** Whole-corpus count-min replay (cells = multiply-add permutation
@@ -1978,6 +2045,86 @@ object SparkEntry {
        |  CAST(p.n - COALESCE(s.counter, 0) AS BIGINT) AS undercount,
        |  (p.n - COALESCE(s.counter, 0)) * ${MgK + 1} <= mm.m AS bound_ok
        |FROM probes p LEFT JOIN merged s USING (tok), mm""".stripMargin
+
+  /** Whole-corpus bottom-k sample-quantile replay (Sketches.qsSketch
+    * → qsQuantiles → qsEval): per-doc token counts, draws = unsigned
+    * token hash of the stringified doc_id, bottom-QsK by (u, v),
+    * ceil-rank selection via the lexicographic self-join, exact side
+    * from the value histogram's non-equi cumulative counts. Shared
+    * VERBATIM by `t24_qs_quantiles` and `t25_qs_merge`: bottom-k of a
+    * disjoint union equals the whole-corpus bottom-k exactly, so the
+    * strongest oracle for the merge is the unmerged replay. */
+  private lazy val QsSql = {
+    val probList = QsProbs.mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |dv AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS v FROM tk),
+       |h AS (SELECT ${gmixSql(fnvSql("CAST(doc_id AS VARCHAR)"))} AS u, v FROM dv),
+       |sk AS (SELECT u, v FROM h ORDER BY u, v LIMIT $QsK),
+       |s AS (SELECT COUNT(*) AS s_used FROM sk),
+       |rk AS (SELECT a.v AS v1, a.u AS u1, COUNT(*) AS r
+       |  FROM sk a JOIN sk b ON (b.v < a.v) OR (b.v = a.v AND b.u <= a.u)
+       |  GROUP BY a.v, a.u),
+       |ps AS (SELECT unnest($probList) AS p),
+       |est AS (SELECT p, s_used, MIN(v1) AS est_v
+       |  FROM ps, s, rk WHERE r >= (p * s_used + 99) // 100
+       |  GROUP BY p, s_used),
+       |hist AS (SELECT v, COUNT(*) AS c FROM dv GROUP BY v),
+       |cum AS (SELECT a.v AS hv, SUM(b.c) AS cum
+       |  FROM hist a JOIN hist b ON b.v <= a.v GROUP BY a.v),
+       |n AS (SELECT COUNT(*) AS n_rows FROM dv),
+       |ex AS (SELECT p, s_used, est_v, n_rows, MIN(hv) AS exact_v
+       |  FROM est, n, cum WHERE cum >= (p * n_rows + 99) // 100
+       |  GROUP BY p, s_used, est_v, n_rows)
+       |SELECT CAST(ex.p AS INT) AS p, CAST(ex.s_used AS INT) AS s_used,
+       |  CAST(ex.est_v AS BIGINT) AS est_v, CAST(ex.exact_v AS BIGINT) AS exact_v,
+       |  CASE WHEN ex.n_rows = 0 THEN 0.0
+       |    ELSE ROUND(ABS(CAST(c2.cum AS DOUBLE) / CAST(ex.n_rows AS DOUBLE)
+       |      - CAST(ex.p AS DOUBLE) / 100.0), 6) END AS rank_err
+       |FROM ex JOIN cum c2 ON c2.hv = ex.est_v
+       |ORDER BY p""".stripMargin
+  }
+
+  /** Whole-corpus Bloom decontamination replay (Sketches.bloomBits →
+    * bloomProbe → bloomDecontamEval): benchmark vocabulary (every
+    * 50th doc) sets DISTINCT (j, bucket) positions via the CMS
+    * multiply-add bucket arithmetic; corpus vocabulary probes all
+    * BloomDepth positions, passes iff every one is set. Shared
+    * VERBATIM by `t26_bloom_decontam` and `t27_bloom_merge`: bits are
+    * a set union, so per-half filters merge to the whole-vocabulary
+    * filter exactly. */
+  private lazy val BloomSql =
+    s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
+       |js AS (SELECT unnest(range(0, $BloomDepth)) AS j),
+       |btk AS (SELECT doc_id, $ToksSql AS t FROM documents WHERE doc_id % 50 = 0),
+       |bv AS (SELECT DISTINCT tok FROM (SELECT unnest(t) AS tok FROM btk)),
+       |bh AS (SELECT tok, ${gmixSql(fnvSql("tok"))} AS hv FROM bv),
+       |bits AS (SELECT DISTINCT j,
+       |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % $BloomWidth AS bucket
+       |  FROM bh, c, js),
+       |ctk AS (SELECT doc_id, $ToksSql AS t FROM documents WHERE doc_id % 50 <> 0),
+       |cv AS (SELECT DISTINCT tok FROM (SELECT unnest(t) AS tok FROM ctk)),
+       |ch AS (SELECT tok, ${gmixSql(fnvSql("tok"))} AS hv FROM cv),
+       |cpos AS (SELECT tok, j,
+       |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % $BloomWidth AS bucket
+       |  FROM ch, c, js),
+       |hits AS (SELECT cpos.tok,
+       |    SUM(CASE WHEN bits.bucket IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |  FROM cpos LEFT JOIN bits ON bits.j = cpos.j AND bits.bucket = cpos.bucket
+       |  GROUP BY cpos.tok),
+       |flag AS (SELECT cv.tok, COALESCE(h.hits, 0) = $BloomDepth AS in_filter,
+       |    (bv.tok IS NOT NULL) AS in_vocab
+       |  FROM cv LEFT JOIN hits h ON h.tok = cv.tok
+       |  LEFT JOIN bv ON bv.tok = cv.tok)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_tokens,
+       |  CAST(COALESCE(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_members,
+       |  CAST(COALESCE(SUM(CASE WHEN in_filter THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_filter_pass,
+       |  CAST(COALESCE(SUM(CASE WHEN in_filter AND NOT in_vocab THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false_pos,
+       |  CAST(COALESCE(MIN(CASE WHEN in_vocab THEN CAST(in_filter AS INT) ELSE 1 END), 1) AS BOOLEAN) AS no_false_negatives,
+       |  CASE WHEN COUNT(*) = COALESCE(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END), 0) THEN 0.0
+       |    ELSE ROUND(CAST(COALESCE(SUM(CASE WHEN in_filter AND NOT in_vocab THEN 1 ELSE 0 END), 0) AS DOUBLE) * 100.0
+       |      / CAST(COUNT(*) - COALESCE(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END), 0) AS DOUBLE), 6)
+       |  END AS fp_pct
+       |FROM flag""".stripMargin
 
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
@@ -3456,6 +3603,15 @@ object SparkEntry {
     // the offset form is what makes this oracle possible at all.
     "t23_mg_merge" -> MgMergeSql,
 
+    // The quantile-merge and bloom-merge oracles are the UNMERGED
+    // whole-corpus replays (the t18/t19/t21 pattern): bottom-k and
+    // bit-union merges are exact, so merge ≡ recompute bit-for-bit or
+    // the hash compare fails.
+    "t24_qs_quantiles" -> QsSql,
+    "t25_qs_merge" -> QsSql,
+    "t26_bloom_decontam" -> BloomSql,
+    "t27_bloom_merge" -> BloomSql,
+
     // All gate inputs are integer-derived doubles (counts and count
     // ratios), so the threshold comparisons are exact in both engines
     // without rounding.
@@ -3920,8 +4076,8 @@ object SparkEntry {
          |  FROM sims)
          |WHERE rank <= 10""".stripMargin,
 
-    // v8's quantized scoring down to 50 candidates per query, then the
-    // exact full-precision cosine re-ranks to 10.
+    // v8's quantized scoring down to CandK candidates per query, then
+    // the exact full-precision cosine re-ranks to 10.
     "v9_quantized_rerank" ->
       s"""WITH s AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -3937,7 +4093,7 @@ object SparkEntry {
          |  FROM dq d CROSS JOIN qs q WHERE q.query_id <> d.vec_id),
          |cand AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
-         |  FROM qsims) WHERE r <= 50),
+         |  FROM qsims) WHERE r <= $CandK),
          |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
          |  FROM cand c
          |  JOIN embeddings e ON e.vec_id = c.vec_id
@@ -3980,7 +4136,7 @@ object SparkEntry {
          |  FROM parts GROUP BY query_id, vec_id),
          |cand AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
-         |  FROM adc) WHERE r <= 50),
+         |  FROM adc) WHERE r <= $CandK),
          |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
          |  FROM cand c
          |  JOIN embeddings e ON e.vec_id = c.vec_id
@@ -4034,7 +4190,7 @@ object SparkEntry {
          |  FROM parts GROUP BY query_id, vec_id),
          |cand AS (SELECT query_id, vec_id FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r
-         |  FROM adc) WHERE r <= 50),
+         |  FROM adc) WHERE r <= $CandK),
          |ex AS (SELECT c.query_id, c.vec_id, ROUND(${cosSql("e.embedding", "q.qvec")}, 6) AS sim
          |  FROM cand c
          |  JOIN embeddings e ON e.vec_id = c.vec_id

@@ -125,6 +125,16 @@ class SimilaritySpec extends SparkSpec {
     val rMp2 = (mp2 & exact).size.toDouble / exact.size
     assert(rMp2 >= rSingle, s"multi-probe recall $rMp2 < single-probe $rSingle")
     assert(rMp2 >= 0.5, s"hamming-2 recall unexpectedly low: $rMp2")
+    // radius 3 (the top of the dial): a further probe superset — recall
+    // monotone again, and the mask count is exactly 1 + b + C(b,2) + C(b,3)
+    val mp3 = asSet(Similarity.lshMultiProbeTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
+      10, bits, probeHamming = 3))
+    val rMp3 = (mp3 & exact).size.toDouble / exact.size
+    assert(rMp3 >= rMp2, s"hamming-3 recall $rMp3 < hamming-2 $rMp2")
+    val b = 8
+    assert(Similarity.multiProbeMasks(b, 3).size == 1 + b + 28 + 56)
+    assert(Similarity.multiProbeMasks(b, 3).forall(m => Integer.bitCount(m) <= 3))
+    intercept[IllegalArgumentException] { Similarity.multiProbeMasks(b, 4) }
   }
 
   test("native srp signature kernel is bit-identical to the HOF formulation") {
