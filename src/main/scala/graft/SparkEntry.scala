@@ -1112,6 +1112,20 @@ object SparkEntry {
         docs, bench, "doc_id", "doc_id", "text", k = 2, threshold = 0.2)
     }),
 
+    // The 100 TB form of tp6: the benchmark gram vocabulary packed
+    // into a ~3.5 KB Bloom bitmask evaluated as a narrow LITERAL
+    // filter over the corpus gram stream (no join, no shuffle for the
+    // gate); only survivors reach the exact containment join. No false
+    // negatives by construction, so gated ≡ ungated — proven every
+    // round by answering tp6's oracle SQL verbatim (the td14/td15
+    // two-implementations-one-oracle pattern).
+    "tp15_bloom_gated_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Decontamination.bloomGatedContainmentScores(
+        docs, bench, "doc_id", "doc_id", "text", k = 2, threshold = 0.2)
+    }),
+
     // --- Text dedup (beyond-reference) ---------------------------------
 
     "td1_exact_dedup" -> ((s, dir) =>
@@ -2125,6 +2139,26 @@ object SparkEntry {
        |      / CAST(COUNT(*) - COALESCE(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END), 0) AS DOUBLE), 6)
        |  END AS fp_pct
        |FROM flag""".stripMargin
+
+  /** Exact 2-gram containment replay, shared VERBATIM by
+    * `tp6_decontaminate` and `tp15_bloom_gated_decontam`: the Bloom
+    * gate has no false negatives, so the gated composition must equal
+    * the ungated operator bit-for-bit — one oracle, two
+    * implementations, the td14/td15 pattern. */
+  private lazy val Tp6Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+      |      i -> array_to_string(tk[(i+1):(i+2)], ' '))) AS grams
+      |  FROM toks),
+      |bench AS (SELECT doc_id AS bench_id, grams AS bgrams FROM sh WHERE doc_id % 97 = 0)
+      |SELECT c.doc_id, b.bench_id,
+      |  ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) AS containment
+      |FROM sh c CROSS JOIN bench b
+      |WHERE c.doc_id <> b.bench_id
+      |  AND ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) >= 0.2""".stripMargin
 
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
@@ -3228,20 +3262,13 @@ object SparkEntry {
     // near-dups are word-order-shuffled, so longer grams never
     // overlap); DuckDB slices are 1-based inclusive and clamp like
     // Spark's slice().
-    "tp6_decontaminate" ->
-      """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), '\s+') AS tk
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
-        |      i -> array_to_string(tk[(i+1):(i+2)], ' '))) AS grams
-        |  FROM toks),
-        |bench AS (SELECT doc_id AS bench_id, grams AS bgrams FROM sh WHERE doc_id % 97 = 0)
-        |SELECT c.doc_id, b.bench_id,
-        |  ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) AS containment
-        |FROM sh c CROSS JOIN bench b
-        |WHERE c.doc_id <> b.bench_id
-        |  AND ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) >= 0.2""".stripMargin,
+    "tp6_decontaminate" -> Tp6Sql,
+
+    // The Bloom gate removes nothing the exact join would keep (no
+    // false negatives by construction), so the gated composition
+    // answers the UNGATED oracle verbatim — gated ≡ exact is
+    // hash-checked every round.
+    "tp15_bloom_gated_decontam" -> Tp6Sql,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),

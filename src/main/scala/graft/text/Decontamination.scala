@@ -54,4 +54,56 @@ object Decontamination {
       .filter(col("containment") >= threshold)
       .select(col(idCol), col("bench_id"), col("containment"))
   }
+
+  /** [[containmentScores]] with a Bloom gate in front of the exact
+    * join — the composition that survives a benchmark set too large to
+    * broadcast. The benchmark's gram vocabulary packs into a
+    * depth×width-bit filter ([[Sketches.bloomMasks]], ~3.5 KB at the
+    * defaults) evaluated as a LITERAL narrow filter over the corpus
+    * gram stream ([[Sketches.bloomTest]]): the gate costs a codegen'd
+    * projection per gram — no join, no shuffle, no broadcast wait —
+    * and only the survivors (true matches + the bounded-rate false
+    * positives) reach the exact gram join, whose input is then sized
+    * by actual overlap rather than the corpus. False negatives are
+    * impossible by construction, so the output is IDENTICAL to the
+    * ungated operator — `tp15` proves it by answering tp6's oracle SQL
+    * verbatim, the td14/td15 pattern.
+    *
+    * At the scale where this matters the exact join is left unhinted:
+    * while the benchmark grams fit the broadcast threshold Spark still
+    * broadcasts them, and beyond it the planner degrades to a shuffled
+    * hash join — of the gated survivor stream only, which is the whole
+    * point of paying the gate. */
+  def bloomGatedContainmentScores(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.3,
+      depth: Int = 7,
+      width: Int = 4096,
+  ): DataFrame = {
+    val bGrams = TextDedup.withShingles(benchmark, textCol, k, "_sh")
+      .select(col(benchIdCol).as("bench_id"),
+        size(col("_sh")).as("_bench_size"), explode_outer(col("_sh")).as("_gram"))
+    val masks = Sketches.bloomMasks(
+      Sketches.bloomBitsOf(bGrams, "_gram", depth, width), depth, width)
+    // explode_outer for the same InferFiltersFromGenerate reason as the
+    // exact operator; the gate's hash chain (graft_token_hash = the
+    // corpus-standard fnv1a→gmix64) binds AFTER the generate, so it
+    // runs once per gram, never inside the tokenization lambda.
+    TextDedup.withShingles(corpus, textCol, k, "_sh")
+      .select(col(idCol), explode_outer(col("_sh")).as("_gram"))
+      .filter(Sketches.bloomTest(
+        call_function("graft_token_hash", col("_gram")), masks, width))
+      .join(bGrams, "_gram")
+      .filter(col(idCol) =!= col("bench_id"))
+      .groupBy(col(idCol), col("bench_id"), col("_bench_size"))
+      .agg(count(lit(1)).as("_matched"))
+      .withColumn("containment", round(col("_matched") / col("_bench_size"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col(idCol), col("bench_id"), col("containment"))
+  }
 }

@@ -711,14 +711,60 @@ object Sketches {
       textCol: String,
       depth: Int = 7,
       width: Int = 4096,
+  ): DataFrame =
+    bloomBitsOf(
+      instances(docs, textCol).select(col("tok")).distinct(), "tok", depth, width)
+
+  /** [[bloomBits]] generalized to any string key frame (tokens,
+    * shingle grams, URLs…): the distinct `(j, bucket)` positions set
+    * by the distinct values of `keyCol`. */
+  def bloomBitsOf(
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 7,
+      width: Int = 4096,
   ): DataFrame = {
     requireCmsParams(depth, width)
-    instances(docs, textCol)
-      .select(col("tok")).distinct()
-      .select(jBuckets(call_function("graft_token_hash", col("tok")), depth, width).as("jb"))
+    keys.select(col(keyCol).as("_k")).filter(col("_k").isNotNull).distinct()
+      .select(jBuckets(call_function("graft_token_hash", col("_k")), depth, width).as("jb"))
       .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .distinct()
   }
+
+  /** The bits frame packed into driver-side long words: `masks(j)` is
+    * the j-th hash row's `width`-bit array as width/64 longs. The
+    * collect is bounded BY CONSTRUCTION at depth×width rows (3.5 KB of
+    * bit state at the default 7×4096) — the same bounded-driver-state
+    * rule the PQ codebooks follow — which is what lets the membership
+    * test become a literal in the plan instead of a join. */
+  def bloomMasks(bits: DataFrame, depth: Int, width: Int): Array[Array[Long]] = {
+    requireCmsParams(depth, width)
+    val masks = Array.fill(depth)(new Array[Long](math.max(width / 64, 1)))
+    bits.select(col("j").cast("int"), col("bucket").cast("long")).collect().foreach { r =>
+      val j = r.getInt(0)
+      val b = r.getLong(1)
+      require(j >= 0 && j < depth && b >= 0 && b < width,
+        s"bit ($j, $b) outside the $depth x $width filter — depth/width mismatch with the bits frame")
+      masks(j)((b >>> 6).toInt) |= (1L << (b & 63L))
+    }
+    masks
+  }
+
+  private val Pw64 = (0 until 64).map(1L << _).toArray
+
+  /** Narrow Bloom membership test: true iff ALL depth positions of
+    * hash `hv` are set in `masks`. Pure built-in arithmetic over
+    * literal arrays (the CMS multiply-add bucket, a word lookup, a
+    * power-of-two bit mask) — codegen'd and scan-fused, so at 100 TB
+    * the gate costs a projection, not a join: no shuffle, no broadcast
+    * wait, just depth AND-chained bit tests per row. */
+  def bloomTest(hv: Column, masks: Array[Array[Long]], width: Int): Column =
+    masks.zipWithIndex.map { case (m, j) =>
+      val bucket = cmsBucket(hv, j, width)
+      val word = element_at(lit(m), shiftrightunsigned(bucket, 6).cast("int") + 1)
+      val bit = element_at(lit(Pw64), (bucket.bitwiseAND(lit(63L))).cast("int") + 1)
+      word.bitwiseAND(bit) =!= lit(0L)
+    }.reduce(_ && _)
 
   /** Merge two bit frames (same depth/width): set union. */
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
