@@ -1126,6 +1126,26 @@ object SparkEntry {
         docs, bench, "doc_id", "doc_id", "text", k = 2, threshold = 0.2)
     }),
 
+    // Admission-time decontamination signal: per document, the
+    // fraction of its distinct 2-grams hitting the benchmark-
+    // vocabulary Bloom filter — ONE narrow projection (HOF filter over
+    // literal masks; no explode, join, shuffle or state), so the
+    // identical chain gates an unbounded curation stream. Over-
+    // approximates overlap (bounded-rate FPs, never FNs); the oracle
+    // replays the filter arithmetic bit-for-bit, FPs included.
+    "tp16_bloom_suspicion" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bGrams = TextDedup
+        .withShingles(docs.filter(col("doc_id") % 97 === 0), "text", 2, "_sh")
+        .select(explode_outer(col("_sh")).as("_gram"))
+        .filter(col("_gram") =!= "")
+      val masks = Sketches.bloomMasks(
+        Sketches.bloomBitsOf(bGrams, "_gram", BloomDepth, BloomWidth),
+        BloomDepth, BloomWidth)
+      Decontamination.bloomSuspicionScores(
+        docs, "doc_id", "text", masks, k = 2, width = BloomWidth)
+    }),
+
     // --- Text dedup (beyond-reference) ---------------------------------
 
     "td1_exact_dedup" -> ((s, dir) =>
@@ -2159,6 +2179,45 @@ object SparkEntry {
       |FROM sh c CROSS JOIN bench b
       |WHERE c.doc_id <> b.bench_id
       |  AND ROUND(CAST(len(list_intersect(c.grams, b.bgrams)) AS DOUBLE) / len(b.bgrams), 6) >= 0.2""".stripMargin
+
+  /** Per-doc Bloom suspicion replay (`tp16_bloom_suspicion`): tp6's
+    * gram CTEs feed the t26/t27 bucket arithmetic at GRAM level —
+    * benchmark grams set distinct (j, bucket) positions, every corpus
+    * gram probes all BloomDepth positions, a gram is suspect iff all
+    * hit, suspicion = suspects / grams. The replay rebuilds the filter
+    * bits exactly, so DuckDB reproduces every false positive the Spark
+    * masks produce — the fractions hash-match bit-for-bit. */
+  private lazy val Tp16Sql =
+    s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
+       |js AS (SELECT unnest(range(0, $BloomDepth)) AS j),
+       |toks AS (SELECT doc_id,
+       |    string_split_regex(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_filter(list_distinct(list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+       |      i -> array_to_string(tk[(i+1):(i+2)], ' '))), x -> x <> '') AS grams
+       |  FROM toks),
+       |bgr AS (SELECT DISTINCT g FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0)),
+       |bh AS (SELECT ${gmixSql(fnvSql("g"))} AS hv FROM bgr),
+       |bits AS (SELECT DISTINCT j,
+       |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % $BloomWidth AS bucket
+       |  FROM bh, c, js),
+       |cg AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+       |ch AS (SELECT doc_id, g, ${gmixSql(fnvSql("g"))} AS hv FROM cg),
+       |cpos AS (SELECT doc_id, g, j,
+       |    ((pa[CAST(j AS INT)+1] * hv + pb[CAST(j AS INT)+1]) % $M64) % $BloomWidth AS bucket
+       |  FROM ch, c, js),
+       |gh AS (SELECT doc_id, g,
+       |    SUM(CASE WHEN bits.bucket IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |  FROM cpos LEFT JOIN bits ON bits.j = cpos.j AND bits.bucket = cpos.bucket
+       |  GROUP BY doc_id, g),
+       |sus AS (SELECT doc_id, COUNT(*) AS n_suspect FROM gh WHERE hits = $BloomDepth GROUP BY doc_id),
+       |ng AS (SELECT doc_id, CAST(len(grams) AS INT) AS n_grams FROM sh)
+       |SELECT ng.doc_id, ng.n_grams,
+       |  CAST(COALESCE(s.n_suspect, 0) AS INT) AS n_suspect,
+       |  CASE WHEN ng.n_grams = 0 THEN 0.0
+       |    ELSE ROUND(CAST(COALESCE(s.n_suspect, 0) AS DOUBLE) / CAST(ng.n_grams AS DOUBLE), 6) END AS suspicion
+       |FROM ng LEFT JOIN sus s ON s.doc_id = ng.doc_id""".stripMargin
 
   private val Pw64Sql = hlist((0 until 64).map(b => 1L << b))
   private val Pw16Sql = hlist((0 until 4).map(b => 1L << (16 * b)))
@@ -3269,6 +3328,12 @@ object SparkEntry {
     // answers the UNGATED oracle verbatim — gated ≡ exact is
     // hash-checked every round.
     "tp15_bloom_gated_decontam" -> Tp6Sql,
+
+    // Per-doc suspicion replay: tp6's gram CTEs + the t26 bucket
+    // arithmetic at gram level — DuckDB rebuilds the benchmark filter
+    // bit-for-bit and reproduces every false positive, so the
+    // suspicion fractions (exact rationals rounded at 6) hash-match.
+    "tp16_bloom_suspicion" -> Tp16Sql,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),

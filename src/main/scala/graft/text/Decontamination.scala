@@ -106,4 +106,44 @@ object Decontamination {
       .filter(col("containment") >= threshold)
       .select(col(idCol), col("bench_id"), col("containment"))
   }
+
+  /** Per-document Bloom suspicion: the fraction of a document's
+    * distinct k-grams that hit the benchmark-vocabulary filter — the
+    * admission-time decontamination signal. Unlike
+    * [[containmentScores]] (per-benchmark-document containment, an
+    * exact join) this is ONE narrow projection: the gram array stays
+    * an array, membership is [[Sketches.bloomTest]] inside a
+    * higher-order `filter` over literal masks, and no explode, join,
+    * shuffle or state exists anywhere — so the identical chain runs
+    * unchanged on an unbounded stream (the curation-stream admission
+    * gate) and costs a projection per document at any scale.
+    *
+    * Semantics: suspicion over-approximates benchmark overlap (false
+    * positives at the filter's bounded rate, never false negatives),
+    * so thresholding it quarantines a superset — route survivors of a
+    * high threshold to the exact [[containmentScores]] join offline.
+    * Output: id, `n_grams`, `n_suspect`, `suspicion` (exact rational
+    * rounded at 6, engine-replayable). */
+  def bloomSuspicionScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      masks: Array[Array[Long]],
+      k: Int = 3,
+      width: Int = 4096,
+  ): DataFrame =
+    // the g =!= "" guard drops the single empty gram a zero-token
+    // document produces under the clamped slice (n_grams must be 0
+    // there, and an empty-string gram is never a real shingle)
+    df.withColumn("_grams",
+        filter(TextDedup.shingles(col(textCol), k), g => g =!= ""))
+      .withColumn("_hits", filter(col("_grams"), g =>
+        Sketches.bloomTest(call_function("graft_token_hash", g), masks, width)))
+      .select(col(idCol),
+        size(col("_grams")).as("n_grams"),
+        size(col("_hits")).as("n_suspect"),
+        when(size(col("_grams")) === 0, lit(0.0))
+          .otherwise(round(
+            size(col("_hits")).cast("double") / size(col("_grams")).cast("double"), 6))
+          .as("suspicion"))
 }

@@ -255,6 +255,43 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.forall { case (_, s) => s >= 0 && s < 4 })
   }
 
+  test("bloom suspicion gate is stream-safe: streamed scores equal batch row-for-row") {
+    import graft.text.{Decontamination, Sketches, TextDedup}
+    val in = Files.createTempDirectory("graft-stream-sus-in")
+    val out = Files.createTempDirectory("graft-stream-sus-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-sus-ckpt").toString
+    // docs 1-20 have private vocabularies; 21/22 overlap the benchmark
+    Files.writeString(in.resolve("a.jsonl"),
+      ((1 to 20).map(i => s"""{"doc_id":$i,"text":"p${i}a p${i}b p${i}c p${i}d"}""") ++ Seq(
+        """{"doc_id":21,"text":"alpha beta gamma delta"}""",
+        """{"doc_id":22,"text":"alpha beta private words"}""",
+        """{"doc_id":23,"text":""}""")).mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val masks = Sketches.bloomMasks(
+      Sketches.bloomBitsOf(
+        TextDedup.withShingles(bench, "text", 2, "_sh")
+          .select(explode(col("_sh")).as("_gram")), "_gram"), 7, 4096)
+    // the gate is one narrow projection over literal masks — stateless,
+    // so the identical chain runs on the unbounded stream
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Decontamination.bloomSuspicionScores(df, "doc_id", "text", masks, k = 2)
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    StreamingIngest.drainToParquet(gate(stream), out, ckpt).awaitTermination()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val streamed = asMap(spark.read.parquet(out))
+    val batch = asMap(gate(spark.read.schema(schema).json(in.toString)))
+    assert(streamed == batch)
+    assert(streamed(21L) == ((3, 3, 1.0))) // all 3 bigrams in the bench filter
+    assert(streamed(21L)._3 > streamed(22L)._3 && streamed(22L)._3 >= 0.333333)
+    assert(streamed(23L) == ((0, 0, 0.0))) // empty doc: zero grams, zero suspicion
+    assert((1 to 20).map(i => streamed(i.toLong)._2).sum <= 2) // private grams ~never hit
+  }
+
   test("serving tail is batch-only by design: corpus-order windows refuse on a stream") {
     import graft.text.{Sampling, TrainOrder}
     val in = Files.createTempDirectory("graft-stream-neg-in")
