@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, ImportanceResampling, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -1146,6 +1146,27 @@ object SparkEntry {
         docs, "doc_id", "text", masks, k = 2, width = BloomWidth)
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    // bigram bucket multinomials — target = the English slice, source
+    // = the corpus itself — scored per doc as an order-free DECIMAL
+    // sum over a ≤ B-row broadcast of per-bucket log deltas.
+    // Hash-checked: buckets replay as gmix64(fnv1a(gram)) % B.
+    "tp17_dsir_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ImportanceResampling.logWeights(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), DsirBuckets)
+    }),
+
+    // Gumbel-top-k resample over the DSIR weights: deterministic
+    // sampling-without-replacement ∝ exp(logw); the selection plan is
+    // TakeOrderedAndProject, so only k rows ever cross the wire.
+    "tp18_dsir_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = ImportanceResampling.logWeights(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), DsirBuckets)
+      ImportanceResampling.gumbelTopK(w, "doc_id", "logw", k = DsirK)
+    }),
+
     // --- Text dedup (beyond-reference) ---------------------------------
 
     "td1_exact_dedup" -> ((s, dir) =>
@@ -1916,6 +1937,8 @@ object SparkEntry {
 
   private val BloomWidth = 4096 // power of two, same mask rule as CmsWidth
   private val SubstrK = 8
+  private val DsirBuckets = ImportanceResampling.DefaultBuckets // 8192, power of two
+  private val DsirK = 100 // resample size; fixed, so the top-k plan is scale-free
 
   /** Whole-corpus count-min replay (cells = multiply-add permutation
     * buckets mod 2^64 masked to CmsWidth, summed from the collapsed
@@ -2187,6 +2210,38 @@ object SparkEntry {
     * hit, suspicion = suspects / grams. The replay rebuilds the filter
     * bits exactly, so DuckDB reproduces every false positive the Spark
     * masks produce — the fractions hash-match bit-for-bit. */
+  /** DSIR hashed-ngram importance-weight replay: unigram + bigram
+    * instances bucketed via gmix64(fnv1a(gram)) % DsirBuckets; add-one
+    * smoothed target (lang='en') vs source (whole corpus) bucket
+    * multinomials; per-doc order-free DECIMAL(18,12) sum of the
+    * per-bucket log deltas (the t10 pattern). Ends in table
+    * `w(doc_id, n_grams, logw)` — shared by `tp17_dsir_weights` and
+    * the `tp18_dsir_resample` Gumbel top-k. */
+  private lazy val DsirWeightsCteSql =
+    s"""tk AS (SELECT doc_id, lang, $ToksSql AS t FROM documents),
+       |g AS (SELECT doc_id, lang, list_concat(t,
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS grams
+       |  FROM tk),
+       |inst AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+       |bk AS (SELECT doc_id, lang, ${gmixSql(fnvSql("gram"))} % $DsirBuckets AS bucket FROM inst),
+       |sc AS (SELECT bucket, COUNT(*) AS cs FROM bk GROUP BY bucket),
+       |tc AS (SELECT bucket, COUNT(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+       |tn AS (SELECT SUM(ct) AS nt FROM tc), sn AS (SELECT SUM(cs) AS ns FROM sc),
+       |dl AS (SELECT sc.bucket,
+       |    ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+       |      - ln(CAST(sc.cs + 1 AS DOUBLE) / CAST(ns + $DsirBuckets AS DOUBLE)) AS delta
+       |  FROM sc LEFT JOIN tc USING (bucket), tn, sn),
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+       |    SUM(CAST(delta AS DECIMAL(18,12))) AS dsum
+       |  FROM bk JOIN dl USING (bucket) GROUP BY doc_id),
+       |w AS (SELECT d0.doc_id,
+       |    COALESCE(per.n_grams, 0) AS n_grams,
+       |    CASE WHEN per.n_grams IS NULL THEN 0.0
+       |      ELSE ROUND(CAST(per.dsum AS DOUBLE), 6) END AS logw
+       |  FROM documents d0 LEFT JOIN per USING (doc_id))""".stripMargin
+
   private lazy val Tp16Sql =
     s"""WITH c AS (SELECT $PermASql AS pa, $PermBSql AS pb),
        |js AS (SELECT unnest(range(0, $BloomDepth)) AS j),
@@ -3334,6 +3389,23 @@ object SparkEntry {
     // bit-for-bit and reproduces every false positive, so the
     // suspicion fractions (exact rationals rounded at 6) hash-match.
     "tp16_bloom_suspicion" -> Tp16Sql,
+
+    "tp17_dsir_weights" ->
+      s"""WITH $DsirWeightsCteSql
+         |SELECT doc_id, n_grams, logw FROM w""".stripMargin,
+
+    // The same weights CTE + deterministic Gumbel noise: the md5
+    // 60-bit draw (the tp9 idiom) through u = (draw + 0.5)/2^60,
+    // g = −ln(−ln(u)); top-DsirK by (rounded key desc, doc_id).
+    "tp18_dsir_resample" ->
+      s"""WITH $DsirWeightsCteSql,
+         |sel AS (SELECT doc_id, n_grams, logw,
+         |    ROUND(logw + (- ln(- ln(
+         |      (CAST(CAST(('0x' || substring(md5(concat_ws(':', 'dsir', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+         |        / power(2, 60)))), 6) AS gumbel_key
+         |  FROM w)
+         |SELECT doc_id, n_grams, logw, gumbel_key FROM sel
+         |ORDER BY gumbel_key DESC, doc_id LIMIT $DsirK""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),

@@ -1,0 +1,165 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", NeurIPS 2023): select
+  * raw-corpus documents whose hashed-n-gram distribution looks like a
+  * small TARGET corpus, by (1) fitting bag-of-hashed-ngram multinomials
+  * on target and source, (2) scoring each raw document with the
+  * log-importance weight  log w(x) = Σ_grams [log p_target(bucket) −
+  * log p_source(bucket)],  and (3) resampling top-k under deterministic
+  * Gumbel noise (Gumbel-top-k ≡ sampling without replacement ∝ w).
+  *
+  * Everything is engine-portable and oracle-replayable:
+  *   - Features are unigrams + word bigrams hashed into a power-of-two
+  *     bucket space via the repo hash `gmix64(fnv1a(gram))` — the same
+  *     arithmetic the CMS sketch replays in DuckDB; the bucket mask is
+  *     the unsigned-mod == AND trick CmsWidth uses.
+  *   - Both multinomials use add-one smoothing over the FULL bucket
+  *     space: log p(b) = ln((c_b + 1) / (N + B)), so unseen buckets are
+  *     well-defined on both sides.
+  *   - The per-document sum adds DECIMAL(18,12)-cast terms — exact and
+  *     order-free under any partitioning (the UnigramLM trick), so the
+  *     score is deterministic and SQL-replayable.
+  *   - Gumbel noise is a pure function of (salt, doc id): the md5
+  *     60-bit draw the deterministic samplers use, mapped through
+  *     u = (draw + 0.5) / 2^60 (never 0 or 1), g = −ln(−ln(u)).
+  *
+  * Scale shape (the 100 TB story):
+  *   - Each multinomial is ONE map-side-combined aggregate collapsing
+  *     the corpus to ≤ B bucket rows (B = 8192 default) — the delta
+  *     table `log p_t − log p_s` is a single ≤ B-row broadcast.
+  *   - Scoring is: narrow gram projection → explode → broadcast join
+  *     on bucket → one groupBy(doc) shuffle. No driver-side state, no
+  *     vocabulary that grows with the corpus (hashing bounds it by
+  *     construction — that is DSIR's point).
+  *   - The resample is orderBy-limit-k = TakeOrderedAndProject:
+  *     per-partition partial top-k, only k rows cross the wire.
+  */
+object ImportanceResampling {
+
+  /** Default hashed-feature space size. Power of two so the unsigned
+    * bucket mod is a bitmask on the Spark side and a HUGEINT `%` on
+    * the oracle side (same rule as Sketches.CmsWidth). DSIR's paper
+    * uses 10k buckets; 8192 is the nearest power of two. */
+  val DefaultBuckets = 8192
+
+  /** Raw (non-distinct — counts matter for a multinomial) unigram +
+    * bigram list from a bound token-array column. Token arrays must be
+    * materialized attributes, not inline subtrees (the TextDedup HOF
+    * re-evaluation rule). Documents with fewer than 2 tokens simply
+    * contribute no bigrams. */
+  def ngramsOf(toks: Column): Column = {
+    val bigrams = when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))),
+    ).otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** (doc id, bucket) gram instances — one row per gram OCCURRENCE
+    * (multiset, not set). Bucket = gmix64(fnv1a(gram)) & (buckets−1).
+    * explode_outer, not explode: InferFiltersFromGenerate would add a
+    * size(_grams) > 0 pre-filter to a plain explode and the project
+    * collapse then inlines the whole tokenize+ngram subtree into both
+    * the filter and the generate (the tp6 lesson); the outer generate
+    * skips the rule, and the empty-doc null rows die in the filter. */
+  def gramBuckets(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two: $buckets")
+    df.withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn("_grams", ngramsOf(col("_toks")))
+      .select(col(idCol), explode_outer(col("_grams")).as("_gram"))
+      .filter(col("_gram").isNotNull)
+      .select(
+        col(idCol),
+        call_function("graft_token_hash", col("_gram"))
+          .bitwiseAND(lit((buckets - 1).toLong)).as("bucket"))
+  }
+
+  /** Corpus bucket counts: ≤ `buckets` rows however large the corpus
+    * (map-side partial aggregation collapses each partition to ≤ B
+    * rows before the shuffle). */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int = DefaultBuckets): DataFrame =
+    gramBuckets(df.select(lit(1L).as("_one"), col(textCol)), "_one", textCol, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-document log importance weight of every `raw` document:
+    * idCol, n_grams (int), logw (double, 6 dp; 0.0 for gram-less
+    * docs). `target` is the small exemplar corpus (e.g. curated
+    * English); `source` defaults to `raw` itself — DSIR's standard
+    * setup where the raw crawl is its own source distribution. */
+  def logWeights(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      buckets: Int = DefaultBuckets,
+  ): DataFrame = {
+    // Cache the two bucket-sized (≤ B rows) count frames so the totals
+    // derive from the SAME counting pass instead of re-scanning the
+    // corpora: raw is scanned exactly twice (counts, scoring) and the
+    // target once — the floor for a corpus-relative statistic (the
+    // UnigramLM trick). Action-scoped: released at the caller's action.
+    val tc = graft.quality.CacheScope.cachedUntilAction(
+      bucketCounts(target, textCol, buckets).withColumnRenamed("c", "ct"))
+    val sc = graft.quality.CacheScope.cachedUntilAction(
+      bucketCounts(raw, textCol, buckets).withColumnRenamed("c", "cs"))
+    val tn = tc.agg(sum(col("ct")).as("nt"))
+    val sn = sc.agg(sum(col("cs")).as("ns"))
+    val deltas = tc.join(sc, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(sn))
+      .select(
+        col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) -
+          log((coalesce(col("cs"), lit(0L)) + 1).cast("double") / (col("ns") + buckets)))
+          .as("delta"))
+    // Every gram of a raw doc is by construction present in the source
+    // counts, so the broadcast join never misses: inner join is safe
+    // and keeps the plan free of null handling in the hot path.
+    val per = gramBuckets(raw, idCol, textCol, buckets)
+      .join(broadcast(deltas), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(col("delta").cast("decimal(18,12)")).as("dsum"))
+    raw.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("dsum").cast("double"), 6))
+          .as("logw"))
+  }
+
+  /** Gumbel-top-k resample: keep the k documents maximizing
+    * logw + Gumbel(salt, id) — distributionally, sampling k without
+    * replacement with probability ∝ exp(logw), but deterministic and
+    * engine-portable because the "noise" is the md5 60-bit draw
+    * (u = (draw + 0.5)/2^60, g = −ln(−ln(u))). Output: the input row
+    * plus `gumbel_key` (6 dp), ordered nowhere — the SELECTION is the
+    * contract, tie-broken by id. Plan: TakeOrderedAndProject (partial
+    * per-partition top-k; only k rows shuffle). */
+  def gumbelTopK(
+      weighted: DataFrame,
+      idCol: String,
+      logwCol: String,
+      k: Int,
+      salt: String = "dsir",
+  ): DataFrame = {
+    val draw = conv(
+      substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val u = (draw.cast("double") + 0.5) / lit(math.pow(2, 60))
+    val key = col(logwCol) + (-log(-log(u)))
+    weighted
+      .withColumn("gumbel_key", round(key, 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+}
