@@ -1167,6 +1167,18 @@ object SparkEntry {
       ImportanceResampling.gumbelTopK(w, "doc_id", "logw", k = DsirK)
     }),
 
+    // Admission-time DSIR: the delta table frozen into a plan literal
+    // (bounded: exactly B doubles), scoring = ONE narrow projection —
+    // no explode/join/shuffle/state, so the identical chain gates an
+    // unbounded stream. Answers tp17's oracle SQL VERBATIM: admission
+    // ≡ batch is hash-checked every round (the tp15/td15 pattern).
+    "tp19_dsir_admission" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val deltas = ImportanceResampling.deltaArray(
+        docs.filter(col("lang") === "en"), docs, "text", DsirBuckets)
+      ImportanceResampling.admissionLogWeights(docs, "doc_id", "text", deltas, DsirBuckets)
+    }),
+
     // --- Text dedup (beyond-reference) ---------------------------------
 
     "td1_exact_dedup" -> ((s, dir) =>
@@ -3391,6 +3403,14 @@ object SparkEntry {
     "tp16_bloom_suspicion" -> Tp16Sql,
 
     "tp17_dsir_weights" ->
+      s"""WITH $DsirWeightsCteSql
+         |SELECT doc_id, n_grams, logw FROM w""".stripMargin,
+
+    // VERBATIM tp17 oracle: the literal-delta admission projection
+    // must reproduce the distributed join+aggregate weights exactly
+    // (decimal sums are order-free; the frozen array covers every
+    // bucket incl. the both-unseen smoothing floor).
+    "tp19_dsir_admission" ->
       s"""WITH $DsirWeightsCteSql
          |SELECT doc_id, n_grams, logw FROM w""".stripMargin,
 

@@ -137,6 +137,87 @@ object ImportanceResampling {
           .as("logw"))
   }
 
+  /** The frozen form of the delta table: one double per bucket,
+    * indexed by bucket id — EXACTLY `buckets` entries (64 KB at the
+    * default 8192), including the both-unseen smoothing floor for
+    * buckets absent from both corpora. Driver state is bounded by B
+    * by construction (the PQ-codebook / bloomMasks rule), never by
+    * corpus size; the distributed part (two counting aggregates)
+    * collapses to ≤ B rows before the collect. */
+  def deltaArray(
+      target: DataFrame,
+      source: DataFrame,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+  ): Array[Double] = {
+    val tc = bucketCounts(target, textCol, buckets).withColumnRenamed("c", "ct")
+    val sc = bucketCounts(source, textCol, buckets).withColumnRenamed("c", "cs")
+    val tn = tc.agg(sum(col("ct")).as("nt"))
+    val sn = sc.agg(sum(col("cs")).as("ns"))
+    val rows = tc.join(sc, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(sn))
+      .select(
+        col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) -
+          log((coalesce(col("cs"), lit(0L)) + 1).cast("double") / (col("ns") + buckets)))
+          .as("delta"),
+        (log(lit(1.0) / (col("nt") + buckets)) - log(lit(1.0) / (col("ns") + buckets)))
+          .as("floor"))
+      .collect() // ≤ buckets rows — bounded by the parameter, not the data
+    require(rows.nonEmpty, "deltaArray: both corpora are empty")
+    val floor = rows.head.getDouble(2)
+    val arr = Array.fill(buckets)(floor)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    arr
+  }
+
+  /** Admission-time scoring: the same per-document log weight as
+    * [[logWeights]], computed as ONE NARROW PROJECTION — the frozen
+    * [[deltaArray]] rides in the plan as a literal and the per-doc sum
+    * is a higher-order aggregate over the gram array (DECIMAL
+    * accumulator, so it equals the shuffled batch sum bit-for-bit:
+    * decimal addition is exact and order-free). No explode, no join,
+    * no shuffle, no state — the identical chain gates an unbounded
+    * curation stream (the bloomSuspicionScores shape), priced at a
+    * projection per document whatever the corpus size. Output schema
+    * matches [[logWeights]]: idCol, n_grams, logw. */
+  def admissionLogWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      deltas: Array[Double],
+      buckets: Int = DefaultBuckets,
+  ): DataFrame = {
+    require(deltas.length == buckets, s"deltaArray length ${deltas.length} != buckets $buckets")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two: $buckets")
+    val deltaLit = lit(deltas)
+    val mask = lit((buckets - 1).toLong)
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    df.withColumn("_toks", toks)
+      // null text → empty gram list, matching the batch path where the
+      // explode_outer null row dies in the filter and the left join
+      // reports (0, 0.0).
+      .withColumn("_grams",
+        coalesce(ngramsOf(col("_toks")), array().cast("array<string>")))
+      .select(
+        col(idCol),
+        size(col("_grams")).as("n_grams"),
+        aggregate(
+          col("_grams"),
+          lit(BigDecimal(0).bigDecimal).cast("decimal(18,12)"),
+          (acc, g) => (acc + element_at(
+            deltaLit,
+            (call_function("graft_token_hash", g).bitwiseAND(mask) + 1).cast("int"))
+            .cast("decimal(18,12)")).cast("decimal(18,12)"),
+        ).as("_dsum"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("_dsum").cast("double"), 6))
+          .as("logw"))
+  }
+
   /** Gumbel-top-k resample: keep the k documents maximizing
     * logw + Gumbel(salt, id) — distributionally, sampling k without
     * replacement with probability ∝ exp(logw), but deterministic and

@@ -292,6 +292,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert((1 to 20).map(i => streamed(i.toLong)._2).sum <= 2) // private grams ~never hit
   }
 
+  test("dsir admission gate is stream-safe: streamed log weights equal batch row-for-row") {
+    import graft.text.ImportanceResampling
+    val in = Files.createTempDirectory("graft-stream-dsir-in")
+    val out = Files.createTempDirectory("graft-stream-dsir-out").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-stream-dsir-ckpt").toString
+    Files.writeString(in.resolve("a.jsonl"),
+      ((1 to 10).map(i => s"""{"doc_id":$i,"text":"the cat sat on the mat $i"}""") ++
+        (11 to 20).map(i => s"""{"doc_id":$i,"text":"buy cheap pills now $i"}""") ++ Seq(
+        """{"doc_id":21,"text":""}""")).mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val batchDf = spark.read.schema(schema).json(in.toString)
+    // Offline fit: the delta table freezes into a plan literal; the
+    // scoring chain is then ONE stateless narrow projection, so the
+    // identical chain runs on the unbounded stream.
+    val deltas = ImportanceResampling.deltaArray(
+      batchDf.filter(col("doc_id") <= 10), batchDf, "text", buckets = 256)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      ImportanceResampling.admissionLogWeights(df, "doc_id", "text", deltas, buckets = 256)
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    StreamingIngest.drainToParquet(gate(stream), out, ckpt).awaitTermination()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val streamed = asMap(spark.read.parquet(out))
+    val batch = asMap(gate(batchDf))
+    assert(streamed == batch)
+    // on-target docs outscore off-target; the empty doc is the zero edge
+    assert((1 to 10).map(i => streamed(i.toLong)._2).min >
+      (11 to 20).map(i => streamed(i.toLong)._2).max)
+    assert(streamed(21L) == ((0, 0.0)))
+  }
+
   test("serving tail is batch-only by design: corpus-order windows refuse on a stream") {
     import graft.text.{Sampling, TrainOrder}
     val in = Files.createTempDirectory("graft-stream-neg-in")

@@ -78,6 +78,34 @@ class ImportanceResamplingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("admissionLogWeights ≡ logWeights bit-for-bit when the deltas are fit on the same corpora") {
+    val deltas = ImportanceResampling.deltaArray(target, docs, "text", buckets = 256)
+    assert(deltas.length == 256)
+    val batch = ImportanceResampling.logWeights(docs, "doc_id", "text", target, buckets = 256)
+      .orderBy("doc_id").collect().toSeq
+    val admission = ImportanceResampling
+      .admissionLogWeights(docs, "doc_id", "text", deltas, buckets = 256)
+      .orderBy("doc_id").collect().toSeq
+    assert(admission == batch)
+    // null text behaves like the batch path's filtered null row
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L, null: String))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val r = ImportanceResampling
+      .admissionLogWeights(withNull, "doc_id", "text", deltas, buckets = 256)
+      .collect().head
+    assert(r.getInt(1) == 0 && r.getDouble(2) == 0.0)
+  }
+
+  test("deltaArray covers unseen buckets with the smoothing floor") {
+    val deltas = ImportanceResampling.deltaArray(target, docs, "text", buckets = 256)
+    // Unseen buckets share one floor value; seen buckets differ from it.
+    val floor = deltas.groupBy(identity).maxBy(_._2.length)._1
+    assert(deltas.count(_ == floor) > 0 && deltas.exists(_ != floor))
+  }
+
   test("buckets must be a power of two") {
     intercept[IllegalArgumentException] {
       ImportanceResampling.logWeights(docs, "doc_id", "text", target, buckets = 1000)
