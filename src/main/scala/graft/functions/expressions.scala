@@ -553,6 +553,140 @@ case class PolyFoldLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** bloom_suspicion(grams, masks, width) →
+  * struct(n_grams int, n_suspect int): over the gram array, count the
+  * non-empty grams and those whose `gmix64(fnv1a(gram))` hits ALL
+  * depth rows of the Bloom bit masks (CMS multiply-add buckets — the
+  * exact arithmetic of [[graft.text.Sketches]].bloomTest, one wrapping
+  * long multiply + AND per row). `masks`/`width` must be FOLDABLE
+  * (plan literals — the bounded bloomMasks collect): they evaluate
+  * once into primitive arrays, so each gram costs one FNV pass plus
+  * depth bit probes in a tight loop instead of per-gram interpreted
+  * lambda machinery with `element_at` probes (9× measured on the
+  * tp16 admission gate: 7.4 → 0.8 s warm at sf0.1). Empty-string grams are skipped from BOTH
+  * counts — the single empty gram a zero-token document produces
+  * under the clamped shingle slice must not count. */
+case class BloomSuspicion(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(ArrayType(LongType)), IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_suspect", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_bloom_suspicion"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!second.foldable || !third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal masks and width")
+    else super.checkInputDataTypes()
+  }
+
+  private lazy val masks: Array[Array[Long]] = {
+    val outer = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(j =>
+      outer.getArray(j).toLongArray())
+  }
+  private lazy val width: Int = third.eval().asInstanceOf[Int]
+  private lazy val widthMask: Long = width - 1L
+  private lazy val permA: Array[Long] = Array.tabulate(masks.length)(GHash.permA)
+  private lazy val permB: Array[Long] = Array.tabulate(masks.length)(GHash.permB)
+
+  override def nullSafeEval(a: Any, m: Any, w: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val depth = masks.length
+    var grams = 0
+    var suspect = 0
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      if (g != null && g.numBytes() > 0) {
+        grams += 1
+        val h = GHash.gmix64(SimHashCore.fnv1aUtf8(g))
+        var ok = true
+        var j = 0
+        while (ok && j < depth) {
+          val b = (h * permA(j) + permB(j)) & widthMask
+          ok = (masks(j)((b >>> 6).toInt) & (1L << (b & 63L))) != 0L
+          j += 1
+        }
+        if (ok) suspect += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](grams, suspect))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** dsir_score(grams, deltas, buckets) →
+  * struct(n_grams int, dsum decimal(28,12)): the DSIR per-document
+  * importance sum as ONE tight loop — bucket = gmix64(fnv1a(gram)) &
+  * (buckets−1), term = deltas[bucket] cast to DECIMAL(18,12) via
+  * Spark's own Decimal conversion (precomputed per bucket at init, so
+  * the loop pays one hash + one BigDecimal.add per gram), accumulated
+  * exactly. Bit-identical to `sum(cast(delta as decimal(18,12)))` over
+  * the exploded batch because decimal addition is exact and order-free
+  * — the admission scorer's equality with the shuffled batch scorer is
+  * arithmetic, not luck. `deltas`/`buckets` must be plan literals. */
+case class DsirScore(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("dsum", DecimalType(28, 12), nullable = false)))
+  override def prettyName: String = "graft_dsir_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!second.foldable || !third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal deltas and buckets")
+    else super.checkInputDataTypes()
+  }
+
+  private lazy val buckets: Int = third.eval().asInstanceOf[Int]
+  private lazy val bucketMask: Long = buckets - 1L
+  // Each bucket's delta pre-converted with the SAME arithmetic the
+  // batch path's cast runs — Spark's Decimal(double) goes through
+  // Double.toString (BigDecimal.valueOf), then HALF_UP to scale 12 —
+  // held as java BigDecimal so the per-gram work is one exact add.
+  private lazy val terms: Array[java.math.BigDecimal] = {
+    val arr = second.eval().asInstanceOf[ArrayData].toDoubleArray()
+    require(arr.length == buckets, s"deltas length ${arr.length} != buckets $buckets")
+    arr.map(d => java.math.BigDecimal.valueOf(d)
+      .setScale(12, java.math.RoundingMode.HALF_UP))
+  }
+
+  override def nullSafeEval(a: Any, m: Any, w: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var grams = 0
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      if (g != null) {
+        grams += 1
+        val b = (GHash.gmix64(SimHashCore.fnv1aUtf8(g)) & bucketMask).toInt
+        acc = acc.add(terms(b))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](grams, Decimal(acc, 28, 12)))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   type Description = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
 
@@ -585,5 +719,9 @@ object GraftFunctions {
       args => PolyFoldLong(args(0), args(1))),
     desc("graft_token_hash", "gmix64(fnv1a(s)) scalar token hash",
       args => TokenHash64(args(0))),
+    desc("graft_bloom_suspicion", "per-doc (n_grams, n_suspect) counts against literal Bloom masks",
+      args => BloomSuspicion(args(0), args(1), args(2))),
+    desc("graft_dsir_score", "per-doc (n_grams, decimal importance sum) against literal bucket deltas",
+      args => DsirScore(args(0), args(1), args(2))),
   )
 }

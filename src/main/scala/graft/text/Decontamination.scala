@@ -132,18 +132,22 @@ object Decontamination {
       k: Int = 3,
       width: Int = 4096,
   ): DataFrame =
-    // the g =!= "" guard drops the single empty gram a zero-token
-    // document produces under the clamped slice (n_grams must be 0
-    // there, and an empty-string gram is never a real shingle)
-    df.withColumn("_grams",
-        filter(TextDedup.shingles(col(textCol), k), g => g =!= ""))
-      .withColumn("_hits", filter(col("_grams"), g =>
-        Sketches.bloomTest(call_function("graft_token_hash", g), masks, width)))
+    // ONE native kernel call per document (graft_bloom_suspicion):
+    // both counts in a single tight loop — FNV + depth bit probes per
+    // gram — instead of interpreted per-gram HOF lambdas with
+    // element_at probes (7.4 s → 0.8 s warm at sf0.1, 9×). The kernel
+    // skips the empty gram a zero-token document produces under the
+    // clamped shingle slice (n_grams must be 0 there). Masks/width
+    // ride as plan literals; the chain stays stateless and narrow, so
+    // it still gates an unbounded stream.
+    df.withColumn("_s", call_function("graft_bloom_suspicion",
+        TextDedup.shingles(col(textCol), k),
+        typedLit(masks), lit(width)))
       .select(col(idCol),
-        size(col("_grams")).as("n_grams"),
-        size(col("_hits")).as("n_suspect"),
-        when(size(col("_grams")) === 0, lit(0.0))
+        col("_s.n_grams").as("n_grams"),
+        col("_s.n_suspect").as("n_suspect"),
+        when(col("_s.n_grams") === 0, lit(0.0))
           .otherwise(round(
-            size(col("_hits")).cast("double") / size(col("_grams")).cast("double"), 6))
+            col("_s.n_suspect").cast("double") / col("_s.n_grams").cast("double"), 6))
           .as("suspicion"))
 }

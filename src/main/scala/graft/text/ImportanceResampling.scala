@@ -190,8 +190,6 @@ object ImportanceResampling {
   ): DataFrame = {
     require(deltas.length == buckets, s"deltaArray length ${deltas.length} != buckets $buckets")
     require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two: $buckets")
-    val deltaLit = lit(deltas)
-    val mask = lit((buckets - 1).toLong)
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     df.withColumn("_toks", toks)
       // null text → empty gram list, matching the batch path where the
@@ -199,22 +197,19 @@ object ImportanceResampling {
       // reports (0, 0.0).
       .withColumn("_grams",
         coalesce(ngramsOf(col("_toks")), array().cast("array<string>")))
+      // ONE native kernel call per document (graft_dsir_score): hash +
+      // exact pre-scaled decimal add per gram in a tight loop instead
+      // of an interpreted per-gram HOF aggregate. The committed tp19
+      // probe is delta-FIT-dominated (the fit is offline in the
+      // streaming deployment); the scoring chain itself is the part
+      // that rides the stream, and the kernel makes it one eval/doc.
+      .withColumn("_s",
+        call_function("graft_dsir_score", col("_grams"), lit(deltas), lit(buckets)))
       .select(
         col(idCol),
-        size(col("_grams")).as("n_grams"),
-        aggregate(
-          col("_grams"),
-          lit(BigDecimal(0).bigDecimal).cast("decimal(18,12)"),
-          (acc, g) => (acc + element_at(
-            deltaLit,
-            (call_function("graft_token_hash", g).bitwiseAND(mask) + 1).cast("int"))
-            .cast("decimal(18,12)")).cast("decimal(18,12)"),
-        ).as("_dsum"))
-      .select(
-        col(idCol),
-        col("n_grams"),
-        when(col("n_grams") === 0, lit(0.0))
-          .otherwise(round(col("_dsum").cast("double"), 6))
+        col("_s.n_grams").as("n_grams"),
+        when(col("_s.n_grams") === 0, lit(0.0))
+          .otherwise(round(col("_s.dsum").cast("double"), 6))
           .as("logw"))
   }
 
