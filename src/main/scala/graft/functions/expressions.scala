@@ -562,8 +562,12 @@ case class PolyFoldLong(left: Expression, right: Expression)
   * (plan literals — the bounded bloomMasks collect): they evaluate
   * once into primitive arrays, so each gram costs one FNV pass plus
   * depth bit probes in a tight loop instead of per-gram interpreted
-  * lambda machinery with `element_at` probes (9× measured on the
-  * tp16 admission gate: 7.4 → 0.8 s warm at sf0.1). Empty-string grams are skipped from BOTH
+  * lambda machinery with `element_at` probes. Honest pricing (noop-
+  * sink bench, sf0.1): tp16 END-TO-END is flat (7.48 vs 7.43 s) —
+  * the stage is dominated by the shared tokenize+shingle HOF chain,
+  * not the probes — so the kernel's value here is the simpler plan
+  * (one struct eval vs two HOF filters) and probe cost that stays
+  * negligible as depth/width grow. Empty-string grams are skipped from BOTH
   * counts — the single empty gram a zero-token document produces
   * under the clamped shingle slice must not count. */
 case class BloomSuspicion(first: Expression, second: Expression, third: Expression)

@@ -135,7 +135,9 @@ object Decontamination {
     // ONE native kernel call per document (graft_bloom_suspicion):
     // both counts in a single tight loop — FNV + depth bit probes per
     // gram — instead of interpreted per-gram HOF lambdas with
-    // element_at probes (7.4 s → 0.8 s warm at sf0.1, 9×). The kernel
+    // element_at probes. End-to-end the stage is shingle-chain-bound
+    // (7.48 vs 7.43 s noop-sink at sf0.1): the kernel buys the simpler
+    // plan and probe cost independent of depth/width. The kernel
     // skips the empty gram a zero-token document produces under the
     // clamped shingle slice (n_grams must be 0 there). Masks/width
     // ride as plan literals; the chain stays stateless and narrow, so
