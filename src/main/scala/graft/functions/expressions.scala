@@ -691,6 +691,106 @@ case class DsirScore(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** shingles(text, k) → array<string>: the distinct word-k-gram list —
+  * ONE kernel replacing the interpreted chain
+  * `array_distinct(transform(sequence(...), i → concat_ws(' ',
+  * slice(tokens(normalized(text)), i+1, k))))` that every shingle
+  * consumer paid per row (regex lower/replace/trim/split plus a
+  * per-gram lambda with slice+concat allocations). Bit-identical
+  * semantics, proven element-for-element against the HOF chain by
+  * TextDedupSpec:
+  *   - lowercase via UTF8String.toLowerCase (the exact `lower()` code
+  *     path), tokens split on java-regex `\s` byte class
+  *     {space, \t, \n, \x0B, \f, \r} — ASCII-only, same as the
+  *     `split(trim(x), "\\s+")` the chain runs (UTF-8 multibyte units
+  *     never collide with ASCII bytes, so the byte scan is safe);
+  *   - k = 1 → distinct tokens; k > 1 → grams at i = 0..max(n−k, 0)
+  *     with the CLAMPED slice, so a doc shorter than k yields its
+  *     whole text as one gram and an empty doc yields [""] — the HOF
+  *     chain's documented edge, preserved so downstream `""` guards
+  *     keep working;
+  *   - distinct keeps first-occurrence order (array_distinct). */
+case class Shingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal k")
+    else super.checkInputDataTypes()
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  override def nullSafeEval(t: Any, kAny: Any): Any = {
+    val k = kAny.asInstanceOf[Int]
+    val bytes = t.asInstanceOf[UTF8String].toLowerCase.getBytes
+    // token boundaries as (start, end) byte offsets
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (k <= 1) {
+      var j = 0
+      while (j < nTok) {
+        seen.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, starts.get(j), ends.get(j))))
+        j += 1
+      }
+    } else {
+      // grams at i = 0..max(nTok-k, 0), slice clamped to the end —
+      // including the [""] empty-doc gram the HOF chain produces
+      val last = math.max(nTok - k, 0)
+      var g = 0
+      while (g <= last) {
+        val hi = math.min(g + k, nTok) - 1
+        if (hi < g) seen.add(UTF8String.EMPTY_UTF8)
+        else {
+          var len = 0
+          var j = g
+          while (j <= hi) { len += ends.get(j) - starts.get(j); j += 1 }
+          len += hi - g // single spaces between tokens
+          val out = new Array[Byte](len)
+          var p = 0
+          j = g
+          while (j <= hi) {
+            val l = ends.get(j) - starts.get(j)
+            System.arraycopy(bytes, starts.get(j), out, p, l)
+            p += l
+            if (j < hi) { out(p) = ' '; p += 1 }
+            j += 1
+          }
+          seen.add(UTF8String.fromBytes(out))
+        }
+        g += 1
+      }
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) { arr(w) = it.next(); w += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   type Description = (FunctionIdentifier, ExpressionInfo, FunctionBuilder)
 
@@ -727,5 +827,7 @@ object GraftFunctions {
       args => BloomSuspicion(args(0), args(1), args(2))),
     desc("graft_dsir_score", "per-doc (n_grams, decimal importance sum) against literal bucket deltas",
       args => DsirScore(args(0), args(1), args(2))),
+    desc("graft_shingles", "distinct word-k-gram array of normalized text",
+      args => Shingles(args(0), args(1))),
   )
 }

@@ -94,12 +94,17 @@ object TextDedup {
       array_distinct(grams)
     }
 
-  /** Bind normalized tokens + distinct k-shingles as real columns so
-    * downstream HOFs evaluate them once per row. */
+  /** Distinct k-shingles straight from text as ONE kernel call
+    * (`graft_shingles`): lowercase + java-\s tokenization + clamped
+    * k-gram build + first-occurrence distinct in a single tight loop,
+    * replacing the interpreted regex/split/transform/slice/concat_ws/
+    * array_distinct chain every shingle consumer paid per row —
+    * element-for-element identical to [[shinglesOfTokens]] over
+    * [[TextAnalysis.tokens]]∘[[TextAnalysis.normalized]] (the HOF
+    * chain stays as the spec's reference implementation). */
   def withShingles(df: DataFrame, textCol: String, k: Int, out: String): DataFrame =
-    df.withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-      .withColumn(out, shinglesOfTokens(col("_toks"), k))
-      .drop("_toks")
+    df.withColumn(out,
+      call_function("graft_shingles", coalesce(col(textCol), lit("")), lit(k)))
 
   /** Shingles as sorted distinct 64-bit hashes — the join-friendly
     * representation: per-pair jaccard becomes an allocation-free merge
@@ -114,12 +119,10 @@ object TextDedup {
   private def jaccardSorted(a: Column, b: Column): Column =
     round(call_function("graft_jaccard_sorted", a, b), 6)
 
-  /** Convenience (tests / small data): shingles straight from text.
-    * Prefer [[withShingles]] in pipelines — see the PERF note above. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
-    shinglesOfTokens(toks, k)
-  }
+  /** Shingles straight from text — the [[withShingles]] kernel as a
+    * Column (one `graft_shingles` eval per row). */
+  def shingles(text: Column, k: Int): Column =
+    call_function("graft_shingles", coalesce(text, lit("")), lit(k))
 
   /** MinHash signature: element j = unsigned min over shingle hashes
     * of the multiply-add permutation `permA(j)·x + permB(j) mod 2^64`

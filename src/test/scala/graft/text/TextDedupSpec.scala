@@ -13,6 +13,41 @@ class TextDedupSpec extends SparkSpec {
     (4L, "completely different words entirely unrelated content"),
   ).toDF("doc_id", "text")
 
+  test("graft_shingles kernel ≡ the HOF reference chain, element for element") {
+    // Adversarial corpus: multi-whitespace runs, tabs/newlines/CR/FF/VT,
+    // leading/trailing ws, case (incl. non-ASCII case mapping),
+    // multilingual text, 0/1/k-1 token docs, duplicate grams, and a
+    // generated batch of random whitespace/word soups.
+    val gen = new scala.util.Random(41)
+    val alphabet = Vector("the", "Cat", "Straße", "ÜBER", "中文", "naïve", "x", "", " ", "\t", "\n", "\r", "\f", "", "  ")
+    val fuzz = (1 to 200).map { i =>
+      (100L + i, (1 to gen.nextInt(30)).map(_ => alphabet(gen.nextInt(alphabet.size))).mkString(gen.nextInt(3) match {
+        case 0 => " "; case 1 => ""; case _ => "\t"
+      }))
+    }
+    val edge = Seq(
+      (1L, ""), (2L, "   \t\n "), (3L, "one"), (4L, "one two"),
+      (5L, "One  TWO\tthree\nfour\rfive\ffivesix"),
+      (6L, " padded  both   ends "), (7L, "dup dup dup dup"),
+      (8L, "Straße ÜBER naïve 中文 словарь"),
+    )
+    val df = (edge ++ fuzz).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 8)) {
+      val ref = df
+        .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+        .select(col("doc_id"), TextDedup.shinglesOfTokens(col("_toks"), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val kernel = df
+        .select(col("doc_id"), TextDedup.shingles(col("text"), k).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(kernel == ref, s"k=$k mismatch: ${kernel.toSeq.diff(ref.toSeq).take(3)}")
+    }
+    // the documented empty-doc edge survives the kernel rewrite
+    val empty = df.filter(col("doc_id") === 1L)
+      .select(TextDedup.shingles(col("text"), 2)).as[Seq[String]].head()
+    assert(empty == Seq(""))
+  }
+
   test("exactDedup keeps min id per normalized text") {
     val out = TextDedup.exactDedup(docs, col("text"), col("doc_id"))
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
