@@ -842,7 +842,7 @@ object SparkEntry {
     // column first (HOF lambda re-evaluation gotcha).
     "t7_repetition" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+        .withColumn("_toks", TextAnalysis.normalizedTokens(col("text")))
         .select(col("doc_id"),
           TextAnalysis.repetitionScore(col("_toks"), 2).as("rep_2gram"))),
 
@@ -853,7 +853,7 @@ object SparkEntry {
     // so the limit is deterministic across engines.
     "t8_vocab_topk" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .select(explode(TextAnalysis.tokens(TextAnalysis.normalized(col("text")))).as("token"))
+        .select(explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
@@ -960,7 +960,7 @@ object SparkEntry {
     // bit-for-bit or the hash compare fails.
     "t25_qs_merge" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val v = size(TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+      val v = size(TextAnalysis.normalizedTokens(col("text")))
       val a = Sketches.qsSketch(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), v, QsK)
       val b = Sketches.qsSketch(

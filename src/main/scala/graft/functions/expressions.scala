@@ -710,6 +710,104 @@ case class DsirScore(first: Expression, second: Expression, third: Expression)
   *     chain's documented edge, preserved so downstream `""` guards
   *     keep working;
   *   - distinct keeps first-occurrence order (array_distinct). */
+private[functions] object Tokenize {
+  def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Lowercase the UTF8String (the exact `lower()` code path) and
+    * return token byte ranges over the java-regex `\s` byte class —
+    * ASCII-only, same as `split(trim(x), "\\s+")`; UTF-8 multibyte
+    * units never collide with ASCII bytes, so the byte scan is safe.
+    * Returns (bytes, starts, ends). */
+  def tokenize(t: UTF8String): (Array[Byte], java.util.ArrayList[Int], java.util.ArrayList[Int]) = {
+    val bytes = t.toLowerCase.getBytes
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    (bytes, starts, ends)
+  }
+
+  def slice(bytes: Array[Byte], s: Int, e: Int): UTF8String =
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, s, e))
+
+  /** Tokens `lo..hi` joined by single spaces, as one byte copy. */
+  def joined(bytes: Array[Byte], starts: java.util.ArrayList[Int],
+      ends: java.util.ArrayList[Int], lo: Int, hi: Int): UTF8String = {
+    var len = hi - lo // single spaces between tokens
+    var j = lo
+    while (j <= hi) { len += ends.get(j) - starts.get(j); j += 1 }
+    val out = new Array[Byte](len)
+    var p = 0
+    j = lo
+    while (j <= hi) {
+      val l = ends.get(j) - starts.get(j)
+      System.arraycopy(bytes, starts.get(j), out, p, l)
+      p += l
+      if (j < hi) { out(p) = ' '; p += 1 }
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** tokens(text) → array<string>: the normalized whitespace tokens —
+  * one kernel loop ≡ `tokens(normalized(text))` (lowercase, split on
+  * java-\s runs, leading/trailing dropped, NON-distinct, in order).
+  * The entry point for every per-token operator (LM scoring, BM25,
+  * sketches, DSIR) that previously paid the regex chain per row. */
+case class Tokens(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(t: Any): Any = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+    val n = starts.size()
+    val arr = new Array[Any](n)
+    var j = 0
+    while (j < n) { arr(j) = Tokenize.slice(bytes, starts.get(j), ends.get(j)); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ngrams(text) → array<string>: DSIR's feature list — ALL unigrams
+  * in order, then all adjacent bigrams in order, NON-distinct (counts
+  * matter for a multinomial). ≡ ImportanceResampling.ngramsOf over
+  * the normalized tokens, as one kernel loop. */
+case class Ngrams(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(t: Any): Any = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+    val n = starts.size()
+    val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
+    var j = 0
+    while (j < n) { out(j) = Tokenize.slice(bytes, starts.get(j), ends.get(j)); j += 1 }
+    var g = 0
+    while (g < n - 1) { out(n + g) = Tokenize.joined(bytes, starts, ends, g, g + 1); g += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Shingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
@@ -724,32 +822,15 @@ case class Shingles(left: Expression, right: Expression)
     else super.checkInputDataTypes()
   }
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   override def nullSafeEval(t: Any, kAny: Any): Any = {
     val k = kAny.asInstanceOf[Int]
-    val bytes = t.asInstanceOf[UTF8String].toLowerCase.getBytes
-    // token boundaries as (start, end) byte offsets
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      if (i < n) {
-        starts.add(i)
-        while (i < n && !isWs(bytes(i))) i += 1
-        ends.add(i)
-      }
-    }
+    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
     val nTok = starts.size()
     val seen = new java.util.LinkedHashSet[UTF8String]()
     if (k <= 1) {
       var j = 0
       while (j < nTok) {
-        seen.add(UTF8String.fromBytes(
-          java.util.Arrays.copyOfRange(bytes, starts.get(j), ends.get(j))))
+        seen.add(Tokenize.slice(bytes, starts.get(j), ends.get(j)))
         j += 1
       }
     } else {
@@ -760,23 +841,7 @@ case class Shingles(left: Expression, right: Expression)
       while (g <= last) {
         val hi = math.min(g + k, nTok) - 1
         if (hi < g) seen.add(UTF8String.EMPTY_UTF8)
-        else {
-          var len = 0
-          var j = g
-          while (j <= hi) { len += ends.get(j) - starts.get(j); j += 1 }
-          len += hi - g // single spaces between tokens
-          val out = new Array[Byte](len)
-          var p = 0
-          j = g
-          while (j <= hi) {
-            val l = ends.get(j) - starts.get(j)
-            System.arraycopy(bytes, starts.get(j), out, p, l)
-            p += l
-            if (j < hi) { out(p) = ' '; p += 1 }
-            j += 1
-          }
-          seen.add(UTF8String.fromBytes(out))
-        }
+        else seen.add(Tokenize.joined(bytes, starts, ends, g, hi))
         g += 1
       }
     }
@@ -829,5 +894,9 @@ object GraftFunctions {
       args => DsirScore(args(0), args(1), args(2))),
     desc("graft_shingles", "distinct word-k-gram array of normalized text",
       args => Shingles(args(0), args(1))),
+    desc("graft_tokens", "normalized whitespace tokens of text, non-distinct, in order",
+      args => Tokens(args(0))),
+    desc("graft_ngrams", "non-distinct unigrams then adjacent bigrams of normalized text",
+      args => Ngrams(args(0))),
   )
 }

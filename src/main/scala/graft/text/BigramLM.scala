@@ -44,7 +44,7 @@ object BigramLM {
     * lambda (the tp6 regression), and the outer generate skips that
     * rule. */
   private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val toks = TextAnalysis.normalizedTokens(col(textCol))
     df.select(col(idCol), toks.as("_t"))
       .select(col(idCol),
         explode_outer(arrays_zip(

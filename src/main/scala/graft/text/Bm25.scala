@@ -58,7 +58,7 @@ object Bm25 {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("_t"))
+      explode(TextAnalysis.normalizedTokens(col(textCol))).as("_t"))
     // One tokenization pass: every statistic derives from the postings
     // frame — doc length is the sum of its term counts, df a count
     // over postings — so the corpus is scanned once, not three times.
@@ -71,7 +71,7 @@ object Bm25 {
     val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
     val qterms = queries.select(col(queryIdCol),
-        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(queryTextCol)))).as("_t"))
+        explode(TextAnalysis.normalizedTokens(col(queryTextCol))).as("_t"))
       .distinct()
     // Postings pruned to query terms BEFORE any per-term statistic:
     // df(t) over the pruned postings equals df(t) over the corpus for

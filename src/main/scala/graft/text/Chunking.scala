@@ -36,7 +36,7 @@ object Chunking {
     require(stride > 0 && stride <= width,
       s"stride must be in [1, width], got $stride (width $width)")
     docs
-      .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn("_toks", TextAnalysis.normalizedTokens(col(textCol)))
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") > 0)
       .withColumn("_start",

@@ -70,8 +70,8 @@ object ImportanceResampling {
     * skips the rule, and the empty-doc null rows die in the filter. */
   def gramBuckets(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two: $buckets")
-    df.withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-      .withColumn("_grams", ngramsOf(col("_toks")))
+    df.withColumn("_grams",
+        call_function("graft_ngrams", coalesce(col(textCol), lit(""))))
       .select(col(idCol), explode_outer(col("_grams")).as("_gram"))
       .filter(col("_gram").isNotNull)
       .select(
@@ -190,13 +190,11 @@ object ImportanceResampling {
   ): DataFrame = {
     require(deltas.length == buckets, s"deltaArray length ${deltas.length} != buckets $buckets")
     require(buckets > 0 && (buckets & (buckets - 1)) == 0, s"buckets must be a power of two: $buckets")
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
-    df.withColumn("_toks", toks)
-      // null text → empty gram list, matching the batch path where the
-      // explode_outer null row dies in the filter and the left join
-      // reports (0, 0.0).
-      .withColumn("_grams",
-        coalesce(ngramsOf(col("_toks")), array().cast("array<string>")))
+    // null text coalesces to the empty gram list inside the kernel
+    // call, matching the batch path where the explode_outer null row
+    // dies in the filter and the left join reports (0, 0.0).
+    df.withColumn("_grams",
+        call_function("graft_ngrams", coalesce(col(textCol), lit(""))))
       // ONE native kernel call per document (graft_dsir_score): hash +
       // exact pre-scaled decimal add per gram in a tight loop instead
       // of an interpreted per-gram HOF aggregate. The committed tp19

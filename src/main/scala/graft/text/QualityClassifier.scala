@@ -48,7 +48,7 @@ object QualityClassifier {
   private def docTermFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      explode(TextAnalysis.normalizedTokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
 
@@ -203,7 +203,7 @@ object QualityClassifier {
     if (entries.isEmpty) (lit(0), lit(bias))
     else {
       val wmap = typedlit(entries)
-      val toks = TextAnalysis.tokens(TextAnalysis.normalized(textCol))
+      val toks = TextAnalysis.normalizedTokens(textCol)
       val accT = DecimalType(32, 12)
       val zero = lit(java.math.BigDecimal.ZERO).cast(accT)
       val ssum = aggregate(toks, zero, (acc, t) =>

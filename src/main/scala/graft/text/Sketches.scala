@@ -56,7 +56,7 @@ object Sketches {
     * normal form — the shared front of both sketches. */
   private def instances(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(
-      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("tok"))
+      TextAnalysis.normalizedTokens(col(textCol))).as("tok"))
 
   /** Count-min bucket of hash `hv` for sketch row `j`: the same
     * multiply-add permutation family the minhash signatures use
@@ -676,7 +676,7 @@ object Sketches {
       k: Int = 256,
       probsPct: Seq[Int] = Seq(10, 25, 50, 75, 90, 99),
   ): DataFrame = {
-    val v = size(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+    val v = size(TextAnalysis.normalizedTokens(col(textCol)))
     qsEval(docs, col(idCol), v, qsSketch(docs, col(idCol), v, k), probsPct)
   }
 

@@ -21,6 +21,14 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** The `tokens(normalized(text))` idiom as ONE kernel call
+    * (`graft_tokens`): lowercase + java-\s byte split in a single
+    * loop, element-for-element ≡ the regex chain (TextAnalysisSpec).
+    * Every per-token operator (LM scoring, BM25, sketches, DSIR)
+    * routes through this. */
+  def normalizedTokens(text: Column): Column =
+    call_function("graft_tokens", coalesce(text, lit("")))
+
   /** BPE-ish subword proxy: runs of word chars OR single non-space
     * punctuation — the classic pre-tokenizer regex. */
   val BpeishPattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"

@@ -628,8 +628,7 @@ object TextDedup {
     * (shift+mask) and hamming (`bit_count(a ^ b)`) stay inside
     * whole-stage codegen, and external tools can sort/hash it. */
   def simhash64(text: Column): Column =
-    call_function("graft_simhash64",
-      TextAnalysis.tokens(TextAnalysis.normalized(text)))
+    call_function("graft_simhash64", TextAnalysis.normalizedTokens(text))
 
   /** Hamming distance between two packed 64-bit signatures: one XOR +
     * popcount, fully codegen'd. */
@@ -748,7 +747,7 @@ object TextDedup {
       k: Int,
   ): DataFrame = {
     val g = docs
-      .withColumn("_toks", TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .withColumn("_toks", TextAnalysis.normalizedTokens(col(textCol)))
       .withColumn("_grams", positionalGramsOfTokens(col("_toks"), k))
       .select(col(idCol), explode_outer(col("_grams")).as("_gram"))
       .filter(col("_gram").isNotNull)
@@ -846,7 +845,7 @@ object TextDedup {
     require(k >= 2, s"k must be >= 2, got $k")
     val toksDf = docs.select(
       col(idCol),
-      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("_tk"))
+      TextAnalysis.normalizedTokens(col(textCol)).as("_tk"))
     val textStarts = toksDf
       .select(col(idCol), posexplode(positionalGramsOfTokens(col("_tk"), k)).as(Seq("_st", "_gram")))
     // the packed key replaces the gram TEXT before the first shuffle,

@@ -30,7 +30,7 @@ object UnigramLM {
   /** Full corpus unigram counts (vocab-sized, i.e. tiny relative to
     * the corpus). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+    df.select(explode(TextAnalysis.normalizedTokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("c"))
 
@@ -52,7 +52,7 @@ object UnigramLM {
   ): DataFrame = {
     val toks = df.select(
       col(idCol),
-      explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("token"))
+      explode(TextAnalysis.normalizedTokens(col(textCol))).as("token"))
     // Cache the vocab-sized counts so BOTH the capped vocabulary and
     // the total derive from one counting pass: the corpus is scanned
     // exactly twice (counts, scoring) — the 100 TB floor for a

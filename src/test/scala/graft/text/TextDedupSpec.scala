@@ -46,6 +46,22 @@ class TextDedupSpec extends SparkSpec {
     val empty = df.filter(col("doc_id") === 1L)
       .select(TextDedup.shingles(col("text"), 2)).as[Seq[String]].head()
     assert(empty == Seq(""))
+    // the sibling kernels on the same adversarial corpus:
+    // graft_tokens ≡ tokens(normalized(text)) — non-distinct, in order
+    val refToks = df.select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(col("text"))).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kToks = df.select(col("doc_id"), TextAnalysis.normalizedTokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kToks == refToks)
+    // graft_ngrams ≡ ngramsOf over the tokens — unigrams then bigrams
+    val refGrams = df.withColumn("_toks", TextAnalysis.normalizedTokens(col("text")))
+      .select(col("doc_id"), ImportanceResampling.ngramsOf(col("_toks")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kGrams = df.select(col("doc_id"),
+        call_function("graft_ngrams", coalesce(col("text"), lit(""))).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kGrams == refGrams)
   }
 
   test("exactDedup keeps min id per normalized text") {
