@@ -47,10 +47,11 @@ object ImportanceResampling {
   val DefaultBuckets = 8192
 
   /** Raw (non-distinct — counts matter for a multinomial) unigram +
-    * bigram list from a bound token-array column. Token arrays must be
-    * materialized attributes, not inline subtrees (the TextDedup HOF
-    * re-evaluation rule). Documents with fewer than 2 tokens simply
-    * contribute no bigrams. */
+    * bigram list from a bound token-array column. This HOF form is the
+    * SPEC REFERENCE; the pipelines route through the `graft_ngrams`
+    * kernel (one loop per document, element-for-element ≡ this —
+    * TextDedupSpec's fuzz property). Documents with fewer than 2
+    * tokens simply contribute no bigrams. */
   def ngramsOf(toks: Column): Column = {
     val bigrams = when(
       size(toks) >= 2,
