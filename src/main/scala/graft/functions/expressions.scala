@@ -816,10 +816,18 @@ case class Shingles(left: Expression, right: Expression)
   override def prettyName: String = "graft_shingles"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (!right.foldable)
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!right.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a literal k")
-    else super.checkInputDataTypes()
+    else {
+      val k = right.eval()
+      if (k == null || k.asInstanceOf[Int] < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires k >= 1")
+      else base
+    }
   }
 
   override def nullSafeEval(t: Any, kAny: Any): Any = {
