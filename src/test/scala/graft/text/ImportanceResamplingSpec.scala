@@ -106,6 +106,22 @@ class ImportanceResamplingSpec extends SparkSpec {
     assert(deltas.count(_ == floor) > 0 && deltas.exists(_ != floor))
   }
 
+  test("bucket counts obey the merge law: fit(A ∪ B) ≡ fold of per-part fits") {
+    // Counts are additive, so the DSIR fit is INCREMENTAL by
+    // construction (the sketch merge-law property): a streaming or
+    // sharded fit folds per-part bucket counts and lands on the exact
+    // whole-corpus multinomial — no refit, no approximation.
+    val a = docs.filter(col("doc_id") <= 3)
+    val b = docs.filter(col("doc_id") > 3)
+    val whole = ImportanceResampling.bucketCounts(docs, "text", 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parts = Seq(a, b).map(
+      ImportanceResampling.bucketCounts(_, "text", 256)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val folded = parts.flatten.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(folded == whole)
+  }
+
   test("buckets must be a power of two") {
     intercept[IllegalArgumentException] {
       ImportanceResampling.logWeights(docs, "doc_id", "text", target, buckets = 1000)
