@@ -109,9 +109,12 @@ object AnnRecallBench {
           .count()
         spark.catalog.clearCache()
         val recall = hits / truthRows
-        val speedup = if (v1Sec.isNaN) 1.0 else v1Sec / sec
-        val b = s""""$name":{"sec":${f2(sec)},"recall_at_10":${f4(recall)},""" +
-          s""""speedup_vs_exact":${f1(speedup)}}"""
+        // No exact denominator (v1 failed) → OMIT the field rather
+        // than fabricate a 1.0 that reads as "no faster than exact".
+        val speedupField =
+          if (v1Sec.isNaN) ""
+          else s""","speedup_vs_exact":${f1(v1Sec / sec)}"""
+        val b = s""""$name":{"sec":${f2(sec)},"recall_at_10":${f4(recall)}$speedupField}"""
         System.err.println(s"[annbench] $b")
         Some(b)
       }

@@ -135,8 +135,16 @@ object SketchStreamBench {
 
     val statePath = lastState.get
     val stateBytes = dirBytes(statePath)
+    // A family dir can legitimately be absent after a full drain (an
+    // MG summary that zeroes out every counter appends nothing —
+    // mgStateSummary's documented edge); report 0 rows instead of
+    // crashing the bench after the measurements completed.
     val stateRows = Seq("cms", "kmv", "hll", "mg", "qs", "bloom").map { s =>
-      s""""$s":${spark.read.parquet(s"$statePath/$s").count()}"""
+      val n =
+        if (new java.io.File(s"$statePath/$s").isDirectory)
+          spark.read.parquet(s"$statePath/$s").count()
+        else 0L
+      s""""$s":$n"""
     }.mkString("{", ",", "}")
 
     val line =

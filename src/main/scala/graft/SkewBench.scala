@@ -10,10 +10,12 @@ import graft.agg.Sessionize
   * WARN says "use sessionStatsBucketed", so a committed wall-time
   * ratio under real skew must back it.
   *
-  * Method: the corpus's events table is re-keyed so ONE user owns
-  * ~10% of all rows (deterministic: every event_id ≡ 0 (mod 10) goes
-  * to the hot user), written to scratch parquet and read back — the
-  * same on-disk shape the real queries scan. Both variants run with
+  * Method: a synthesized events corpus where ONE user owns 30% of
+  * all rows (deterministic: every id with pmod(id, 100) < 30 goes to
+  * the hot user — the `hotPct` constant below; the committed
+  * MEASUREMENTS_R11 point is 12M hot rows of 40M), written to
+  * scratch parquet and read back — the same on-disk shape the real
+  * queries scan. Both variants run with
   * the w3/w4 parameters (6 h gap, 1-day bucket, event_id tie-break)
   * to a noop sink, min wall across reps after a warm-up pass; outputs
   * are compared (row count + order-free checksum over every column)

@@ -588,8 +588,14 @@ case class BloomSuspicion(first: Expression, second: Expression, third: Expressi
 
   private lazy val masks: Array[Array[Long]] = {
     val outer = second.eval().asInstanceOf[ArrayData]
-    Array.tabulate(outer.numElements())(j =>
+    val ms = Array.tabulate(outer.numElements())(j =>
       outer.getArray(j).toLongArray())
+    // Probe-side twin of bloomMasks' build-side require (the
+    // Sketches.bloomTest rule): a masks/width mismatch silently
+    // corrupts membership — fail loudly at first eval instead.
+    ms.foreach(m => require(m.length == math.max(width / 64, 1),
+      s"mask word count ${m.length} != width $width / 64 — masks built for a different width"))
+    ms
   }
   private lazy val width: Int = third.eval().asInstanceOf[Int]
   private lazy val widthMask: Long = width - 1L

@@ -496,13 +496,26 @@ object Sketches {
       summary: DataFrame,
       k: Int = 64,
       topK: Int = 20,
+  ): DataFrame =
+    heavyHittersFromCounts(
+      graft.quality.CacheScope.cachedUntilAction(
+        instances(docs, textCol).groupBy("tok").agg(count(lit(1)).as("n_exact"))),
+      summary, k, topK)
+
+  /** The eval body over a pre-built (tok, n_exact) frame. One counting
+    * pass feeds BOTH the probe top-k and m_total (= Σ n_exact) — the
+    * corpus is never re-scanned for the total (it previously was:
+    * three passes where one suffices, the UnigramLM one-pass rule). */
+  private def heavyHittersFromCounts(
+      cnt: DataFrame,
+      summary: DataFrame,
+      k: Int,
+      topK: Int,
   ): DataFrame = {
-    val cnt = instances(docs, textCol)
-      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    val m = instances(docs, textCol).agg(count(lit(1)).as("m_total"))
+    val m = cnt.agg(coalesce(sum(col("n_exact")), lit(0L)).as("m_total"))
     cnt.orderBy(col("n_exact").desc, col("tok").asc).limit(topK)
       .join(broadcast(summary), Seq("tok"), "left")
-      .crossJoin(m)
+      .crossJoin(broadcast(m))
       .select(
         col("tok"),
         col("n_exact"),
@@ -512,14 +525,20 @@ object Sketches {
           <= col("m_total")).as("bound_ok"))
   }
 
-  /** Whole-corpus heavy hitters — [[mgSummary]] + [[mgHeavyHitters]]. */
+  /** Whole-corpus heavy hitters — summary + eval sharing ONE cached
+    * counting pass (the summary is [[mgReduce]] over the same (tok,
+    * count) frame the eval probes, so the corpus is scanned once). */
   def mgTopk(
       docs: DataFrame,
       textCol: String,
       k: Int = 64,
       topK: Int = 20,
-  ): DataFrame =
-    mgHeavyHitters(docs, textCol, mgSummary(docs, textCol, k), k, topK)
+  ): DataFrame = {
+    val cnt = graft.quality.CacheScope.cachedUntilAction(
+      instances(docs, textCol).groupBy("tok").agg(count(lit(1)).as("n_exact")))
+    val summary = mgReduce(cnt.select(col("tok"), col("n_exact").as("counter")), k)
+    heavyHittersFromCounts(cnt, summary, k, topK)
+  }
 
   // -------------------------------------------------------------------
   // Bottom-k sample quantiles (Cohen & Kaplan 2007, "Summarizing data
@@ -595,11 +614,12 @@ object Sketches {
     val spark = sketch.sparkSession
     import spark.implicits._
     // The sketch frame is referenced three times (both self-join sides
-    // + the size row); persisting the ≤ k-row frame makes the
-    // TakeOrdered build run ONCE instead of re-deriving from the
-    // corpus per reference — at scale that is corpus scans saved for k
-    // rows of cache (the bench's clearCache reclaims it per query).
-    val sk = sketch.persist()
+    // + the size row); caching the ≤ k-row frame makes the TakeOrdered
+    // build run ONCE instead of re-deriving from the corpus per
+    // reference. Action-scoped (CacheScope), not a bare persist: a
+    // long-lived session calling this per micro-batch must not
+    // accumulate cached frames.
+    val sk = graft.quality.CacheScope.cachedUntilAction(sketch)
     val s1 = sk.select(col("u").as("u1"), col("v").as("v1"))
     val s2 = sk.select(col("u").as("u2"), col("v").as("v2"))
     val ranked = s1.join(s2,
@@ -637,12 +657,15 @@ object Sketches {
       probsPct: Seq[Int] = Seq(10, 25, 50, 75, 90, 99),
   ): DataFrame = {
     val est = qsQuantiles(sketch, probsPct)
-    // histogram persisted: the non-equi cumulative self-join references
-    // it twice, and the row count derives from it by summation — one
-    // corpus scan feeds the whole exact side instead of three
-    val hist = rows.select(valueCol.cast("long").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("c"))
-      .persist()
+    // histogram cached action-scoped: the non-equi cumulative self-join
+    // references it twice, and the row count derives from it by
+    // summation — one corpus scan feeds the whole exact side instead
+    // of three, and the cache releases at the caller's action (a bare
+    // persist would leak value-cardinality-sized frames across a
+    // long-lived session's repeated calls).
+    val hist = graft.quality.CacheScope.cachedUntilAction(
+      rows.select(valueCol.cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c")))
     val cum = hist.select(col("v").as("hv"), col("c"))
       .join(hist.select(col("v").as("hv2"), col("c").as("c2")),
         col("hv2") <= col("hv"))
@@ -758,13 +781,20 @@ object Sketches {
     * power-of-two bit mask) — codegen'd and scan-fused, so at 100 TB
     * the gate costs a projection, not a join: no shuffle, no broadcast
     * wait, just depth AND-chained bit tests per row. */
-  def bloomTest(hv: Column, masks: Array[Array[Long]], width: Int): Column =
+  def bloomTest(hv: Column, masks: Array[Array[Long]], width: Int): Column = {
+    // Probe-side twin of bloomMasks' build-side require: a masks/width
+    // mismatch would silently corrupt membership (width smaller than
+    // the masks ⇒ high words never probed ⇒ FALSE NEGATIVES, breaking
+    // the no-false-negative guarantee; larger ⇒ null word lookups).
+    masks.foreach(m => require(m.length == math.max(width / 64, 1),
+      s"mask word count ${m.length} != width $width / 64 — masks built for a different width"))
     masks.zipWithIndex.map { case (m, j) =>
       val bucket = cmsBucket(hv, j, width)
       val word = element_at(lit(m), shiftrightunsigned(bucket, 6).cast("int") + 1)
       val bit = element_at(lit(Pw64), (bucket.bitwiseAND(lit(63L))).cast("int") + 1)
       word.bitwiseAND(bit) =!= lit(0L)
     }.reduce(_ && _)
+  }
 
   /** Merge two bit frames (same depth/width): set union. */
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
