@@ -97,6 +97,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The calendar-bounded unpartitioned windows (w2_mom_delta et al.,
+    // PLANS.md "w2" audit: a month-keyed frame is <= a few hundred rows
+    // by construction, so the single-partition window is the DESIGNED
+    // plan, not an accident) each emit WindowExecBase's "No Partition
+    // Defined" warning — 40+ repeats that buried the per-round timings
+    // in two consecutive round tails. Silence exactly that package;
+    // every other WARN still prints.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
 
     val skipAtScale = scaleFactorOf(sfDir).exists(_ >= 1.0)
     // Optional subset run (scale probes at sf≥1 over the flagship
@@ -176,6 +185,25 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
         scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
 
+    // Self-adjudication reserve: when the dispersion gate fails at
+    // budget exhaustion, [[Adjudicate.run]] re-pairs this head against
+    // the previous round's snapshotted HEAD (A,B,A,B fresh JVMs on
+    // this same host session) and emits ADJUDICATION_R{N}.json — the
+    // 4cb35fa protocol that twice had to be run by hand. Its wall cost
+    // is carved OUT of the bench budget (not added on top), so the
+    // worst-case step time stays at the round-11 envelope: fewer timed
+    // rounds when the host is noisy, but a noisy-host run now always
+    // ends with either dispersion_ok:true or a bracketing artifact.
+    // Enabled only for the full-suite driver shape (a subset run is
+    // already a manual probe) with a prev-head jar present.
+    val adjEnabled = sys.env.get("SPARK_GRAFT_NO_ADJUDICATE").isEmpty &&
+      subset.isEmpty && Adjudicate.prevJar().isDefined
+    // 480 s: four children x ~110 s each (JVM+session ~30 s fixed, one
+    // untimed sf0.1 pass, >= 3 timed rounds over the 3-query subset),
+    // measured with the smoke run of the Adjudicate main.
+    val adjReserveSec = if (adjEnabled) 480.0 else 0.0
+    val mainBudgetSec = math.max(budgetSec - adjReserveSec, 180.0)
+
     // Phase 2 — untimed whole-suite passes at the measured scale:
     // sf0.001 covers JIT, but data-dependent state (page cache for
     // these exact files, AQE statistics, broadcast builds, thread-pool
@@ -189,7 +217,7 @@ object Bench {
     // median-round robust_value. The second pass is skipped when the
     // budget is small (scale probes pay ~minutes per pass).
     order.foreach(runOnce)
-    if (budgetSec >= 300) order.foreach(runOnce)
+    if (mainBudgetSec >= 300) order.foreach(runOnce)
 
     def roundBoundary(): Unit = {
       // The ONE GC-driven ContextCleaner sweep per round, at an
@@ -239,7 +267,7 @@ object Bench {
         // the next round's real cost)
         val pool = { val c = completeRounds; if (c.nonEmpty) c else rounds }
         val perRound = pool.map(_.values.sum).sorted.apply(pool.size / 2)
-        timedSec + perRound <= budgetSec
+        timedSec + perRound <= mainBudgetSec
       }
     }
     // Failed samples are EXCLUDED (timing a crash is not timing the
@@ -274,7 +302,7 @@ object Bench {
       System.err.println(
         f"[bench] round $r total ${times.values.sum}%.3f s" +
           (if (times.size < order.size) s" (${order.size - times.size} FAILED)" else "") +
-          f", timed ${timedSec}%.1f/${budgetSec}%.0f s" +
+          f", timed ${timedSec}%.1f/${mainBudgetSec}%.0f s" +
           (if (r >= minRounds) {
             val sp = bestSpreadPct()
             if (sp < 0) ", best-3 spread n/a (no complete rounds)"
@@ -306,8 +334,16 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(_) => () }
-    println(line)
+    val needAdjudication = adjEnabled && !converged()
+    // Children must alternate on an idle slate: stop the parent
+    // session (its 32-thread pool and heap would be measurement noise)
+    // BEFORE spawning them. The headline line prints LAST either way —
+    // the invoking harness parses the tail of stdout.
     spark.stop()
+    if (needAdjudication)
+      Adjudicate.run(sfDir, reserveSec = adjReserveSec,
+        reason = f"bench dispersion gate failed: best-3 spread $spread%.2f%% > 5%% at budget exhaustion (${rounds.size} rounds)")
+    println(line)
   }
 
   /** (printed stdout line, BENCH_FULL.json content).
