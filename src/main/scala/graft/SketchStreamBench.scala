@@ -135,17 +135,21 @@ object SketchStreamBench {
 
     val statePath = lastState.get
     val stateBytes = dirBytes(statePath)
-    // A family dir can legitimately be absent after a full drain (an
-    // MG summary that zeroes out every counter appends nothing —
-    // mgStateSummary's documented edge); report 0 rows instead of
-    // crashing the bench after the measurements completed.
-    val stateRows = Seq("cms", "kmv", "hll", "mg", "qs", "bloom").map { s =>
-      val n =
-        if (new java.io.File(s"$statePath/$s").isDirectory)
-          spark.read.parquet(s"$statePath/$s").count()
-        else 0L
-      s""""$s":$n"""
-    }.mkString("{", ",", "}")
+    // One wide row per batch since round 12: per-family "rows" =
+    // total array elements across the batch rows (the same partial
+    // rows the per-family tables used to hold).
+    val fams = Seq("cms", "kmv", "hll", "mg", "qs", "bloom")
+    val stateRows = {
+      val counts: Map[String, Long] =
+        if (new java.io.File(s"$statePath/wide").isDirectory) {
+          val r = spark.read.parquet(s"$statePath/wide")
+            .select(fams.map(s =>
+              coalesce(sum(size(col(s))), lit(0L)).cast("long").as(s)): _*)
+            .head()
+          fams.zipWithIndex.map { case (s, i) => s -> r.getLong(i) }.toMap
+        } else fams.map(_ -> 0L).toMap
+      fams.map(s => s""""$s":${counts(s)}""").mkString("{", ",", "}")
+    }
 
     val line =
       s"""{"metric":"sketch_accum","sf":"$sfDir","docs":$nDocs,"chunks":$nChunks,""" +

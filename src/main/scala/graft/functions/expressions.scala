@@ -906,6 +906,19 @@ object GraftFunctions {
       args => BloomSuspicion(args(0), args(1), args(2))),
     desc("graft_dsir_score", "per-doc (n_grams, decimal importance sum) against literal bucket deltas",
       args => DsirScore(args(0), args(1), args(2))),
+    desc("graft_wide_sketch", "all five token-family sketch partials in one aggregation pass",
+      args => {
+        def litInt(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_wide_sketch: $name must be an int literal, got $other")
+        }
+        WideSketchAgg(args(0), args(1), args(2),
+          litInt(args(3), "cmsDepth"), litInt(args(4), "cmsWidth"),
+          litInt(args(5), "kmvK"), litInt(args(6), "hllP"),
+          litInt(args(7), "mgK"), litInt(args(8), "bloomDepth"),
+          litInt(args(9), "bloomWidth"))
+      }),
     desc("graft_shingles", "distinct word-k-gram array of normalized text",
       args => Shingles(args(0), args(1))),
     desc("graft_tokens", "normalized whitespace tokens of text, non-distinct, in order",

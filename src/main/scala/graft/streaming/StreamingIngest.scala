@@ -358,15 +358,17 @@ object StreamingIngest {
     * t18/t19/t21/t25/t27 oracles; the Misra–Gries summary rides along
     * with its deterministic-but-lossy merge).
     *
-    * Per micro-batch: build the batch's own bounded partial sketches
-    * and append them keyed by `batch_id` through
-    * [[graft.sink.IdempotentAppend.appendNew]] — a crash between
-    * appends followed by checkpoint redelivery of the SAME batch id
-    * re-inserts nothing (the CMS fold is a SUM, so at-least-once
-    * delivery without the key guard would double-count; the others
-    * would merely re-merge idempotently, but every family goes
-    * through the same guard for one recovery story). State is
-    * batches × sketch-size rows — KBs per batch whatever the corpus.
+    * Per micro-batch: build ALL SIX bounded partial sketches in ONE
+    * wide aggregation job ([[graft.text.Sketches.widePartials]] — the
+    * five token families share a single token shuffle; QS is a narrow
+    * TakeOrdered branch) and append them as ONE `batch_id`-keyed row
+    * of six arrays through [[graft.sink.IdempotentAppend.appendNew]].
+    * Checkpoint redelivery of the SAME batch id re-inserts nothing
+    * (the CMS fold is a SUM, so at-least-once delivery without the
+    * key guard would double-count), and because the whole contribution
+    * is one row there is no partial-crash window between families at
+    * all. State is one six-array row per batch — KBs per batch
+    * whatever the corpus.
     *
     * Read side ([[cmsStateCells]]/[[kmvStateSketch]]/
     * [[hllStateRegisters]]/[[mgStateSummary]]/[[qsStateSketch]]/
@@ -403,17 +405,22 @@ object StreamingIngest {
   /** One micro-batch's sketch merge — factored out so redelivery
     * idempotence is testable without faking a checkpoint crash:
     * calling this twice with the same `batchId` must leave the state
-    * unchanged (the append key is (batch_id, sketch coordinates)).
+    * unchanged (the append key is `batch_id`; a batch's ENTIRE sketch
+    * contribution is one row, so redelivery either inserts the row or
+    * matches it whole — no per-family partial-crash window at all).
     *
-    * Cost shape (measured, MEASUREMENTS_R11.json): the per-batch
-    * overhead is a FIXED append cost plus one inherent sketch pass
-    * over the batch data. Two levers keep the fixed part small: the
-    * batch is persisted once so all partial builds scan it from
-    * cache instead of re-reading the source, and the appends go to
-    * INDEPENDENT tables (separate paths, separate writer leases) so
-    * they run concurrently — Spark's scheduler is thread-safe for
-    * concurrent job submission, and FIFO slots the small jobs into
-    * idle cores. */
+    * Cost shape: ONE wide aggregation query + ONE append per batch.
+    * The round-11 form (six per-family builds off a shared cached
+    * scan, submitted concurrently) still paid six job launches + six
+    * state appends — measured at 1.45–3.54 s fixed per micro-batch
+    * (MEASUREMENTS_R11.json, 221% overhead at fpt=4).
+    * [[graft.text.Sketches.widePartials]] collapses that to a single
+    * query returning one six-array row: the five token families are
+    * ONE imperative-aggregate pass ([[graft.functions.WideSketchAgg]])
+    * over the batch's token collapse — one corpus-sized shuffle, one
+    * bounded-buffer merge — plus the narrow QS TakeOrdered branch,
+    * and the single append pays the lease + stage + publish dance
+    * once instead of six times. */
   private[graft] def mergeSketchBatch(
       batch: DataFrame,
       textCol: String,
@@ -430,54 +437,47 @@ object StreamingIngest {
       bloomWidth: Int = 4096,
   ): Unit = {
     import org.apache.spark.sql.functions._
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val spark = batch.sparkSession
-    val bid = lit(batchId).as("batch_id")
-    val cached = batch.persist()
-    try {
-      val qsV = size(graft.text.TextAnalysis.tokens(
-        graft.text.TextAnalysis.normalized(col(textCol))))
-      val appends = Seq(
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.cmsCells(cached, textCol, cmsDepth, cmsWidth)
-            .select(bid, col("j"), col("bucket"), col("cell")),
-          s"$statePath/cms", Seq("batch_id", "j", "bucket"), timeCol = None),
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.kmvSketch(cached, textCol, kmvK).select(bid, col("u")),
-          s"$statePath/kmv", Seq("batch_id", "u"), timeCol = None),
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.hllRegisters(cached, textCol, hllP)
-            .select(bid, col("bucket"), col("r")),
-          s"$statePath/hll", Seq("batch_id", "bucket"), timeCol = None),
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.mgSummary(cached, textCol, mgK)
-            .select(bid, col("tok"), col("counter")),
-          s"$statePath/mg", Seq("batch_id", "tok"), timeCol = None),
-        // bottom-k quantile sample: draws keyed by the unique idCol,
-        // so (batch_id, u) is a genuine row identity — redelivery
-        // matches every row, and batches that PARTITION the corpus
-        // satisfy the disjointness the exact fold law needs
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.qsSketch(cached, col(idCol), qsV, qsK)
-            .select(bid, col("u"), col("v")),
-          s"$statePath/qs", Seq("batch_id", "u"), timeCol = None),
-        () => graft.sink.IdempotentAppend.appendNew(
-          spark,
-          graft.text.Sketches.bloomBits(cached, textCol, bloomDepth, bloomWidth)
-            .select(bid, col("j"), col("bucket")),
-          s"$statePath/bloom", Seq("batch_id", "j", "bucket"), timeCol = None))
-      appends.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
-    } finally {
-      cached.unpersist()
-      ()
-    }
+    val wide = graft.text.Sketches
+      .widePartials(batch, textCol, col(idCol),
+        cmsDepth, cmsWidth, kmvK, hllP, mgK, qsK, bloomDepth, bloomWidth)
+      .select(lit(batchId).as("batch_id"), col("cms"), col("kmv"),
+        col("hll"), col("mg"), col("qs"), col("bloom"))
+    graft.sink.IdempotentAppend.appendNew(
+      spark, wide, s"$statePath/wide", Seq("batch_id"), timeCol = None)
+    ()
+  }
+
+  /** Schema of the wide sketch-state table — one row per micro-batch,
+    * one parameter-bounded array per sketch family (the exact rows the
+    * per-family [[graft.text.Sketches]] builders emit). */
+  private[graft] val WideSketchSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("batch_id", LongType),
+      StructField("cms", ArrayType(StructType(Seq(
+        StructField("j", IntegerType), StructField("bucket", LongType),
+        StructField("cell", LongType))))),
+      StructField("kmv", ArrayType(DecimalType(22, 0))),
+      StructField("hll", ArrayType(StructType(Seq(
+        StructField("bucket", LongType), StructField("r", IntegerType))))),
+      StructField("mg", ArrayType(StructType(Seq(
+        StructField("tok", StringType), StructField("counter", LongType))))),
+      StructField("qs", ArrayType(StructType(Seq(
+        StructField("u", DecimalType(22, 0)), StructField("v", LongType))))),
+      StructField("bloom", ArrayType(StructType(Seq(
+        StructField("j", IntegerType), StructField("bucket", LongType)))))))
+  }
+
+  /** The wide sketch-state table, or an empty frame of its schema when
+    * no batch ever appended (absence of state is the empty sketch, not
+    * an error). */
+  private def wideState(spark: SparkSession, statePath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/wide")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(path.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WideSketchSchema)
   }
 
   /** Folded bottom-k quantile sketch of the drained state — the n-way
@@ -488,13 +488,9 @@ object StreamingIngest {
     * `qsQuantiles`. */
   def qsStateSketch(spark: SparkSession, statePath: String, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.functions._
-    readStateOrEmpty(spark, s"$statePath/qs",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("u",
-          org.apache.spark.sql.types.DecimalType(22, 0)),
-        org.apache.spark.sql.types.StructField("v",
-          org.apache.spark.sql.types.LongType))),
-      Seq("u", "v"))
+    wideState(spark, statePath)
+      .select(explode(col("qs")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .orderBy(col("u").asc, col("v").asc).limit(k)
   }
 
@@ -502,33 +498,12 @@ object StreamingIngest {
     * [[graft.text.Sketches.bloomMerge]] (set union). Equals the
     * whole-corpus [[graft.text.Sketches.bloomBits]] exactly; feed to
     * `bloomProbe`. */
-  def bloomStateBits(spark: SparkSession, statePath: String): DataFrame =
-    readStateOrEmpty(spark, s"$statePath/bloom",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("j",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType))),
-      Seq("j", "bucket"))
+  def bloomStateBits(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wideState(spark, statePath)
+      .select(explode(col("bloom")).as("e"))
+      .select(col("e.j").as("j"), col("e.bucket").as("bucket"))
       .distinct()
-
-  /** Read a sketch-state dir, or an empty frame of the given schema
-    * when no batch ever appended there (absence of state is the empty
-    * sketch, not an error — the mgStateSummary rule, shared). */
-  private def readStateOrEmpty(
-      spark: SparkSession,
-      dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      cols: Seq[String],
-  ): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df =
-      if (fs.exists(path)) spark.read.parquet(path.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    df.select(cols.map(col): _*)
   }
 
   /** Folded Misra–Gries summary of the drained state: the n-way
@@ -542,16 +517,11 @@ object StreamingIngest {
   def mgStateSummary(spark: SparkSession, statePath: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     // A batch whose summary came out EMPTY (legal: boundary ties zero
-    // out every counter) appends nothing, so a drain can finish with
-    // no mg/ dir at all — readStateOrEmpty treats that as the empty
-    // summary, not an error.
-    val partials = readStateOrEmpty(spark, s"$statePath/mg",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("tok",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("counter",
-          org.apache.spark.sql.types.LongType))),
-      Seq("tok", "counter"))
+    // out every counter) carries an empty mg array — the inner explode
+    // drops it, which IS the empty-summary contribution.
+    val partials = wideState(spark, statePath)
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.counter").as("counter"))
     graft.text.Sketches.mgReduce(
       partials.groupBy("tok").agg(sum("counter").as("counter")), k)
   }
@@ -561,8 +531,10 @@ object StreamingIngest {
     * (cells are linear). Feed to `cmsTopkCountsFromCells`. */
   def cmsStateCells(spark: SparkSession, statePath: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$statePath/cms")
-      .groupBy("j", "bucket").agg(sum("cell").as("cell"))
+    wideState(spark, statePath)
+      .select(explode(col("cms")).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(sum(col("e.cell")).as("cell"))
   }
 
   /** Folded KMV sketch of the drained state — the k smallest distinct
@@ -570,8 +542,9 @@ object StreamingIngest {
     * Feed to `kmvDistinctFromSketch`. */
   def kmvStateSketch(spark: SparkSession, statePath: String, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$statePath/kmv")
-      .select(col("u")).distinct().orderBy(col("u").asc).limit(k)
+    wideState(spark, statePath)
+      .select(explode(col("kmv")).as("u"))
+      .distinct().orderBy(col("u").asc).limit(k)
   }
 
   /** Folded HLL registers of the drained state — per-bucket max across
@@ -579,8 +552,9 @@ object StreamingIngest {
     * Feed to `hllDistinctFromRegisters`. */
   def hllStateRegisters(spark: SparkSession, statePath: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$statePath/hll")
-      .groupBy("bucket").agg(max(col("r")).as("r"))
+    wideState(spark, statePath)
+      .select(explode(col("hll")).as("e"))
+      .groupBy(col("e.bucket").as("bucket")).agg(max(col("e.r")).as("r"))
   }
 
   def runningTotals(

@@ -321,22 +321,29 @@ object Sketches {
       p: Int = 8,
   ): DataFrame = {
     requireHllParams(p)
+    val (bucket, rank) = hllBucketRank(call_function("graft_token_hash", col("tok")), p)
+    instances(docs, textCol)
+      .select(col("tok")).distinct()
+      .select(bucket.as("bucket"), rank.as("r"))
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+  }
+
+  /** (bucket, rank) of one 64-bit hash under parameter p — shared by
+    * [[hllRegisters]] and [[widePartials]] so the two derivations
+    * cannot drift. bucket = low p bits; rank = leading-zero count + 1
+    * over the next [[HllRankBits]] bits: a descending integer
+    * comparison chain, no float log anywhere. */
+  private def hllBucketRank(hv: Column, p: Int): (Column, Column) = {
     val m = 1 << p
-    val hv = call_function("graft_token_hash", col("tok"))
     val bucket = hv.bitwiseAND(lit(m - 1L))
     val w = shiftrightunsigned(hv, p).bitwiseAND(lit((1L << HllRankBits) - 1))
-    // rank = RankBits - floor(log2(w)) for w > 0, else RankBits + 1:
-    // a descending integer comparison chain, no float log anywhere.
     val fl = (HllRankBits - 2 to 0 by -1).foldLeft(
       when(w >= lit(1L << (HllRankBits - 1)), lit(HllRankBits - 1))) {
       (acc, j) => acc.when(w >= lit(1L << j), lit(j))
     }
     val rank = when(w === 0, lit(HllRankBits + 1))
       .otherwise(lit(HllRankBits) - fl)
-    instances(docs, textCol)
-      .select(col("tok")).distinct()
-      .select(bucket.as("bucket"), rank.as("r"))
-      .groupBy("bucket").agg(max(col("r")).as("r"))
+    (bucket, rank)
   }
 
   /** Merge two HLL register frames built with the same p: per-bucket
@@ -865,5 +872,100 @@ object Sketches {
           .otherwise(round(col("n_false_pos").cast("double") * 100.0 /
             (col("n_probe_tokens") - col("n_true_members")).cast("double"), 6))
           .as("fp_pct"))
+  }
+
+  /** ALL SIX sketch partials of one corpus slice as ONE wide row —
+    * the single-job streaming-accumulator form. The per-family
+    * builders above each cost a whole Spark job when run separately;
+    * a micro-batch accumulator paying six job launches + six state
+    * appends per batch was measured at 1.45–3.54 s of fixed overhead
+    * (MEASUREMENTS_R11.json `sketch_accum_sf1_optimized`, 221% at
+    * fpt=4 even with a shared cached scan and concurrent submission).
+    * This emits the same six partials from ONE query:
+    *
+    *   - the five token families (CMS, KMV, HLL, MG, Bloom) all derive
+    *     from the SAME `(tok, count, hash)` collapse — ONE corpus-sized
+    *     token shuffle (distinct tokens = the keys of the count frame,
+    *     so KMV/HLL/Bloom need no second distinct-shuffle) — and are
+    *     computed by ONE [[graft.functions.WideSketchAgg]] imperative-
+    *     aggregate pass over it. Composing the per-family builders
+    *     instead was measured at ~1 s of pure plan STRUCTURE per call
+    *     (five branch subtrees: five scans of the collapse even when
+    *     cached — exchange reuse cannot dedup them, per-branch column
+    *     pruning makes the five exchanges non-canonical-equal — plus
+    *     three extra shuffles and five single-row broadcasts), nearly
+    *     independent of every sketch parameter;
+    *   - the QS draw keys on `qsKeyCol` with the token-count value the
+    *     accumulator contract fixes (one narrow TakeOrdered branch,
+    *     the only consumer of per-DOC identity — which is exactly the
+    *     information the token collapse destroys, so it cannot join
+    *     the one-pass aggregate).
+    *
+    * Array elements are EXACTLY the rows the per-family builders emit,
+    * so every fold law (cells sum, min-k, register max, MG offset
+    * reduce, bottom-k, bit union) applies unchanged to the exploded
+    * arrays — merge ≡ recompute is inherited, not re-proven
+    * (StreamingIngestSpec pins the drained fold against the
+    * whole-corpus sketches). An EMPTY slice yields one row of six
+    * empty arrays (a global aggregate always emits), which folds as
+    * the identity. */
+  def widePartials(
+      docs: DataFrame,
+      textCol: String,
+      qsKeyCol: Column,
+      cmsDepth: Int = 4,
+      cmsWidth: Int = 1024,
+      kmvK: Int = 256,
+      hllP: Int = 8,
+      mgK: Int = 64,
+      qsK: Int = 256,
+      bloomDepth: Int = 7,
+      bloomWidth: Int = 4096,
+  ): DataFrame =
+    widePartialsFromCounts(tokenCounts(docs, textCol), docs, textCol, qsKeyCol,
+      cmsDepth, cmsWidth, kmvK, hllP, mgK, qsK, bloomDepth, bloomWidth)
+
+  /** The per-token `(tok, n_exact, hv)` collapse [[widePartialsFromCounts]]
+    * consumes — exposed for callers that already materialized it. */
+  def tokenCountsOf(docs: DataFrame, textCol: String): DataFrame =
+    tokenCounts(docs, textCol)
+
+  /** [[widePartials]] with the token collapse supplied by the caller.
+    * `tc` must be the untouched [[tokenCountsOf]] frame of the SAME
+    * `docs`/`textCol`. */
+  def widePartialsFromCounts(
+      tc: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      qsKeyCol: Column,
+      cmsDepth: Int = 4,
+      cmsWidth: Int = 1024,
+      kmvK: Int = 256,
+      hllP: Int = 8,
+      mgK: Int = 64,
+      qsK: Int = 256,
+      bloomDepth: Int = 7,
+      bloomWidth: Int = 4096,
+  ): DataFrame = {
+    requireCmsParams(cmsDepth, cmsWidth)
+    requireCmsParams(bloomDepth, bloomWidth)
+    requireHllParams(hllP)
+    require(kmvK >= 2, s"kmvK must be >= 2, got $kmvK")
+    // one imperative-aggregate pass over the collapse: scan → partial
+    // buffers → single-partition merge. Emits the per-family rows in
+    // the exact sorted order the composed sort_array(collect_list(…))
+    // form produced (SketchesSpec pins that equality family by family)
+    val tokOne = tc.agg(
+      call_function("graft_wide_sketch",
+        col("tok"), col("n_exact"), col("hv"),
+        lit(cmsDepth), lit(cmsWidth), lit(kmvK), lit(hllP), lit(mgK),
+        lit(bloomDepth), lit(bloomWidth)).as("w"))
+      .select(col("w.cms").as("cms"), col("w.kmv").as("kmv"),
+        col("w.hll").as("hll"), col("w.mg").as("mg"), col("w.bloom").as("bloom"))
+    val qsV = size(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+    val qsOne = qsSketch(docs, qsKeyCol, qsV, qsK)
+      .agg(sort_array(collect_list(struct(col("u"), col("v")))).as("qs"))
+    tokOne.crossJoin(qsOne)
+      .select(col("cms"), col("kmv"), col("hll"), col("mg"), col("qs"), col("bloom"))
   }
 }

@@ -491,7 +491,9 @@ class StreamingIngestSpec extends SparkSpec {
     StreamingIngest.drainSketchState(stream, "text", st, ckpt,
       cmsDepth = 3, cmsWidth = 64, kmvK = 128, hllP = 6, mgK = 8,
       qsK = 2, bloomDepth = 3, bloomWidth = 256).awaitTermination()
-    assert(spark.read.parquet(s"$st/cms").select("batch_id").distinct().count() == 3)
+    // one wide six-array row per micro-batch
+    assert(spark.read.parquet(s"$st/wide").select("batch_id").distinct().count() == 3)
+    assert(spark.read.parquet(s"$st/wide").count() == 3)
 
     val whole = spark.read.json(in.toString) // the drained corpus, as a batch
     def cellMap(df: org.apache.spark.sql.DataFrame) =

@@ -388,4 +388,54 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomBits(Seq((1L, "x")).toDF("doc_id", "text"), "text", width = 100)
     }
   }
+
+  test("widePartials: the one-pass aggregate equals the per-family builders row for row") {
+    import org.apache.spark.sql.functions._
+    // shared vocab + a unique tail so every family has real content;
+    // small k's force the bounded heaps to actually evict
+    val docs = Seq(
+      (1L, (0 until 120).map(i => s"tok${i % 37} uniq$i").mkString(" ")),
+      (2L, (80 until 240).map(i => s"tok${i % 37} uniq$i").mkString(" ")),
+      (3L, (200 until 400).map(i => s"tok${i % 37} uniq$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val (d, wd, kk, p, mk, qk, bd, bw) = (3, 64, 16, 6, 8, 2, 3, 256)
+    val row = Sketches.widePartials(docs, "text", col("doc_id"),
+      d, wd, kk, p, mk, qk, bd, bw).collect().head
+
+    def structSeq(i: Int): Seq[Seq[Any]] =
+      row.getSeq[org.apache.spark.sql.Row](i).map(_.toSeq)
+
+    val cms = Sketches.cmsCells(docs, "text", d, wd)
+      .orderBy("j", "bucket").collect().map(_.toSeq).toSeq
+    assert(structSeq(0) == cms, "cms")
+
+    val kmv = Sketches.kmvSketch(docs, "text", kk)
+      .collect().map(_.getDecimal(0)).toSeq
+    assert(row.getSeq[java.math.BigDecimal](1) == kmv, "kmv")
+
+    val hll = Sketches.hllRegisters(docs, "text", p)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(structSeq(2) == hll, "hll")
+
+    val mg = Sketches.mgSummary(docs, "text", mk)
+      .orderBy("tok").collect().map(_.toSeq).toSeq
+    assert(structSeq(3) == mg, "mg")
+
+    val qsV = size(TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+    val qs = Sketches.qsSketch(docs, col("doc_id"), qsV, qk)
+      .orderBy("u", "v").collect().map(_.toSeq).toSeq
+    assert(structSeq(4) == qs, "qs")
+
+    val bloom = Sketches.bloomBits(docs, "text", bd, bw)
+      .orderBy("j", "bucket").collect().map(_.toSeq).toSeq
+    assert(structSeq(5) == bloom, "bloom")
+  }
+
+  test("widePartials: an empty slice is one row of six empty arrays") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rows = Sketches.widePartials(empty, "text", col("doc_id")).collect()
+    assert(rows.length == 1)
+    (0 until 6).foreach(i => assert(rows.head.getSeq[Any](i).isEmpty, s"field $i"))
+  }
 }
