@@ -116,8 +116,9 @@ object IngestJob {
     *
     * The whole load runs in a [[graft.quality.CacheScope.shared]]
     * block: the parsed-JSONL and annotated frames stay cached across
-    * the load's several actions (corrupt count, upsert write, report
-    * aggregates, run-id probe) and are released at block end — on
+    * the load's several actions (corrupt count, batch-stats aggregate,
+    * upsert write, report message collapse) and are released at block
+    * end — on
     * success AND on exception, which the previous manual
     * cache()/unpersist() pair did not guarantee. */
   def load(
@@ -151,21 +152,27 @@ object IngestJob {
     val deduped = Dedup
       .firstWinsByName(valid, keys, Seq(JsonlSource.LineOrderCol))
       .drop(JsonlSource.LineOrderCol)
+    // ONE batch-stats aggregate instead of three separate actions
+    // (valid.count for the upsert accounting, the report's summary,
+    // the effective-run-id probe): a load is dominated by per-action
+    // launch cost on small batches — i8 profiled at ~10 driver
+    // actions of ~0.1–0.2 s each — and every count here is derivable
+    // from one pass over the cached annotated frame. The run id on
+    // the metadata row must be the one actually ON the loaded rows,
+    // or downstream per-run joins (date backfill, A7) match nothing;
+    // min() = deterministic pick if a file mixes runs (reference: the
+    // extraction process stamps rows and the metadata row alike).
+    val stats = annotated.agg(
+      count(lit(1)).as("total"),
+      coalesce(sum(when(Validator.isValid, 1L).otherwise(0L)), lit(0L)).as("valid"),
+      min(when(Validator.isValid, col("extraction_run_id"))).as("run_id")).head()
+    val (total, vc) = (stats.getLong(0), stats.getLong(1))
     val upsert = IdempotentAppend.appendNew(
       spark, deduped, tablePath, keys, nullSafeCols = nullSafe,
-      incomingCount = Some(valid.count()))
-    val report = Validator.report(annotated, duplicates = upsert.duplicates, corrupt = corrupt)
-    // The metadata row must carry the run id that is actually ON the
-    // loaded rows, or downstream per-run joins (date backfill, A7)
-    // match nothing: records that arrived with their own
-    // extraction_run_id keep it through enrichment (reference: the
-    // extraction process stamps rows and the metadata row alike).
-    val effectiveRunId = valid
-      .agg(min(col("extraction_run_id")))
-      .head().getString(0) match {
-      case null => runId
-      case id => id // min() = deterministic pick if a file mixes runs
-    }
+      incomingCount = Some(vc))
+    val report = Validator.reportWith(annotated, total, vc, total - vc,
+      duplicates = upsert.duplicates, corrupt = corrupt)
+    val effectiveRunId = Option(stats.getString(2)).getOrElse(runId)
     LoadResult(source, report, upsert, effectiveRunId)
   }
 

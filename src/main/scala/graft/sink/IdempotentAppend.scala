@@ -145,43 +145,57 @@ object IdempotentAppend {
       incomingCount: Option[Long] = None,
       lock: Boolean = lockDefault,
   ): UpsertResult = {
-    val (cached, owned) = graft.quality.CacheScope.acquire(batch)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(tablePath)
+    // The batch cache exists for multi-consumer plans: the anti-join
+    // path reads the batch 2–3 times (time-window agg, key prune,
+    // anti-join input). A fresh-table append with a caller-supplied
+    // count consumes it exactly ONCE (the observed staging write), so
+    // caching would only add an InMemoryRelation materialization to
+    // the write path — the small-append case this sink's fixed cost
+    // was measured on. The existence probe here is advisory (cache
+    // on/off is performance, not correctness); the authoritative
+    // exists() check runs under the lease below.
+    val needCache = incomingCount.isEmpty || fs.exists(target)
+    val (cached, owned) =
+    if (needCache) graft.quality.CacheScope.acquire(batch) else (batch, false)
     try {
     // Count (and thereby materialize the batch cache) BEFORE claiming
     // the lease: the count touches only the batch, and everything
-    // moved out of the critical section shortens serialization.
-    val batchCount = cached.count()
-    val incoming = incomingCount.getOrElse(batchCount)
-
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(tablePath)
+    // moved out of the critical section shortens serialization. When
+    // the caller already counted (`incomingCount`), the extra action
+    // is skipped entirely — every caller-supplied count is a pre-dedup
+    // row count, so it stays a valid UPPER bound for the broadcast-
+    // prune decision below (it can only push a borderline batch off
+    // the broadcast path, never onto it).
+    val incoming = incomingCount.getOrElse(cached.count())
 
     val lease =
-      if (lock) Some(graft.warehouse.MaintenanceLock.acquireAppend(fs, tablePath))
-      else None
+    if (lock) Some(graft.warehouse.MaintenanceLock.acquireAppend(fs, tablePath))
+    else None
     try {
     val toInsert =
-      if (!fs.exists(target)) cached
-      else {
-        val existing = spark.read.parquet(tablePath)
-        // Pruning the existing side to the batch's [min, max] window is
-        // only sound when the window column is part of the natural key:
-        // otherwise an existing row with the same key but a timestamp
-        // outside the window escapes the anti-join and the key is
-        // appended twice.
-        val pruned = timeCol match {
-          case Some(tc) if cached.columns.contains(tc) && keys.contains(tc) =>
-            val Array(lo, hi) = cached.agg(min(col(tc)), max(col(tc))).head() match {
-              case r if r.isNullAt(0) => Array[Any](null, null)
-              case r => Array[Any](r.get(0), r.get(1))
-            }
-            if (lo == null) existing
-            else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
-          case _ => existing
-        }
-        newRows(cached, pruned, keys, nullSafeCols,
-          incomingRowBound = Some(batchCount))
+    if (!fs.exists(target)) cached
+    else {
+      val existing = spark.read.parquet(tablePath)
+      // Pruning the existing side to the batch's [min, max] window is
+      // only sound when the window column is part of the natural key:
+      // otherwise an existing row with the same key but a timestamp
+      // outside the window escapes the anti-join and the key is
+      // appended twice.
+      val pruned = timeCol match {
+        case Some(tc) if cached.columns.contains(tc) && keys.contains(tc) =>
+          val Array(lo, hi) = cached.agg(min(col(tc)), max(col(tc))).head() match {
+            case r if r.isNullAt(0) => Array[Any](null, null)
+            case r => Array[Any](r.get(0), r.get(1))
+          }
+          if (lo == null) existing
+          else existing.filter(col(tc) >= lit(lo) && col(tc) <= lit(hi))
+        case _ => existing
       }
+      newRows(cached, pruned, keys, nullSafeCols,
+        incomingRowBound = Some(incoming))
+    }
 
     val insertedCount = atomicAppend(spark, toInsert, tablePath, lease)
     UpsertResult(incoming, insertedCount, incoming - insertedCount)
@@ -195,18 +209,18 @@ object IdempotentAppend {
     * target table, atomic append. Returns the reference's "rows
     * actually inserted" count (database.py:294). */
   def upsert(
-      spark: SparkSession,
-      incoming: DataFrame,
-      tablePath: String,
-      keys: Seq[String],
-      orderCols: Seq[String],
-      nullSafeCols: Set[String] = Set.empty,
-      timeCol: Option[String] = Some("timestamp_ms"),
-      lock: Boolean = lockDefault,
+    spark: SparkSession,
+    incoming: DataFrame,
+    tablePath: String,
+    keys: Seq[String],
+    orderCols: Seq[String],
+    nullSafeCols: Set[String] = Set.empty,
+    timeCol: Option[String] = Some("timestamp_ms"),
+    lock: Boolean = lockDefault,
   ): UpsertResult = {
     val batch = Dedup.firstWinsByName(incoming, keys, orderCols)
     appendNew(spark, batch, tablePath, keys, nullSafeCols, timeCol,
-      incomingCount = Some(incoming.count()), lock = lock)
+    incomingCount = Some(incoming.count()), lock = lock)
   }
 
   /** Stage-then-rename append; returns appended row count.
@@ -226,60 +240,69 @@ object IdempotentAppend {
     * writer). Without a lease the legacy behavior stands: refuse
     * while anyone holds the lock. */
   def atomicAppend(
-      spark: SparkSession,
-      df: DataFrame,
-      tablePath: String,
-      held: Option[graft.warehouse.MaintenanceLock.Lease] = None,
+    spark: SparkSession,
+    df: DataFrame,
+    tablePath: String,
+    held: Option[graft.warehouse.MaintenanceLock.Lease] = None,
   ): Long = {
-    val staging = tablePath.stripSuffix("/") + s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    // acquire, not cache(): on a fresh table appendNew hands us the
-    // frame it already cached for its own count — re-caching would
-    // warn and unpersisting here would yank its cache mid-method
-    val (cached, owned) = graft.quality.CacheScope.acquire(df)
-    try {
-      val n = cached.count()
-      if (n > 0) {
-        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        // Writer exclusion vs table maintenance (compact/update-schema
-        // snapshot-read -> swap): an append published during that
-        // window would be destroyed with the retired .old copy. Fail
-        // fast and retryable instead. Checked BEFORE the staging write
-        // (a refused append should not leave a full batch copy on
-        // disk) and re-checked before the publish renames to narrow
-        // the advisory race window.
-        def checkWritable(): Unit = held match {
-          case Some(lease) =>
-            graft.warehouse.MaintenanceLock.assertHeld(fs, tablePath, "atomicAppend", lease)
-          case None =>
-            graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
-        }
-        checkWritable()
-        cached.write.mode(SaveMode.Overwrite).parquet(staging)
-        // lock-refusal here is clean to retry from scratch — drop the
-        // staged copy instead of leaking it (rename FAILURES below
-        // still keep staging for inspection, that path is I/O damage)
-        try checkWritable()
-        catch {
-          case e: IllegalStateException =>
-            fs.delete(new Path(staging), true)
-            throw e
-        }
-        val target = new Path(tablePath)
-        if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
-          throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")
-        }
-        val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
-        parts.foreach { p =>
-          val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
-          if (!fs.rename(p.getPath, dst)) {
-            throw new java.io.IOException(
-              s"atomicAppend: rename ${p.getPath} -> $dst failed; staging left at $staging")
-          }
-        }
-        fs.delete(new Path(staging), true)
+    // No cache here since the observed-write fusion: `df` is consumed
+    // exactly once (the count rides the staging write as a metric), so
+    // a cache would be pure materialization overhead on the write path.
+    val staging = tablePath.stripSuffix("/") +
+    s"_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // Writer exclusion vs table maintenance (compact/update-schema
+    // snapshot-read -> swap): an append published during that
+    // window would be destroyed with the retired .old copy. Fail
+    // fast and retryable instead. Checked BEFORE the staging write
+    // (a refused append should not leave a full batch copy on
+    // disk) and re-checked before the publish renames to narrow
+    // the advisory race window.
+    def checkWritable(): Unit = held match {
+      case Some(lease) =>
+        graft.warehouse.MaintenanceLock.assertHeld(fs, tablePath, "atomicAppend", lease)
+      case None =>
+        graft.warehouse.MaintenanceLock.assertUnlocked(fs, tablePath, "atomicAppend")
+    }
+    checkWritable()
+    // The inserted count rides the staging write as an observed
+    // metric instead of a separate count() action — on the tiny
+    // appends this sink exists for (metadata rows, sketch-state
+    // rows) the extra driver action was as expensive as the write.
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0) {
+      // an empty append publishes nothing: drop the (schema-only)
+      // staging output instead of renaming empty part files in
+      fs.delete(new Path(staging), true)
+    } else {
+      // lock-refusal here is clean to retry from scratch — drop the
+      // staged copy instead of leaking it (rename FAILURES below
+      // still keep staging for inspection, that path is I/O damage)
+      try checkWritable()
+      catch {
+        case e: IllegalStateException =>
+          fs.delete(new Path(staging), true)
+          throw e
       }
-      n
-    } finally if (owned) cached.unpersist()
+      val target = new Path(tablePath)
+      if (!fs.exists(target) && !fs.mkdirs(target) && !fs.exists(target)) {
+        throw new java.io.IOException(s"atomicAppend: cannot create table dir $target")
+      }
+      val parts = fs.listStatus(new Path(staging)).filter(_.getPath.getName.startsWith("part-"))
+      parts.foreach { p =>
+        val dst = new Path(target, s"${java.util.UUID.randomUUID().toString.take(8)}-${p.getPath.getName}")
+        if (!fs.rename(p.getPath, dst)) {
+          throw new java.io.IOException(
+            s"atomicAppend: rename ${p.getPath} -> $dst failed; staging left at $staging")
+        }
+      }
+      fs.delete(new Path(staging), true)
+    }
+    n
   }
 
   /** D4: true merge for the (small) extraction-metadata table —

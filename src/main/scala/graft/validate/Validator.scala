@@ -78,19 +78,51 @@ object Validator {
     * the strict gate. */
   def report(annotated: DataFrame, duplicates: Long = 0L, corrupt: Long = 0L): Report = {
     val row = summary(annotated).head()
-    val counts = errorStats(annotated)
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
-    val samples = annotated
+    reportWith(annotated, row.getLong(0), row.getLong(1), row.getLong(2),
+      duplicates, corrupt)
+  }
+
+  /** [[report]] with the summary counts supplied by the caller — the
+    * load pipeline folds total/valid/invalid into its one batch-stats
+    * aggregate, so the whole report costs ONE further action: a
+    * per-message count collapse (bounded by the distinct message
+    * vocabulary, ≤ rules × messages) from which both the type
+    * histogram and the capped sample are derived driver-side. The
+    * sample is deterministic (message-ordered, with multiplicity up
+    * to the cap) where the old limit-over-instances form surfaced
+    * arbitrary partition order. */
+  def reportWith(
+      annotated: DataFrame,
+      total: Long,
+      valid: Long,
+      invalid: Long,
+      duplicates: Long = 0L,
+      corrupt: Long = 0L,
+  ): Report = {
+    val byMsg = annotated
       .select(explode(col(ErrorsCol)).as("error"))
-      .limit(SampleErrorCap)
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+      .groupBy("error").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // driver twin of [[errorType]] (instr(c, ":") > 0 ⇔ indexOf >= 0)
+    def errorTypeOf(m: String): String = {
+      val i = m.indexOf(':'); if (i >= 0) m.substring(0, i) else m
+    }
+    val counts = byMsg.groupBy { case (m, _) => errorTypeOf(m) }
+      .map { case (t, ms) => t -> ms.map(_._2).sum }
+    val samples = {
+      val out = Seq.newBuilder[String]
+      var left = SampleErrorCap
+      byMsg.foreach { case (m, n) =>
+        val take = math.min(left, math.min(n, Int.MaxValue.toLong).toInt)
+        out ++= Seq.fill(take)(m)
+        left -= take
+      }
+      out.result()
+    }
     val withCorrupt =
       if (corrupt > 0) counts + ("_corrupt: unparseable JSON line" -> corrupt) else counts
-    Report(row.getLong(0) + corrupt, row.getLong(1), row.getLong(2) + corrupt,
+    Report(total + corrupt, valid, invalid + corrupt,
       duplicates, withCorrupt, samples)
   }
 }

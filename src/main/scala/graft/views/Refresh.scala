@@ -53,8 +53,14 @@ object Refresh {
       throw new java.io.IOException(s"refreshView: cannot restore $oldP -> $tgtP")
     }
     val df = job.build(spark)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
+    // the published row count rides the write as an observed metric —
+    // the old read-the-staging-dir-back count() doubled every
+    // refresh's driver actions for a number the write already knows
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val n = obs.get("n").asInstanceOf[Long]
     if (fs.exists(oldP)) fs.delete(oldP, true)
     // Hadoop rename reports most failures by returning false — an
     // unchecked rename here silently publishes nothing.
