@@ -297,6 +297,91 @@ case class HashShingles(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sorted distinct 64-bit hash array packed to a 32-bit binary set:
+  * each hash truncated to its low 32 bits, re-deduped, re-sorted, and
+  * laid out as 4 big-endian bytes per element with NO per-element
+  * encoding overhead — the storage form of the streaming verify
+  * gate's shingle store (StreamingIngest), measured at 2.7× corpus
+  * bytes in its raw `array<long>` form. Truncation moves the
+  * hash-collision probability from 2^-64 to 2^-32: for ~200-shingle
+  * documents a cross-document pair gains a spurious intersection
+  * element with probability ~|A|·|B|/2^32 ≈ 1e-5 — far below the
+  * near-dup thresholds the gate verifies at (its effect on a jaccard
+  * near 0.9 is ±1/|A∪B|), and BOTH gate sides are packed through this
+  * same kernel so the two engines compare identical 32-bit sets. */
+case class PackHashes32(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pack_hashes32"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = new Array[Int](n)
+    var i = 0
+    while (i < n) { hs(i) = arr.getLong(i).toInt; i += 1 }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Byte](w * 4)
+    i = 0
+    while (i < w) {
+      val v = hs(i)
+      out(i * 4) = (v >>> 24).toByte
+      out(i * 4 + 1) = (v >>> 16).toByte
+      out(i * 4 + 2) = (v >>> 8).toByte
+      out(i * 4 + 3) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** jaccard of two [[PackHashes32]] sets: merge intersection straight
+  * over the packed bytes, no allocation. Both inputs MUST come from
+  * the same packing kernel (sorted distinct 32-bit, 4 bytes BE). */
+case class JaccardPacked32(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_packed32"
+
+  private def at(b: Array[Byte], i: Int): Int =
+    ((b(i * 4) & 0xff) << 24) | ((b(i * 4 + 1) & 0xff) << 16) |
+      ((b(i * 4 + 2) & 0xff) << 8) | (b(i * 4 + 3) & 0xff)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val nx = x.length / 4
+    val ny = y.length / 4
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val xi = at(x, i)
+      val yj = at(y, j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** jaccard of two sorted distinct long arrays: merge intersection,
   * no allocation. */
 case class JaccardSortedLong(left: Expression, right: Expression)
@@ -891,6 +976,10 @@ object GraftFunctions {
       args => HashShingles(args(0))),
     desc("graft_jaccard_sorted", "jaccard of two sorted distinct long arrays",
       args => JaccardSortedLong(args(0), args(1))),
+    desc("graft_pack_hashes32", "sorted distinct long hashes packed to a 32-bit binary set",
+      args => PackHashes32(args(0))),
+    desc("graft_jaccard_packed32", "jaccard of two packed 32-bit binary hash sets",
+      args => JaccardPacked32(args(0), args(1))),
     desc("graft_bucket_pairs", "LSH candidate pairs within one (band,bucket) member list",
       args => BucketPairs(args(0), args(1), args(2), args(3))),
     desc("graft_rep_first_band", "first fully-agreeing band of two minhash signatures, -1 below min agreement",

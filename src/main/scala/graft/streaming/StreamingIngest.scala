@@ -193,14 +193,20 @@ object StreamingIngest {
     * (P(drop | jaccard s) = 1−(1−s^r)^b: ~99.5% of s=0.9 near-dups,
     * ~17% of s=0.5 pairs at the b=6, r=5 defaults — the recall-heavy
     * trade every streaming LSH gate makes). `verifyJaccard = true`
-    * buys back exact batch semantics: the index carries per-document
-    * bucket rows plus an (id, shingles) store at `bucketIndexPath_sh`,
-    * and a cross-batch collision drops only after the same
-    * exact-jaccard verify the batch dedup runs
-    * ([[graft.text.TextDedup.verifiedCollisionGate]]) — the 0.09%
-    * admitted-count delta vs batch goes to zero (StreamingIngestSpec),
-    * for the cost of the candidate-volume verify joins and the
-    * linear-in-corpus shingle store.
+    * buys back batch semantics: the index carries per-document bucket
+    * rows plus a PACKED shingle store at `bucketIndexPath_sh` — one
+    * `(id, shp binary)` row per admitted doc, 4 bytes per distinct
+    * shingle ([[graft.text.TextDedup.packedShingles]]; the raw
+    * `array<long>` form measured 2.7× corpus bytes at sf10) — and a
+    * cross-batch collision drops only after the same exact-jaccard
+    * verify the batch dedup runs, evaluated over 32-bit packed sets on
+    * BOTH sides ([[graft.text.TextDedup.verifiedCollisionGatePacked]];
+    * a pair's jaccard can shift ±1/|A∪B| on a low-32-bit collision,
+    * probability ~1e-5 per candidate pair — negligible at near-dup
+    * thresholds). The 0.09% admitted-count delta vs batch goes to zero
+    * (StreamingIngestSpec), for the cost of the candidate-volume
+    * verify joins and the (now ~halved, still linear-in-corpus)
+    * shingle store.
     *
     * Both sinks go through [[graft.sink.IdempotentAppend.appendNew]],
     * so checkpoint redelivery re-admits nothing and re-registers
@@ -249,7 +255,7 @@ object StreamingIngest {
             graft.text.TextDedup.collisionGate(
               local, buckets, spark.read.parquet(bucketIndexPath), idCol)
           else
-            graft.text.TextDedup.verifiedCollisionGate(
+            graft.text.TextDedup.verifiedCollisionGatePacked(
               local, hashed, buckets,
               spark.read.parquet(bucketIndexPath),
               spark.read.parquet(shinglePath),
@@ -270,7 +276,9 @@ object StreamingIngest {
             bucketIndexPath, Seq("band", "bucket", idCol), timeCol = None)
           graft.sink.IdempotentAppend.appendNew(
             spark,
-            hashed.join(admitted.select(col(idCol)), Seq(idCol), "left_semi"),
+            hashed.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col(idCol),
+                graft.text.TextDedup.packedShingles(col("sh")).as("shp")),
             shinglePath, Seq(idCol), timeCol = None)
         }
         ()

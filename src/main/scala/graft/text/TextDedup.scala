@@ -579,6 +579,49 @@ object TextDedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Hashed shingles packed to the 32-bit binary store form
+    * ([[graft.functions.PackHashes32]]): 4 bytes per distinct shingle
+    * with no per-element parquet overhead — the persistent-store
+    * column for [[verifiedCollisionGatePacked]]. */
+  def packedShingles(shCol: Column): Column =
+    call_function("graft_pack_hashes32", shCol)
+
+  /** [[verifiedCollisionGate]] over a PACKED shingle store: the base
+    * side carries `shp` ([[packedShingles]] of its hashed shingles, 4
+    * bytes per shingle instead of an 8-byte array element plus
+    * encoding overhead — the store measured 2.7× corpus bytes at sf10
+    * in raw form), and the new-doc side packs through the SAME kernel
+    * at probe time, so the verify compares identical 32-bit sets on
+    * both sides. Semantics vs the 64-bit gate: a candidate pair's
+    * jaccard can shift by ±1/|A∪B| when two distinct shingles collide
+    * in their low 32 bits (probability ~|A|·|B|/2^32 ≈ 1e-5 at
+    * 200-shingle docs) — negligible against near-dup thresholds, and
+    * the trade that halves-plus the only linear-in-corpus state the
+    * streaming gate keeps. */
+  def verifiedCollisionGatePacked(
+      docs: DataFrame,
+      docHashed: DataFrame,
+      docBuckets: DataFrame,
+      baseBuckets: DataFrame,
+      basePacked: DataFrame,
+      idCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val cand = docBuckets
+      .join(baseBuckets.select(col("band"), col("bucket"), col(idCol).as("_base_id")),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("_base_id")).distinct()
+    val dropped = cand
+      .join(docHashed.select(col(idCol), packedShingles(col("sh")).as("_shp_new")),
+        Seq(idCol))
+      .join(basePacked.select(col(idCol).as("_base_id"), col("shp").as("_shp_base")),
+        Seq("_base_id"))
+      .filter(round(call_function("graft_jaccard_packed32",
+        col("_shp_new"), col("_shp_base")), 6) >= threshold)
+      .select(col(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Incremental MinHash near-dup dedup: dedup a NEW batch against an
     * already-admitted corpus without reprocessing the corpus — the
     * near-dup analog of [[exactDedupAgainstBase]], and the batch form

@@ -450,6 +450,67 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.size == 500)
   }
 
+  test("packed shingle store: pack kernel is sorted-distinct 4-byte sets; packed jaccard == sorted jaccard") {
+    // kernel algebra on crafted hashes: dups and 32-bit-equal values
+    // collapse, order normalizes, bytes are 4 per element
+    val crafted = Seq(Tuple1(Seq(
+      0x00000001ffffffffL, // low 32 = -1
+      0x7000000100000005L, 0x0000000000000005L, // distinct longs, SAME low 32 → one element
+      42L, 42L, // duplicate
+    ))).toDF("hs")
+    val packed = crafted.select(call_function("graft_pack_hashes32", col("hs")).as("p"))
+      .as[Array[Byte]].head()
+    assert(packed.length == 3 * 4, "3 distinct 32-bit values, 4 bytes each")
+
+    // jaccard equivalence on real shingle sets (no low-32 collisions
+    // among a handful of shingles, so packed must equal sorted exactly)
+    val pairs = docs.alias("a").crossJoin(docs.alias("b"))
+      .select(
+        col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        call_function("graft_hash_shingles",
+          TextDedup.shingles(col("a.text"), 3)).as("sha"),
+        call_function("graft_hash_shingles",
+          TextDedup.shingles(col("b.text"), 3)).as("shb"))
+      .select(col("ida"), col("idb"),
+        round(call_function("graft_jaccard_sorted", col("sha"), col("shb")), 6).as("j64"),
+        round(call_function("graft_jaccard_packed32",
+          call_function("graft_pack_hashes32", col("sha")),
+          call_function("graft_pack_hashes32", col("shb"))), 6).as("j32"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(2) == r.getDouble(3),
+      s"pair (${r.getLong(0)}, ${r.getLong(1)}): j64=${r.getDouble(2)} j32=${r.getDouble(3)}"))
+  }
+
+  test("verifiedCollisionGatePacked admits exactly what the unpacked gate admits") {
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "some third topic about other things altogether"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog"), // true near-dup of 100
+      (11L, "completely different words entirely unrelated content"),
+      (12L, "some third topic about other things altogether really"),
+    ).toDF("doc_id", "text")
+    val (k, h, b) = (3, 30, 6)
+    val hashed = TextDedup.withHashedShingles(batch, "text", k, "sh")
+      .select(col("doc_id"), col("sh"))
+    val buckets = TextDedup.minhashBuckets(batch, "doc_id", "text", k, h, b)
+    val baseBuckets = TextDedup.minhashBuckets(base, "doc_id", "text", k, h, b)
+    val baseHashed = TextDedup.withHashedShingles(base, "text", k, "sh")
+      .select(col("doc_id"), col("sh"))
+    val basePacked = baseHashed
+      .select(col("doc_id"), TextDedup.packedShingles(col("sh")).as("shp"))
+    val unpacked = TextDedup.verifiedCollisionGate(
+      batch, hashed, buckets, baseBuckets, baseHashed, "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val packed = TextDedup.verifiedCollisionGatePacked(
+      batch, hashed, buckets, baseBuckets, basePacked, "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(packed == unpacked)
+    assert(!packed.contains(10L), "true near-dup must drop")
+    assert(packed.contains(11L), "unrelated doc must survive")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
