@@ -104,13 +104,36 @@ object Sampling {
       scoreCol: Column,
       keyCol: Column,
       fraction: Double,
+      hotStratumMinRows: Long = 1000000L,
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    graft.quality.SkewTelemetry.ensureRegistered(docs.sparkSession)
+    graft.quality.SkewTelemetry.registerAdvice("stratumwindow",
+      "A dominant stratum serializes its full percent_rank sort into one " +
+        "task (rank-fraction operators cannot be WindowGroupLimit-pruned " +
+        "— percent_rank needs the whole partition). Pre-cut with " +
+        "deterministicSample at a fraction slightly above the target from " +
+        "table stats, then run the exact rank cut over the survivors " +
+        "(the two-pass remedy in the tokenBudgetSample scaladoc); or " +
+        "re-stratify on a finer key.")
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
     val pr = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_pr")
+    // stratum size rides the SAME exchange as the rank window (a
+    // second WindowExec, zero extra shuffle); every non-empty stratum
+    // keeps its pr=0 row, so max/sum over the KEPT rows see exact
+    // stratum sizes — the hot-stratum hazard is observed, never silent
+    val cnt = graft.Defaults.freshCol(docs.columns.toIndexedSeq :+ pr, "_stratum_n")
     docs.withColumn(pr, percent_rank().over(w))
+      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .observe(
+        graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
+        when(max(col(cnt)) * 2 >= sum(when(col(pr) === 0.0, col(cnt))) &&
+          max(col(cnt)) >= hotStratumMinRows, 1L).otherwise(0L)
+          .as("hot_groups"),
+        coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
+        lit(0L).as("skipped_pairs"))
       .filter(col(pr) <= fraction)
-      .drop(pr)
+      .drop(pr, cnt)
   }
 
   /** CCNet-style per-stratum rank buckets (Wenzek et al. 2020 split
@@ -165,9 +188,57 @@ object Sampling {
     // collision-safe working column: an input that already carries
     // `_rn` must survive unclobbered (same rule as Sessionize)
     val rn = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_rn")
+    // NOTE deliberately no inline SkewTelemetry here: the
+    // InferWindowGroupLimit rewrite that IS this operator's skew
+    // mitigation only fires when every window expression is rank-like,
+    // so a count-over-partition telemetry column would trade the
+    // map-side pruning away for the warning about losing it. The
+    // hot-stratum WARN lives on the rank-fraction operators
+    // ([[topFractionByScore]]), which pay the full sort regardless.
     docs.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= cap)
       .drop(rn)
+  }
+
+  /** [[capPerStratum]] hardened for the WIDE-cluster regime: identical
+    * output, computed as a two-level top-cap tree.
+    *
+    * The plain form is already map-side pruned (WindowGroupLimit ships
+    * at most cap × mapPartitions rows per stratum), but its final
+    * reducer still receives cap × P rows of a hot stratum — at P =
+    * thousands of map partitions (the 100 TB case) that single task
+    * sorts millions of rows. Level 1 here caps within
+    * (stratum, hash(key) mod saltBuckets) — the hot stratum's rows
+    * spread over `saltBuckets` reducers — and level 2 re-caps the
+    * ≤ cap × saltBuckets survivors per stratum, itself map-side
+    * pruned, so no task ever sees more than ~cap × saltBuckets rows
+    * however many map partitions feed it.
+    *
+    * Equivalence: the global top-cap under the total order
+    * (score desc, key) is contained in the union of the per-salt
+    * top-caps (any globally-kept row is in its own bucket's top-cap),
+    * and level 2 applies the SAME total order — SamplingSpec pins
+    * bucketed ≡ plain row-for-row; CapSkewBench commits the measured
+    * hot-domain point. */
+  def capPerStratumBucketed(
+      docs: DataFrame,
+      stratumCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      cap: Int,
+      saltBuckets: Int = 32,
+  ): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val salt = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_salt")
+    val rn1 = graft.Defaults.freshCol(docs.columns.toIndexedSeq :+ salt, "_rn1")
+    val w1 = Window.partitionBy(stratumCol, col(salt)).orderBy(scoreCol.desc, keyCol)
+    val level1 = docs
+      .withColumn(salt, pmod(xxhash64(keyCol), lit(saltBuckets.toLong)))
+      .withColumn(rn1, row_number().over(w1))
+      .filter(col(rn1) <= cap)
+      .drop(rn1, salt)
+    capPerStratum(level1, stratumCol, scoreCol, keyCol, cap)
   }
 
   /** Token-budget corpus mixing: each stratum keeps documents — in a
@@ -212,9 +283,29 @@ object Sampling {
         .over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     val pw = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_prior_weight")
+    graft.quality.SkewTelemetry.ensureRegistered(docs.sparkSession)
+    // same hot-stratum telemetry as topFractionByScore (shared
+    // "stratumwindow" family — one WARN per session covers the whole
+    // rank/budget window family): the budget cut pays a full
+    // per-stratum sort, so the stratum-size window rides its exchange
+    // free, observed BEFORE the filter so zero-budget strata report too
+    val cnt = graft.Defaults.freshCol(docs.columns.toIndexedSeq :+ pw, "_stratum_n")
+    val pc = graft.Defaults.freshCol(docs.columns.toIndexedSeq ++ Seq(pw, cnt), "_prior_rows")
     docs.withColumn(pw, prior)
+      // first-row marker shares the running-sum frame (same WindowExec);
+      // `pw === 0` would double-count strata whose leading weights clamp
+      .withColumn(pc,
+        coalesce(count(lit(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .observe(
+        graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
+        when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
+          max(col(cnt)) >= 1000000L, 1L).otherwise(0L).as("hot_groups"),
+        coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
+        lit(0L).as("skipped_pairs"))
       .filter(col(pw) < budget)
-      .drop(pw)
+      .drop(pw, pc, cnt)
   }
 
   /** Deterministic train/val/test assignment: ONE md5 draw per key,

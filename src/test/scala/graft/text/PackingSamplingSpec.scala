@@ -268,4 +268,42 @@ class PackingSamplingSpec extends SparkSpec {
     // output schema is the input schema (working column dropped)
     assert(capped.columns.toSeq == d.columns.toSeq)
   }
+
+  test("capPerStratumBucketed == capPerStratum row-for-row, both WindowGroupLimit-pruned") {
+    // enough rows per stratum that every salt bucket is populated and
+    // level-1 caps genuinely evict; score ties broken by doc_id
+    val rows = (0 until 500).map(i =>
+      (i.toLong, if (i % 5 == 0) "hot" else s"s${i % 7}", (i % 50) / 10.0))
+    val d = rows.toDF("doc_id", "source", "q")
+    for (cap <- Seq(1, 3, 17); s <- Seq(1, 4, 32)) {
+      val plain = Sampling.capPerStratum(d, col("source"), col("q"), col("doc_id"), cap)
+        .orderBy("source", "doc_id").collect().toSeq
+      val bucketed = Sampling
+        .capPerStratumBucketed(d, col("source"), col("q"), col("doc_id"), cap, saltBuckets = s)
+        .orderBy("source", "doc_id").collect().toSeq
+      assert(bucketed == plain, s"cap=$cap saltBuckets=$s")
+    }
+    val b = Sampling.capPerStratumBucketed(d, col("source"), col("q"), col("doc_id"), 3)
+    assert(b.columns.toSeq == d.columns.toSeq)
+    // both window levels must keep the map-side pruning rewrite
+    val plan = b.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("topFractionByScore: hot-stratum telemetry observes exact stratum sizes") {
+    graft.quality.SkewTelemetry.reset()
+    val d = (0 until 300).map(i =>
+      (i.toLong, if (i < 200) "hot" else s"s${i % 4}", i / 10.0))
+      .toDF("doc_id", "lang", "score")
+    Sampling.topFractionByScore(d, col("lang"), col("score"), col("doc_id"),
+      0.5, hotStratumMinRows = 100L)
+      .write.mode("overwrite").format("noop").save()
+    // observe metrics land on the listener asynchronously
+    val ev = (0 until 50).view.map { _ =>
+      Thread.sleep(100); graft.quality.SkewTelemetry.lastEvent
+    }.collectFirst { case Some(e) if e.metric.contains("stratumwindow") => e }
+    assert(ev.isDefined, "no stratumwindow skew event observed")
+    assert(ev.get.oversizedBuckets == 1L, ev.get.toString) // 200 of 300 rows on one stratum
+    assert(ev.get.maxBucketSize == 200L, ev.get.toString)
+  }
 }
