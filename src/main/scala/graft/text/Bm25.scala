@@ -41,7 +41,34 @@ object Bm25 {
     * containing "the" joins a posting for nearly EVERY document — the
     * one place this operator's cost degenerates from
     * |queries ∩ postings| to |corpus|. Such terms carry idf ≈ ln(1+ε)
-    * anyway, so the ranking loss is tiny and bounded by the cap. */
+    * anyway, so the ranking loss is tiny and bounded by the cap.
+    *
+    * TWO physical shapes, identical results (Bm25Spec pins them
+    * decimal-exact; the selection rule lives next to the measured
+    * negative result in PLANS.md t11):
+    *
+    *   - AGGREGATE-FIRST (default): the corpus collapses to (doc,
+    *     term, tf) postings before anything touches the query set —
+    *     map-side combine absorbs the token instances, robust to any
+    *     query-vocabulary size. This form won at sf10 against the
+    *     alternative by ~2× on a corpus-drawn query set.
+    *   - INSTANCE-PRUNED: doc lengths come narrowly from
+    *     `size(tokens)` and token INSTANCES broadcast-probe the query
+    *     terms BEFORE the (doc, term) aggregate, eliminating the
+    *     full-vocabulary shuffle. Wins only when |query vocab| ≪
+    *     |corpus vocab| (point-query retrieval against a big corpus);
+    *     on query sets whose vocabulary covers the corpus it pays a
+    *     per-instance probe for nothing (the measured 87 → 180 s sf10
+    *     regression that made aggregate-first the default).
+    *
+    * Selection: `forceInstancePruned` pins a shape; otherwise, when
+    * `corpusVocabEstimate` is supplied (the KMV/HLL distinct-token
+    * estimate from [[Sketches]] — a pipeline that maintains corpus
+    * sketches gets this number for free), the pruned shape is chosen
+    * iff |query vocab| · [[InstancePruneVocabFactor]] ≤ estimate. With
+    * neither given, aggregate-first runs with zero extra actions. */
+  val InstancePruneVocabFactor: Long = 50L
+
   def bm25TopK(
       docs: DataFrame,
       idCol: String,
@@ -54,35 +81,65 @@ object Bm25 {
       b: Double = 0.75,
       excludeSelf: Boolean = false,
       maxDfFraction: Double = 1.0,
+      corpusVocabEstimate: Option[Long] = None,
+      forceInstancePruned: Option[Boolean] = None,
   ): DataFrame = {
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.normalizedTokens(col(textCol))).as("_t"))
-    // One tokenization pass: every statistic derives from the postings
-    // frame — doc length is the sum of its term counts, df a count
-    // over postings — so the corpus is scanned once, not three times.
-    // Cache the postings (vocab-per-doc-sized, i.e. sub-linear in raw
-    // text), action-scoped: released when the caller's query
-    // completes, so repeated calls in a long-lived session never
-    // accumulate cached postings.
-    val tf = graft.quality.CacheScope.cachedUntilAction(
-      tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
-    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
     val qterms = queries.select(col(queryIdCol),
         explode(TextAnalysis.normalizedTokens(col(queryTextCol))).as("_t"))
       .distinct()
-    // Postings pruned to query terms BEFORE any per-term statistic:
-    // df(t) over the pruned postings equals df(t) over the corpus for
-    // every term that can reach a score (identical results), and the
-    // document-frequency aggregate shrinks from |vocab| — billions of
-    // terms on a web corpus, billions of map-side partials shuffled —
-    // to |query vocabulary|. The pruned frame is cached (it is the
-    // smaller, query-relevant slice of the postings) so the df
-    // aggregate and the scoring chain share one probe pass.
-    val qpost = graft.quality.CacheScope.cachedUntilAction(
-      tf.join(broadcast(qterms.select(col("_t")).distinct()), Seq("_t")))
+    val pruneInstances = forceInstancePruned.getOrElse(
+      corpusVocabEstimate.exists { vocab =>
+        // query frames are small by contract — this count is the only
+        // extra action, and only when the caller opted into selection
+        val nq = qterms.select(col("_t")).distinct().count()
+        nq * InstancePruneVocabFactor <= vocab
+      })
+    // Either shape yields the same three frames; everything downstream
+    // (df, idf, decimal scoring, top-k) is shared verbatim.
+    //   qpost: (idCol, _t, _tf) postings restricted to query terms
+    //   dl:    (idCol, _dl) token count per doc with >= 1 token
+    //   stats: one row (_n, _avgdl)
+    val (qpost, dl, stats) =
+      if (!pruneInstances) {
+        val tok = docs.select(col(idCol),
+          explode(TextAnalysis.normalizedTokens(col(textCol))).as("_t"))
+        // One tokenization pass: every statistic derives from the
+        // postings frame — doc length is the sum of its term counts,
+        // df a count over postings — so the corpus is scanned once,
+        // not three times. Cache the postings (vocab-per-doc-sized,
+        // i.e. sub-linear in raw text), action-scoped: released when
+        // the caller's query completes, so repeated calls in a
+        // long-lived session never accumulate cached postings.
+        val tf = graft.quality.CacheScope.cachedUntilAction(
+          tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
+        val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
+        val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+        // Postings pruned to query terms BEFORE any per-term
+        // statistic: df(t) over the pruned postings equals df(t) over
+        // the corpus for every term that can reach a score (identical
+        // results), and the document-frequency aggregate shrinks from
+        // |vocab| — billions of terms on a web corpus — to |query
+        // vocabulary|. Cached so the df aggregate and the scoring
+        // chain share one probe pass.
+        val qpost = graft.quality.CacheScope.cachedUntilAction(
+          tf.join(broadcast(qterms.select(col("_t")).distinct()), Seq("_t")))
+        (qpost, dl, stats)
+      } else {
+        val tokAll = docs.select(col(idCol),
+          TextAnalysis.normalizedTokens(col(textCol)).as("_ts"))
+        // narrow doc lengths: |tokens| == sum of term counts, no
+        // full-vocabulary aggregate anywhere in this shape
+        val dl = tokAll.select(col(idCol), size(col("_ts")).cast("long").as("_dl"))
+          .filter(col("_dl") > 0)
+        val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+        val qpost = graft.quality.CacheScope.cachedUntilAction(
+          tokAll.select(col(idCol), explode(col("_ts")).as("_t"))
+            .join(broadcast(qterms.select(col("_t")).distinct()), Seq("_t"))
+            .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
+        (qpost, dl, stats)
+      }
     val dfreqAll = qpost.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val dfreq =
       if (maxDfFraction < 1.0)

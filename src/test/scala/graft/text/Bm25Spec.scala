@@ -71,4 +71,32 @@ class Bm25Spec extends SparkSpec {
     val d2 = term(1, 2, 2, 3, 3.0) + term(1, 2, 2, 3, 3.0)
     assert(math.abs(got(2L) - d2) < 1e-6)
   }
+
+  test("instance-pruned shape agrees with aggregate-first decimal-exactly; estimate-driven selection") {
+    // richer fixture: repeated terms, a doc outside the query vocab,
+    // multi-query set with self-exclusion
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++ Seq(
+      (4L, "elderberry fig grape grape grape"),
+      (5L, "apple date apple date fig"),
+    )).toDF("doc_id", "text")
+    val q = Seq((100L, "apple cherry"), (4L, "grape fig")).toDF("query_id", "qtext")
+    def run(force: Option[Boolean]) = Bm25
+      .bm25TopK(corpus, "doc_id", "text", q, "query_id", "qtext", k = 5,
+        excludeSelf = true, forceInstancePruned = force)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val aggFirst = run(Some(false))
+    val pruned = run(Some(true))
+    assert(pruned == aggFirst) // same rows, same scores to the decimal, same ranks
+    // estimate-driven selection matches the forced shapes on both sides
+    // of the threshold (|query vocab| = 4 here): a huge corpus-vocab
+    // estimate selects the pruned shape, a small one aggregate-first
+    def runEst(v: Long) = Bm25
+      .bm25TopK(corpus, "doc_id", "text", q, "query_id", "qtext", k = 5,
+        excludeSelf = true, corpusVocabEstimate = Some(v))
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(runEst(4L * Bm25.InstancePruneVocabFactor) == aggFirst)
+    assert(runEst(1000000L) == aggFirst)
+  }
 }
