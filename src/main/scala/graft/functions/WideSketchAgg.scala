@@ -124,12 +124,15 @@ case class WideSketchAgg(
       b.bloom(j * bloomWords + (bucket >>> 6)) |= (1L << (bucket & 63))
       j += 1
     }
-    // HLL: bucket = low p bits; rank = 40 - floor(log2 w) over the
-    // next 40 bits, 41 when they are all zero (Sketches.hllBucketRank
-    // twin — integer ops only, byte registers)
+    // HLL: bucket = low p bits; rank = RankBits - floor(log2 w) over
+    // the next RankBits bits, RankBits + 1 when they are all zero
+    // (Sketches.hllBucketRank twin — integer ops only, byte
+    // registers; the shared constant keeps a third derivation from
+    // drifting if the rank width ever changes)
+    val rb = graft.text.Sketches.HllRankBits
     val hBucket = (hv & (m - 1L)).toInt
-    val w = (hv >>> hllP) & ((1L << 40) - 1)
-    val rank = if (w == 0) 41 else 40 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+    val w = (hv >>> hllP) & ((1L << rb) - 1)
+    val rank = if (w == 0) rb + 1 else rb - (63 - java.lang.Long.numberOfLeadingZeros(w))
     if (rank > b.hll(hBucket)) b.hll(hBucket) = rank.toByte
     // KMV: k smallest UNSIGNED hashes of the distinct tokens, keeping
     // the (2^-64-improbable) duplicate-hash semantics of the builder

@@ -254,12 +254,21 @@ object StreamingIngest {
           else if (!verifyJaccard)
             graft.text.TextDedup.collisionGate(
               local, buckets, spark.read.parquet(bucketIndexPath), idCol)
-          else
+          else {
+            val store = spark.read.parquet(shinglePath)
+            // pre-round-12 stores hold raw `sh` arrays; the packed
+            // gate would fail on the missing `shp` column with an
+            // opaque resolution error — name the migration instead
+            require(store.columns.contains("shp"),
+              s"shingle store at $shinglePath uses the retired raw-array " +
+                "layout (columns: " + store.columns.mkString(", ") + "); " +
+                "re-drain into a fresh index/store path, or rewrite it once " +
+                "with TextDedup.packedShingles(col(\"sh\")) as `shp`")
             graft.text.TextDedup.verifiedCollisionGatePacked(
               local, hashed, buckets,
               spark.read.parquet(bucketIndexPath),
-              spark.read.parquet(shinglePath),
-              idCol, threshold)
+              store, idCol, threshold)
+          }
         graft.sink.IdempotentAppend.appendNew(
           spark, admitted, admittedPath, Seq(idCol), timeCol = None)
         if (!verifyJaccard)
@@ -484,8 +493,21 @@ object StreamingIngest {
     val path = new org.apache.hadoop.fs.Path(s"$statePath/wide")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) spark.read.parquet(path.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WideSketchSchema)
+    else {
+      // Absent wide state is the empty sketch — UNLESS a pre-round-12
+      // per-family layout sits here, in which case silence would
+      // report folds that drop every pre-upgrade batch. Fail loudly
+      // with the migration story instead.
+      val legacy = Seq("cms", "kmv", "hll", "mg", "qs", "bloom")
+        .filter(f => fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$f")))
+      require(legacy.isEmpty,
+        s"sketch state at $statePath uses the retired per-family layout " +
+          s"(found: ${legacy.mkString(", ")}); re-drain the stream into a " +
+          "fresh state path (the checkpoint replays every batch), or fold " +
+          "the old dirs into one wide row per batch_id offline")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WideSketchSchema)
+    }
   }
 
   /** Folded bottom-k quantile sketch of the drained state — the n-way

@@ -119,21 +119,27 @@ object Sampling {
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, keyCol)
     val pr = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_pr")
     // stratum size rides the SAME exchange as the rank window (a
-    // second WindowExec, zero extra shuffle); every non-empty stratum
-    // keeps its pr=0 row, so max/sum over the KEPT rows see exact
-    // stratum sizes — the hot-stratum hazard is observed, never silent
+    // second WindowExec, zero extra shuffle); the first-row marker is
+    // a count of PRIOR rows in the same ordered spec — `pr === 0`
+    // would double-count a stratum whose top rows tie on (score, key)
+    // (percent_rank gives every tied top row 0), inflating the total
+    // and suppressing the very WARN this exists for
     val cnt = graft.Defaults.freshCol(docs.columns.toIndexedSeq :+ pr, "_stratum_n")
+    val pc = graft.Defaults.freshCol(docs.columns.toIndexedSeq ++ Seq(pr, cnt), "_prior_rows")
     docs.withColumn(pr, percent_rank().over(w))
+      .withColumn(pc,
+        coalesce(count(lit(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn(cnt, count(lit(1)).over(Window.partitionBy(stratumCol)))
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
-        when(max(col(cnt)) * 2 >= sum(when(col(pr) === 0.0, col(cnt))) &&
+        when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
           max(col(cnt)) >= hotStratumMinRows, 1L).otherwise(0L)
           .as("hot_groups"),
         coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
         lit(0L).as("skipped_pairs"))
       .filter(col(pr) <= fraction)
-      .drop(pr, cnt)
+      .drop(pr, pc, cnt)
   }
 
   /** CCNet-style per-stratum rank buckets (Wenzek et al. 2020 split
@@ -265,6 +271,7 @@ object Sampling {
       budgets: Map[String, Long],
       defaultBudget: Long = 0L,
       salt: String = "",
+      hotStratumMinRows: Long = 1000000L,
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
     val budget = budgets.foldLeft(lit(defaultBudget)) {
@@ -301,7 +308,7 @@ object Sampling {
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
         when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
-          max(col(cnt)) >= 1000000L, 1L).otherwise(0L).as("hot_groups"),
+          max(col(cnt)) >= hotStratumMinRows, 1L).otherwise(0L).as("hot_groups"),
         coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
         lit(0L).as("skipped_pairs"))
       .filter(col(pw) < budget)

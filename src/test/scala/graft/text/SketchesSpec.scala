@@ -431,6 +431,43 @@ class SketchesSpec extends SparkSpec {
     assert(structSeq(5) == bloom, "bloom")
   }
 
+  test("widePartials fuzz: one-pass aggregate == per-family builders over random corpora") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random corpora exercising the buffer edges:
+    // heap evictions (vocab >> k), heap underfill (vocab < k), unicode
+    // tokens, repeated tokens, empty and single-token docs
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      (1 to 400).map(i => s"w$i"),               // wide vocab: evictions
+      (1 to 5).map(i => s"v$i"),                 // tiny vocab: underfill
+      Seq("Ä", "ß", "χ", "字", "a", "the"),      // unicode + ties
+    )
+    for ((alpha, case_) <- alphabets.zipWithIndex) {
+      val docs = (1 to 30).map { id =>
+        val n = rnd.nextInt(40) // 0 => empty doc
+        (id.toLong, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val (d, wd, kk, p, mk, qk, bd, bw) = (2, 32, 8, 5, 4, 3, 2, 64)
+      val row = Sketches.widePartials(docs, "text", col("doc_id"),
+        d, wd, kk, p, mk, qk, bd, bw).collect().head
+      def structSeq(i: Int): Seq[Seq[Any]] =
+        row.getSeq[org.apache.spark.sql.Row](i).map(_.toSeq)
+      assert(structSeq(0) == Sketches.cmsCells(docs, "text", d, wd)
+        .orderBy("j", "bucket").collect().map(_.toSeq).toSeq, s"cms case $case_")
+      assert(row.getSeq[java.math.BigDecimal](1) == Sketches.kmvSketch(docs, "text", kk)
+        .collect().map(_.getDecimal(0)).toSeq, s"kmv case $case_")
+      assert(structSeq(2) == Sketches.hllRegisters(docs, "text", p)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq, s"hll case $case_")
+      assert(structSeq(3) == Sketches.mgSummary(docs, "text", mk)
+        .orderBy("tok").collect().map(_.toSeq).toSeq, s"mg case $case_")
+      val qsV = size(TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+      assert(structSeq(4) == Sketches.qsSketch(docs, col("doc_id"), qsV, qk)
+        .orderBy("u", "v").collect().map(_.toSeq).toSeq, s"qs case $case_")
+      assert(structSeq(5) == Sketches.bloomBits(docs, "text", bd, bw)
+        .orderBy("j", "bucket").collect().map(_.toSeq).toSeq, s"bloom case $case_")
+    }
+  }
+
   test("widePartials: an empty slice is one row of six empty arrays") {
     import org.apache.spark.sql.functions._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
