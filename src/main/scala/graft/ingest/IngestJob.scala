@@ -131,6 +131,11 @@ object IngestJob {
   ): LoadResult = graft.quality.CacheScope.shared {
     val schema = Schemas.readSchemas(source)
     val raw = JsonlSource.readJsonlWithVariant(spark, jsonlPath, schema)
+    // (Tried and reverted: riding the corrupt count on the parse cache
+    // as an observe() metric read after the stats aggregate. The
+    // metric arrives via the async listener bus, and Observation.get
+    // stalled ~0.2-0.3s per load waiting on it - more than the 0.12s
+    // count it replaced. The count over the cached parse stays.)
     val (good, bad) = JsonlSource.splitCorrupt(raw)
     val corrupt = bad.count()
     val enriched = enrich(source, good, runId, nowMs)

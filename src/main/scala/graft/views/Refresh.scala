@@ -82,10 +82,21 @@ object Refresh {
       warehouse: String,
       registry: Registry,
       sources: Seq[String],
-  ): Map[String, Long] =
+  ): Map[String, Long] = {
+    // Views are INDEPENDENT tables (distinct paths, each with its own
+    // atomic swap), so their refreshes submit concurrently — Spark's
+    // scheduler is thread-safe for concurrent job submission, and a
+    // registry's 2-3 small builds otherwise serialize their fixed
+    // write+swap cost. A failed refresh propagates after the await;
+    // siblings each stay individually consistent via their own swap.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     sources
       .flatMap(registry.viewsFor)
       .distinctBy(_.name)
-      .map(j => j.name -> refreshView(spark, warehouse, j))
+      .map(j => j.name -> Future(refreshView(spark, warehouse, j)))
+      .map { case (n, f) => n -> Await.result(f, Duration.Inf) }
       .toMap
+  }
 }
