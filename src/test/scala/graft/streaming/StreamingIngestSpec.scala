@@ -562,4 +562,45 @@ class StreamingIngestSpec extends SparkSpec {
     assert(qsRows(StreamingIngest.qsStateSketch(spark, st2, k = 2)) == qsSnap)
     assert(bitSet(StreamingIngest.bloomStateBits(spark, st2)) == bloomSnap)
   }
+
+  test("legacy state layouts fail loudly: per-family sketch dirs and raw-array shingle stores") {
+    import spark.implicits._
+    // pre-round-12 sketch state: per-family dirs, no wide/ — a silent
+    // empty fold would drop every pre-upgrade batch
+    val st = Files.createTempDirectory("graft-legacy-sk").resolve("s").toString
+    Seq((7L, 0, 3L, 5L)).toDF("batch_id", "j", "bucket", "cell")
+      .write.parquet(s"$st/cms")
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.cmsStateCells(spark, st).collect()
+    }
+    assert(e.getMessage.contains("per-family layout"), e.getMessage)
+
+    // pre-round-12 shingle store: (id, sh array<long>) — the packed
+    // gate must name the migration instead of an opaque resolution
+    // error. Exercised through the real drain path.
+    val in = Files.createTempDirectory("graft-legacy-sh-in")
+    Files.writeString(in.resolve("a.jsonl"),
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon"}""" + "\n")
+    val idx = Files.createTempDirectory("graft-legacy-sh-idx").resolve("idx").toString
+    Seq((0, 1L, 99L)).toDF("band", "bucket", "doc_id").write.parquet(idx)
+    Seq((99L, Seq(1L, 2L, 3L))).toDF("doc_id", "sh")
+      .write.parquet(idx.stripSuffix("/") + "_sh")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val q = StreamingIngest.drainNearDupGate(
+      stream,
+      Files.createTempDirectory("graft-legacy-sh-adm").resolve("t").toString,
+      idx,
+      Files.createTempDirectory("graft-legacy-sh-ckpt").toString,
+      "doc_id", "text", verifyJaccard = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(err).exists(m => m != null && m.contains("raw-array")),
+      rootMessages(err).mkString(" | "))
+  }
 }
