@@ -130,7 +130,12 @@ object Sampling {
       .withColumn(pc,
         coalesce(count(lit(1))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(stratumCol)))
+      // full-frame count over the SAME (partition, order) spec: the
+      // three window expressions stack over ONE exchange and ONE sort
+      // (distinct frames become stacked Window operators, but none
+      // re-sorts or re-shuffles)
+      .withColumn(cnt, count(lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
         when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
@@ -304,7 +309,8 @@ object Sampling {
       .withColumn(pc,
         coalesce(count(lit(1))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .withColumn(cnt, count(lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
         when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
