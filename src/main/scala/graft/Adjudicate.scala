@@ -26,10 +26,13 @@ import scala.util.control.NonFatal
   *     bracket on this session.
   *
   * [[Bench.main]] invokes [[run]] only when its own gate fails at
-  * budget exhaustion, inside a wall reserve carved from the bench
-  * budget, so the worst-case step time stays at the round-11 envelope.
-  * The subset is the three most expensive stable queries (they carry
-  * the suite's signal; the 140+ sub-second queries carry its noise).
+  * budget exhaustion, as OVERTIME past the timed budget (lazy since
+  * round 13 — the unconditional carve cut r12's timed rounds 7 → 3 and
+  * caused the spread it existed to adjudicate; the bench line is
+  * already printed and flushed before the overtime starts, so a kill
+  * here loses only this artifact). The subset is the three most
+  * expensive stable queries (they carry the suite's signal; the 140+
+  * sub-second queries carry its noise).
   *
   * Fairness: the parent Spark session is STOPPED before the first
   * child spawns — children alternate on an otherwise-idle JVM slate,
@@ -102,7 +105,10 @@ object Adjudicate {
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-        "-cp", s"$classpathEntry:/opt/spark/jars/*",
+        // Spark jars dir shared with tools/runmain.sh — overridable so
+        // a host with Spark elsewhere doesn't silently degrade every
+        // adjudication to "incomplete" via child classpath failures.
+        "-cp", s"$classpathEntry:${sys.env.getOrElse("SPARK_GRAFT_SPARK_JARS", "/opt/spark/jars")}/*",
         "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     val env = pb.environment()
@@ -159,6 +165,18 @@ object Adjudicate {
             .findFirstMatchIn(f.getName).map(_.group(1).toInt))
         if (rs.isEmpty) 0 else rs.max + 1
       }
+
+  /** Minimal JSON string escaping for the artifact's free-text fields
+    * (reason/verdict): quotes, backslashes and control chars — a
+    * future reason containing a quote must not produce an invalid
+    * ADJUDICATION artifact. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
 
   private def gitHead(): String =
     try {
@@ -246,7 +264,7 @@ object Adjudicate {
       }.mkString("{", ",", "}")
       val json =
         s"""{"protocol":"automated interleaved same-host re-pair (4cb35fa protocol, harness-invoked): current HEAD vs prev-round HEAD jar, fresh JVMs alternating A,B,A,B, flagship subset, per-head value = min over its two JVMs (each min over >=3 interleaved timed rounds)",""" +
-          s""""trigger":"$reason",""" +
+          s""""trigger":"${jsonEscape(reason)}",""" +
           s""""date_utc":"${java.time.Instant.now().toString.take(19)}Z",""" +
           s""""commit_current":"${gitHead()}","commit_prev":"$prevCommit",""" +
           s""""sf":"$sfDir","queries":[${queries.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -254,7 +272,7 @@ object Adjudicate {
           (if (complete) ratioJson + ","
            else """"ratio_prev_over_current":null,""") +
           s""""host_bracket_same_head":{"A1_over_A2":${sameHeadBracket("A1_current", "A2_current")},"B1_over_B2":${sameHeadBracket("B1_prev", "B2_prev")}},""" +
-          s""""verdict":"$verdict"}"""
+          s""""verdict":"${jsonEscape(verdict)}"}"""
       val out = s"ADJUDICATION_R$n.json"
       Files.write(Paths.get(out), (json + "\n").getBytes(StandardCharsets.UTF_8))
       System.err.println(s"[adjudicate] wrote $out - $verdict")

@@ -106,6 +106,18 @@ object Bench {
     // every other WARN still prints.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // Same disease, second vector (the r12 tail): operators cache
+    // multi-consumer intermediates per round, and on local[N] a cached
+    // partition computed concurrently by two tasks logs BlockManager's
+    // "Block rdd_N already exists on this machine; not re-adding it" —
+    // wall-to-wall repeats that re-buried the per-round timing lines
+    // after the WindowExec fix. The message is informational (the
+    // second computation's put is correctly dropped; on a cluster the
+    // same event is a DEBUG-level remote-fetch race), so silence
+    // exactly this logger for the bench run; every other storage WARN
+    // (memory pressure, eviction, spill) still prints.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager", org.apache.logging.log4j.Level.ERROR)
 
     val skipAtScale = scaleFactorOf(sfDir).exists(_ >= 1.0)
     // Optional subset run (scale probes at sf≥1 over the flagship
@@ -185,31 +197,34 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s =>
         scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
 
-    // Self-adjudication reserve: when the dispersion gate fails at
-    // budget exhaustion, [[Adjudicate.run]] re-pairs this head against
-    // the previous round's snapshotted HEAD (A,B,A,B fresh JVMs on
-    // this same host session) and emits ADJUDICATION_R{N}.json — the
-    // 4cb35fa protocol that twice had to be run by hand. Its wall cost
-    // is carved OUT of the bench budget (not added on top), so the
-    // worst-case step time stays at the round-11 envelope: fewer timed
-    // rounds when the host is noisy, but a noisy-host run now always
-    // ends with either dispersion_ok:true or a bracketing artifact.
+    // Self-adjudication: when the dispersion gate fails at budget
+    // exhaustion, [[Adjudicate.run]] re-pairs this head against the
+    // previous round's snapshotted HEAD (A,B,A,B fresh JVMs on this
+    // same host session) and emits ADJUDICATION_R{N}.json — the
+    // 4cb35fa protocol that twice had to be run by hand.
+    //
+    // LAZY since round 13: the r12 run carved a 480 s reserve out of
+    // the 900 s budget UNCONDITIONALLY whenever a prev-head jar
+    // existed, which cut its timed rounds 7 → 3 and drove the very
+    // 13.96% spread the reserve exists to adjudicate. Now the timed
+    // rounds get the FULL budget and the adjudication runs as
+    // OVERTIME, spent only on an actual gate failure — the converged
+    // common case pays nothing. The headline line is printed (and
+    // flushed) BEFORE the overtime starts, so an external step timeout
+    // killing the adjudication can cost at most the ADJUDICATION
+    // artifact, never the bench line or BENCH_FULL.json.
+    //
     // Enabled only for the full-suite driver shape (a subset run is
-    // already a manual probe) with a prev-head jar present.
+    // already a manual probe) with a prev-head jar present, and only
+    // when the caller's budget is at least the reserve: a small
+    // SPARK_GRAFT_BENCH_BUDGET_SEC signals a bounded quick probe, and
+    // overtime larger than the whole requested budget would not honor
+    // it even approximately.
+    val adjReserveSec = sys.env.get("SPARK_GRAFT_ADJ_RESERVE_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(480.0)
     val adjEnabled = sys.env.get("SPARK_GRAFT_NO_ADJUDICATE").isEmpty &&
-      subset.isEmpty && Adjudicate.prevJar().isDefined
-    // 480 s: four children x ~110 s each (JVM+session ~30 s fixed, one
-    // untimed sf0.1 pass, >= 3 timed rounds over the 3-query subset),
-    // measured with the smoke run of the Adjudicate main. The 180 s
-    // floor applies ONLY when the reserve is actually carved: a
-    // caller-supplied small budget must be honored verbatim otherwise
-    // — the adjudication CHILDREN set 60 s, and flooring them to 180
-    // made current-head children (this code) run up to 3x more timed
-    // rounds than prev-head children (round-11 Bench, no floor), a
-    // measurement-depth asymmetry favoring the current head.
-    val adjReserveSec = if (adjEnabled) 480.0 else 0.0
-    val mainBudgetSec =
-      if (adjEnabled) math.max(budgetSec - adjReserveSec, 180.0) else budgetSec
+      subset.isEmpty && budgetSec >= adjReserveSec && Adjudicate.prevJar().isDefined
+    val mainBudgetSec = budgetSec
 
     // Phase 2 — untimed whole-suite passes at the measured scale:
     // sf0.001 covers JIT, but data-dependent state (page cache for
@@ -344,13 +359,17 @@ object Bench {
     val needAdjudication = adjEnabled && !converged()
     // Children must alternate on an idle slate: stop the parent
     // session (its 32-thread pool and heap would be measurement noise)
-    // BEFORE spawning them. The headline line prints LAST either way —
-    // the invoking harness parses the tail of stdout.
+    // BEFORE spawning them. The headline line prints (and flushes)
+    // BEFORE the overtime adjudication: Adjudicate writes only to
+    // stderr and child logs, so the line stays the last stdout content
+    // for the tail-parsing harness, and a kill mid-adjudication can no
+    // longer lose it.
     spark.stop()
+    println(line)
+    System.out.flush()
     if (needAdjudication)
       Adjudicate.run(sfDir, reserveSec = adjReserveSec,
-        reason = f"bench dispersion gate failed: best-3 spread $spread%.2f%% > 5%% at budget exhaustion (${rounds.size} rounds)")
-    println(line)
+        reason = f"bench dispersion gate failed: best-3 spread $spread%.2f%% > 5%% at budget exhaustion (${rounds.size} rounds); adjudication run as overtime past the timed budget")
   }
 
   /** (printed stdout line, BENCH_FULL.json content).

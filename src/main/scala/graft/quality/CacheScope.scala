@@ -110,6 +110,23 @@ object CacheScope {
     * queryable keeps a caller-owned cache standalone). */
   def inShared: Boolean = currentScope.get() != null
 
+  /** Keep an already-cached frame alive until the NEXT consuming query
+    * completes — the gate-count pattern: an operator runs its own
+    * action over the frame (a count that picks the plan shape, e.g.
+    * LineDedup's broadcast gate), then returns a LAZY plan embedding
+    * the same frame. [[cachedUntilAction]] would release on the
+    * operator's own count; this registers the release listener AFTER
+    * that count, so the cache survives exactly until the caller's
+    * action consumes it (or the abandoned-frame reclaim fires). Inside
+    * a [[shared]] block the release defers to block end like every
+    * scoped cache. No-op for an uncached frame. */
+  def retainUntilNextConsumption(df: DataFrame): Unit =
+    if (df.storageLevel != StorageLevel.NONE) {
+      val scope = currentScope.get()
+      if (scope != null) scope.frames += df
+      else releaseAfterConsumption(df)
+    }
+
   def cachedUntilAction(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else {

@@ -16,18 +16,34 @@ import org.apache.spark.sql.functions._
   *     aggregation with map-side partial counts — line text is the
   *     grouping key, so identical boilerplate combines locally before
   *     the exchange).
-  *   - The frequent-line set is tiny by construction (only lines with
-  *     doc_freq > threshold — heavy hitters), so the removal join is a
-  *     BROADCAST left-anti join: the corpus's exploded lines never
-  *     re-shuffle on line text. A corpus where the frequent set
-  *     outgrows the broadcast threshold falls back to a shuffled
-  *     anti-join automatically if the hint is dropped, but at any
-  *     realistic threshold the set is MB-scale.
+  *   - The frequent-line set is small at any realistic threshold (only
+  *     lines with doc_freq > threshold — heavy hitters), so the removal
+  *     join is normally a BROADCAST left-anti join: the corpus's
+  *     exploded lines never re-shuffle on line text. But the set's size
+  *     is DATA-DEPENDENT — on a 100 TB web corpus the CCNet
+  *     heavy-hitter set is realistically tens of millions of lines, and
+  *     a forced hint never falls back: it rides to Spark's 8 GB /
+  *     512M-row broadcast hard limit and OOMs the driver. So the hint
+  *     is SIZE-GATED (the [[graft.sink.IdempotentAppend.BroadcastPruneMaxKeys]]
+  *     house pattern): the frequent set is counted first — it is cached
+  *     across the count and the removal join, so the aggregate runs
+  *     once — and above [[BroadcastFrequentMaxLines]] the hint is
+  *     dropped, falling back to a shuffled left-anti join on line text
+  *     (LineDedupSpec proves both paths row-identical on either side of
+  *     the bound).
   *   - Reassembly groups by doc id — the second and last shuffle —
   *     and restores line order with an array_sort over (line_no, line)
   *     structs, never a window.
   */
 object LineDedup {
+
+  /** Frequent sets at or under this many lines take the broadcast
+    * anti-join path in [[removeFrequentLines]] (heavy-hitter lines are
+    * boilerplate — typically short, so ~1M lines is tens-to-hundreds
+    * of MB broadcast); larger sets fall back to a shuffled left-anti
+    * join on line text. Same bound philosophy as
+    * [[graft.sink.IdempotentAppend.BroadcastPruneMaxKeys]]. */
+  val BroadcastFrequentMaxLines: Long = 1000000L
 
   /** Document frequency per distinct line (how many distinct docs
     * contain the line at least once). */
@@ -50,6 +66,7 @@ object LineDedup {
       idCol: String,
       textCol: String,
       maxDocFreq: Long,
+      broadcastMaxLines: Long = BroadcastFrequentMaxLines,
   ): DataFrame = {
     // explode_outer, not explode: InferFiltersFromGenerate would add a
     // size()>0 pre-filter to a plain explode and inline the split back
@@ -61,14 +78,25 @@ object LineDedup {
       posexplode_outer(split(col(textCol), "\n")).as(Seq("line_no", "line")))
     // the removal threshold comes from the SAME statistic the public
     // helper exports — one definition of line document-frequency
-    val frequent = lineDocFrequency(df, idCol, textCol)
+    val frequentRaw = lineDocFrequency(df, idCol, textCol)
       .filter(col("doc_freq") > maxDocFreq)
       .select(col("line"))
+    // Size-gate the broadcast hint: count the frequent set (it is an
+    // aggregate output — cached, so the count and the anti-join below
+    // share one aggregation pass; retained until the caller's action
+    // consumes it, then released) and only hint below the bound. Above
+    // it, no hint: the anti-join shuffles both sides on line text —
+    // slower, but never a driver OOM on a boilerplate-heavy corpus.
+    val (frequent, owned) = graft.quality.CacheScope.acquire(frequentRaw)
+    val nFrequent = frequent.count()
+    if (owned) graft.quality.CacheScope.retainUntilNextConsumption(frequent)
+    val removeSide =
+      if (nFrequent <= broadcastMaxLines) broadcast(frequent) else frequent
     // the (null, null) row posexplode_outer emits for a null/absent
     // text must not count as a kept line
     val kept = lines
       .filter(col("line").isNotNull)
-      .join(broadcast(frequent), Seq("line"), "left_anti")
+      .join(removeSide, Seq("line"), "left_anti")
     val rebuilt = kept
       .groupBy(col(idCol))
       .agg(

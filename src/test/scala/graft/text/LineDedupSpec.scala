@@ -53,6 +53,37 @@ class LineDedupSpec extends SparkSpec {
     assert(out(0).getInt(1) === 1 && out(0).getString(2) === "keep me")
   }
 
+  test("broadcast size gate: gated ≡ forced on both sides of the bound") {
+    // Frequent set here is {HEADER, FOOTER} = 2 lines. Auto-broadcast
+    // is pinned OFF so the join strategy reflects the operator's HINT
+    // decision, not the test corpus's tiny statistics (at the 100 TB
+    // regime this gate exists for, stats never auto-broadcast).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val expect = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
+        .orderBy("doc_id").collect().toSeq
+
+      // At/below the bound: the hint stays, the anti-join broadcasts.
+      val under = LineDedup.removeFrequentLines(docs, "doc_id", "text",
+        maxDocFreq = 2, broadcastMaxLines = 2)
+      val underPlan = under.queryExecution.executedPlan.toString
+      assert(underPlan.contains("BroadcastHashJoin"),
+        s"expected a broadcast anti-join under the bound:\n$underPlan")
+      assert(under.orderBy("doc_id").collect().toSeq === expect)
+
+      // Above the bound: no hint — a shuffled left-anti (the frequent
+      // set is data-dependent; a forced hint would ride to the 8 GB
+      // broadcast hard limit on a boilerplate-heavy 100 TB corpus).
+      val over = LineDedup.removeFrequentLines(docs, "doc_id", "text",
+        maxDocFreq = 2, broadcastMaxLines = 1)
+      val overPlan = over.queryExecution.executedPlan.toString
+      assert(!overPlan.contains("BroadcastHashJoin"),
+        s"expected the hint dropped above the bound:\n$overPlan")
+      assert(over.orderBy("doc_id").collect().toSeq === expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("idempotence: a second pass over cleaned text removes nothing") {
     val once = LineDedup.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
       .select(col("doc_id"), col("clean_text").as("text"))
