@@ -734,6 +734,24 @@ object SparkEntry {
         k = 10, excludeSelf = true)
     }),
 
+    // BM25 with the physical shape AUTO-SELECTED from the engine's own
+    // corpus-vocabulary estimate (the KMV sketch t17 maintains): point
+    // queries — short texts, the |query vocab| ≪ |corpus vocab| regime
+    // — against the corpus. Results are shape-independent (Bm25Spec
+    // pins both shapes decimal-exact), so the oracle replay is shape-
+    // blind; what this query adds is the production call path where
+    // the measured selection rule fires from a real estimate instead
+    // of lying dormant behind a hand-fed parameter.
+    "t28_bm25_auto" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("qtext"))
+      val vocab = Sketches.kmvVocabEstimate(docs, "text")
+      Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
+        k = 10, corpusVocabEstimate = Some(vocab))
+    }),
+
     // Hybrid retrieval: BM25 lexical top-20 over documents fused with
     // dense cosine top-20 over the parallel embeddings table (same id
     // space by test-data construction) via reciprocal-rank fusion —
@@ -3244,6 +3262,33 @@ object SparkEntry {
          |  FROM tf JOIN q USING (t) JOIN dfreq USING (t)
          |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st
          |  WHERE q.query_id <> tf.doc_id),
+         |scored AS (SELECT query_id, doc_id,
+         |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+         |  FROM contrib GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // t11 replay with point queries (first 40 chars of every 250th
+    // doc) and no self-exclusion. Shape-blind: the engine picks its
+    // physical form from the KMV vocab estimate, but both forms are
+    // decimal-exact equal, so one SQL replay covers either.
+    "t28_bm25_auto" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |q AS (SELECT DISTINCT doc_id AS query_id, t FROM (
+         |  SELECT doc_id, unnest($ToksSql) AS t FROM (
+         |    SELECT doc_id, substring(text, 1, 40) AS text FROM documents
+         |    WHERE doc_id % 250 = 0))),
+         |contrib AS (SELECT q.query_id, tf.doc_id,
+         |    CAST((ln(((st.n - dfreq.df) + 0.5) / (dfreq.df + 0.5) + 1.0) * (tf.tf * (1.2 + 1.0))) /
+         |      (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) AS DECIMAL(18,12)) AS c
+         |  FROM tf JOIN q USING (t) JOIN dfreq USING (t)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats st),
          |scored AS (SELECT query_id, doc_id,
          |    ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
          |  FROM contrib GROUP BY query_id, doc_id)

@@ -69,6 +69,17 @@ object Bm25 {
     * neither given, aggregate-first runs with zero extra actions. */
   val InstancePruneVocabFactor: Long = 50L
 
+  /** The measured selection rule (PLANS.md t11 — conservative by
+    * design: the sf10 negative result showed instance-pruning LOSES 2×
+    * when the query vocabulary covers the corpus): prune instances iff
+    * the query vocabulary is at least [[InstancePruneVocabFactor]]×
+    * smaller than the corpus vocabulary. Callers get the estimate from
+    * [[Sketches.kmvVocabEstimate]] (one bounded corpus pass) or, for
+    * free, from accumulated streaming sketch state
+    * ([[graft.streaming.StreamingIngest.vocabEstimateFromState]]). */
+  def selectsInstancePruned(nQueryVocab: Long, corpusVocabEstimate: Long): Boolean =
+    nQueryVocab * InstancePruneVocabFactor <= corpusVocabEstimate
+
   def bm25TopK(
       docs: DataFrame,
       idCol: String,
@@ -94,7 +105,7 @@ object Bm25 {
         // query frames are small by contract — this count is the only
         // extra action, and only when the caller opted into selection
         val nq = qterms.select(col("_t")).distinct().count()
-        nq * InstancePruneVocabFactor <= vocab
+        selectsInstancePruned(nq, vocab)
       })
     // Either shape yields the same three frames; everything downstream
     // (df, idf, decimal scoring, top-k) is shared verbatim.

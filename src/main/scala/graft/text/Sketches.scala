@@ -216,6 +216,38 @@ object Sketches {
       .orderBy(col("u").asc).limit(k)
   }
 
+  /** Production corpus-stats helper: the KMV distinct-token estimate
+    * of `docs` as a plain Long, with NO exact-count verification pass
+    * (that is [[kmvDistinct]]'s job — it exists to be oracle-checked).
+    * One TakeOrdered over the distinct-token frame, then ≤ k decimals
+    * collected — bounded driver state by construction. This is the
+    * number [[graft.text.Bm25.bm25TopK]]'s shape-selection rule wants;
+    * a pipeline holding accumulated sketch state gets the same figure
+    * from [[kmvEstimateFromSketch]] without touching the corpus at all
+    * (see [[graft.streaming.StreamingIngest.vocabEstimateFromState]]). */
+  def kmvVocabEstimate(docs: DataFrame, textCol: String, k: Int = 256): Long =
+    kmvEstimateFromSketch(kmvSketch(docs, textCol, k), k)
+
+  /** Driver-side estimate from a KMV sketch frame (as produced by
+    * [[kmvSketch]], [[kmvMerge]] or a drained streaming state): fewer
+    * than k rows means the sketch IS the exact distinct set; otherwise
+    * est = floor((k−1)·2⁶⁴ / u_k) — the same integer arithmetic the
+    * oracle-checked [[kmvDistinctFromSketch]] runs engine-side. */
+  def kmvEstimateFromSketch(sketch: DataFrame, k: Int = 256): Long = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val us = sketch.collect().map(_.getDecimal(0).toBigInteger)
+    if (us.length < k) us.length.toLong
+    else {
+      val uk = us.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+      if (uk.signum <= 0) us.length.toLong
+      else {
+        val num = java.math.BigInteger.ONE.shiftLeft(64)
+          .multiply(java.math.BigInteger.valueOf(k - 1L))
+        num.divide(uk).min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+      }
+    }
+  }
+
   /** Merge two KMV sketch frames built with the same k: the k smallest
     * distinct values of the union. TakeOrdered over ≤ 2k rows. */
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {

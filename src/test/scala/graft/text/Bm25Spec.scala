@@ -99,4 +99,37 @@ class Bm25Spec extends SparkSpec {
     assert(runEst(4L * Bm25.InstancePruneVocabFactor) == aggFirst)
     assert(runEst(1000000L) == aggFirst)
   }
+
+  test("auto-selection end-to-end: the engine's own KMV estimate drives the shape") {
+    // 300 docs × 8 unique tokens each → true vocab 2400; the KMV
+    // estimate (k=256, rel err ~1/√k ≈ 6%) must land near it.
+    val big = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("tok"), (col("id") * 8 + j).cast("string"))): _*).as("text"))
+    val est = Sketches.kmvVocabEstimate(big, "text")
+    // the driver-side formula must agree EXACTLY with the engine-side
+    // oracle-checked computation (t17's est_distinct column) — that is
+    // the property that makes the helper trustworthy; accuracy itself
+    // is the sketch's (a loose sanity band suffices for the ×50 rule)
+    val engineSide = Sketches.kmvDistinct(big, "text", k = 256)
+      .collect().head.getLong(2)
+    assert(est === engineSide)
+    assert(est > 1200 && est < 4800, s"KMV estimate far off true vocab 2400: $est")
+    // a corpus smaller than k is estimated EXACTLY (sketch = the set)
+    assert(Sketches.kmvVocabEstimate(docs, "text") === 4L)
+
+    // point query (2 terms): 2×50 ≤ est → the pruned shape is selected
+    assert(Bm25.selectsInstancePruned(2L, est))
+    // a corpus-covering query set flips back to aggregate-first
+    assert(!Bm25.selectsInstancePruned(est / 10, est))
+
+    val q = Seq((0L, "tok8 tok9")).toDF("query_id", "qtext")
+    def run(force: Option[Boolean], estimate: Option[Long]) = Bm25
+      .bm25TopK(big, "doc_id", "text", q, "query_id", "qtext", k = 5,
+        corpusVocabEstimate = estimate, forceInstancePruned = force)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val auto = run(None, Some(est))
+    assert(auto.nonEmpty)
+    assert(auto == run(Some(true), None) && auto == run(Some(false), None))
+  }
 }
