@@ -693,6 +693,16 @@ object SparkEntry {
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
 
+    // tp7's two-pass bucketed form (the hot-stratum remedy: the exact
+    // running-sum cut assembles from hash-range buckets). Same oracle
+    // SQL as tp7 — output-identical by construction.
+    "tp21_budget_mix_bucketed" -> ((s, dir) =>
+      Sampling
+        .tokenBudgetSampleBucketed(tbl(s, dir, "documents"), col("doc_id"), col("source"),
+          col("n_chars"), Map("src0" -> 4000L, "src1" -> 4000L, "src2" -> 1000L),
+          defaultBudget = 2000L, salt = "mix")
+        .select("doc_id", "source", "n_chars")),
+
     // The full curation-to-serving pipeline as ONE chained plan:
     // annotate -> hard gates -> exact dedup -> linear MinHash near-dup
     // -> quality-weighted soft sample -> per-source token-budget mix
@@ -801,6 +811,16 @@ object SparkEntry {
     "tp10_top_fraction" -> ((s, dir) =>
       Sampling
         .topFractionByScore(tbl(s, dir, "documents"), col("lang"),
+          TextAnalysis.qualityScore(col("text")), col("doc_id"), fraction = 0.5)
+        .select("doc_id", "lang", "source")),
+
+    // tp10's two-pass bucketed form (the hot-stratum remedy: the exact
+    // rank assembles from score-range buckets, so a dominant stratum
+    // never serializes its full sort into one task). Same oracle SQL
+    // as tp10 — output-identical by construction.
+    "tp20_top_fraction_bucketed" -> ((s, dir) =>
+      Sampling
+        .topFractionByScoreBucketed(tbl(s, dir, "documents"), col("lang"),
           TextAnalysis.qualityScore(col("text")), col("doc_id"), fraction = 0.5)
         .select("doc_id", "lang", "source")),
 
@@ -2656,7 +2676,8 @@ object SparkEntry {
     * codebooks) embed parquet paths that are the same function of the
     * dir the query closures use — no mutable corpus-key state, so
     * queries and oracles stay consistent under concurrent execution. */
-  def oracleSqlFor(sfDir: String): Map[String, String] = Map(
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+  val base = Map(
     "a5_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
@@ -4429,4 +4450,13 @@ object SparkEntry {
          |  FROM ex)
          |WHERE rank <= 10""".stripMargin,
   )
+  // The bucketed two-pass stratum operators are output-identical to
+  // their plain counterparts BY CONSTRUCTION (SamplingSpec pins the
+  // row-for-row equivalence) — so the oracle replay is the same SQL,
+  // and a green row here is DuckDB proving the equivalence at sf0.01
+  // independently of the spec fixtures.
+  base ++ Map(
+    "tp20_top_fraction_bucketed" -> base("tp10_top_fraction"),
+    "tp21_budget_mix_bucketed" -> base("tp7_token_budget_mix"))
+  }
 }

@@ -147,6 +147,110 @@ object Sampling {
       .drop(pr, pc, cnt)
   }
 
+  /** [[topFractionByScore]] hardened for the WIDE-stratum regime:
+    * identical output, computed as a two-pass bucketed rank.
+    *
+    * The plain form's percent_rank cannot be WindowGroupLimit-pruned
+    * (the fraction cut needs every row's rank), so a dominant stratum
+    * serializes its FULL sort into one reducer task. Here the rank is
+    * assembled from score-range buckets instead:
+    *
+    *   1. Per-stratum approximate score quantiles (one aggregate;
+    *     approximation steers only bucket BALANCE, never the result)
+    *     split each stratum into `scoreBuckets` contiguous score
+    *     ranges — rows with EQUAL scores always share a bucket, so
+    *     rank ties never span buckets.
+    *   2. A tiny per-(stratum, bucket) count aggregate yields, via a
+    *     window over strata×buckets rows, each bucket's PRIOR row
+    *     count and the stratum total — broadcast back.
+    *   3. The exact window runs per (stratum, bucket) — the hot
+    *     stratum's sort spreads over `scoreBuckets` reducers — and the
+    *     global rank is prior + local rank. percent_rank is then the
+    *     same (rank−1)/(n−1) double division Spark's PercentRank
+    *     computes, so the cut is bit-identical to the plain form
+    *     (SamplingSpec pins plain ≡ bucketed row-for-row; the
+    *     hot-stratum point is measured in MEASUREMENTS_R13).
+    *
+    * NULL scores land in the last bucket and sort last within it —
+    * the same place the plain form's `DESC NULLS LAST` puts them.
+    * No inline telemetry: this IS the remedy the
+    * [[topFractionByScore]] telemetry recommends. */
+  def topFractionByScoreBucketed(
+      docs: DataFrame,
+      stratumCol: Column,
+      scoreCol: Column,
+      keyCol: Column,
+      fraction: Double,
+      scoreBuckets: Int = 32,
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    require(scoreBuckets >= 2, s"scoreBuckets must be >= 2, got $scoreBuckets")
+    // working columns, all collision-safe against the user's frame
+    var taken = docs.columns.toIndexedSeq
+    def fresh(base: String): String = {
+      val n = graft.Defaults.freshCol(taken, base); taken = taken :+ n; n
+    }
+    val sk = fresh("_stratum")
+    val sc = fresh("_score")
+    val bnds = fresh("_bnds")
+    val sk2 = fresh("_stratum2")
+    val bk = fresh("_bucket")
+    val bk2 = fresh("_bucket2")
+    val bn = fresh("_bn")
+    val prior = fresh("_prior_rows")
+    val nTot = fresh("_stratum_n")
+    val pr = fresh("_pr")
+    // Score materialized ONCE in its original type (the window order
+    // below must be the plain form's scoreCol order, and a possibly
+    // expensive score expression must never sit inside the bucket
+    // lambda — the tp6 per-element re-evaluation gotcha).
+    val base = docs.withColumn(sk, stratumCol).withColumn(sc, scoreCol)
+    // Pass 1: per-stratum score quantile boundaries. Doubles are fine
+    // here — boundaries only steer bucket BALANCE; the comparison is
+    // strict, so equal scores (cast identically) share a bucket.
+    val fracs = (1 until scoreBuckets).map(_.toDouble / scoreBuckets)
+    val bounds = base.groupBy(col(sk)).agg(
+      percentile_approx(col(sc).cast("double"), typedlit(fracs), lit(10000))
+        .as(bnds))
+    val withBounds = base.join(
+      broadcast(bounds.withColumnRenamed(sk, sk2)),
+      col(sk) <=> col(sk2), "left")
+    // bucket = #boundaries strictly ABOVE the score (monotone: a
+    // smaller bucket index always means a strictly greater score, and
+    // equal scores share a bucket); NULL scores → the last bucket,
+    // where the in-bucket DESC NULLS LAST sort puts them globally last
+    val bucketed = withBounds
+      .withColumn(bk,
+        when(col(sc).isNull, lit(scoreBuckets - 1))
+          .otherwise(coalesce(
+            size(filter(col(bnds), b => b > col(sc).cast("double"))), lit(0))))
+      .drop(bnds, sk2)
+    // Pass 2: tiny (stratum, bucket) counts → per-bucket prior rows +
+    // stratum totals, broadcast back.
+    val tiny = bucketed.groupBy(col(sk), col(bk)).agg(count(lit(1)).as(bn))
+    val wOff = Window.partitionBy(col(sk)).orderBy(col(bk).asc)
+    val offsets = tiny
+      .withColumn(prior,
+        coalesce(sum(col(bn)).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(nTot, sum(col(bn))
+        .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(sk).as(sk2), col(bk).as(bk2), col(prior), col(nTot))
+    val joined = bucketed.join(broadcast(offsets),
+      col(sk) <=> col(sk2) && col(bk) === col(bk2), "inner")
+    // Pass 3: exact rank within (stratum, bucket) — ranks tie exactly
+    // where the plain form's do (ties never span buckets), so
+    // prior + local rank = the plain form's global rank, and the
+    // percent_rank is the same (rank−1)/(n−1) double division.
+    val w2 = Window.partitionBy(col(sk), col(bk)).orderBy(col(sc).desc, keyCol)
+    joined
+      .withColumn(pr,
+        when(col(nTot) === 1L, lit(0.0)).otherwise(
+          (col(prior) + rank().over(w2) - 1L).cast("double") /
+            (col(nTot) - 1L).cast("double")))
+      .filter(col(pr) <= fraction)
+      .drop(pr, sk, sc, bk, sk2, bk2, prior, nTot)
+  }
+
   /** CCNet-style per-stratum rank buckets (Wenzek et al. 2020 split
     * each language into head/middle/tail by LM-perplexity terciles):
     * assign each document the bucket of its percent_rank within
@@ -319,6 +423,87 @@ object Sampling {
         lit(0L).as("skipped_pairs"))
       .filter(col(pw) < budget)
       .drop(pw, pc, cnt)
+  }
+
+  /** [[tokenBudgetSample]] hardened for the WIDE-stratum regime:
+    * identical output, computed as a two-pass bucketed running sum.
+    *
+    * The plain form's running prior-weight sum serializes a dominant
+    * stratum's full sort into one reducer task (a budget cut cannot be
+    * WindowGroupLimit-pruned). Here the order key is already a uniform
+    * hash, so the buckets come for FREE — no quantile pass: bucket =
+    * the top log2(`hashBuckets`) bits of the draw's 60-bit prefix,
+    * contiguous ranges of the md5 order by construction (rows with
+    * equal draws share a bucket, and bucket asc refines draw asc).
+    *
+    *   1. A tiny per-(stratum, bucket) clamped-weight sum yields each
+    *      bucket's PRIOR weight via a window over strata×buckets rows
+    *      — broadcast back.
+    *   2. The exact running sum runs per (stratum, bucket) — the hot
+    *      stratum spreads over `hashBuckets` reducers — and the global
+    *      prior is the bucket offset plus the within-bucket prior.
+    *
+    * SamplingSpec pins plain ≡ bucketed row-for-row (clamped weights,
+    * zero budgets, straddlers); the hot-stratum point is measured in
+    * MEASUREMENTS_R13. No inline telemetry: this IS the remedy the
+    * [[tokenBudgetSample]] telemetry recommends. */
+  def tokenBudgetSampleBucketed(
+      docs: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      weightCol: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      salt: String = "",
+      hashBuckets: Int = 32,
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    require(hashBuckets >= 2 && (hashBuckets & (hashBuckets - 1)) == 0,
+      s"hashBuckets must be a power of two >= 2, got $hashBuckets")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) => when(stratumCol === stratum, lit(b)).otherwise(acc)
+    }
+    var taken = docs.columns.toIndexedSeq
+    def fresh(base: String): String = {
+      val n = graft.Defaults.freshCol(taken, base); taken = taken :+ n; n
+    }
+    val sk = fresh("_stratum")
+    val dr = fresh("_draw")
+    val bk = fresh("_bucket")
+    val sk2 = fresh("_stratum2")
+    val bk2 = fresh("_bucket2")
+    val bw = fresh("_bw")
+    val off = fresh("_prior_offset")
+    val pw = fresh("_prior_weight")
+    // the draw materialized once: the bucket is its 60-bit prefix's
+    // top bits, the within-bucket order the full 32-hex string — both
+    // refine the plain form's (md5, key) total order exactly
+    val logB = Integer.numberOfTrailingZeros(hashBuckets)
+    val base = docs
+      .withColumn(sk, stratumCol)
+      .withColumn(dr, keyHash(keyCol, salt))
+      .withColumn(bk, shiftright(
+        conv(substring(col(dr), 1, 15), 16, 10).cast("long"), 60 - logB))
+    val clamped = greatest(weightCol.cast("long"), lit(0L))
+    // Pass 1: per-bucket clamped-weight totals → prior-bucket offsets.
+    val tiny = base.groupBy(col(sk), col(bk)).agg(sum(clamped).as(bw))
+    val wOff = Window.partitionBy(col(sk)).orderBy(col(bk).asc)
+    val offsets = tiny
+      .withColumn(off,
+        coalesce(sum(col(bw)).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sk).as(sk2), col(bk).as(bk2), col(off))
+    val joined = base.join(broadcast(offsets),
+      col(sk) <=> col(sk2) && col(bk) === col(bk2), "inner")
+    // Pass 2: exact within-bucket running prior; global prior = bucket
+    // offset + within-bucket prior (same zero-clamp as the plain form,
+    // so the cut stays a prefix of the hash order).
+    val w2 = Window.partitionBy(col(sk), col(bk)).orderBy(col(dr), keyCol)
+    joined
+      .withColumn(pw,
+        col(off) + coalesce(
+          sum(clamped).over(w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col(pw) < budget)
+      .drop(pw, sk, dr, bk, sk2, bk2, off)
   }
 
   /** Deterministic train/val/test assignment: ONE md5 draw per key,

@@ -290,6 +290,62 @@ class PackingSamplingSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("tokenBudgetSampleBucketed == tokenBudgetSample row-for-row") {
+    // hot stratum + small strata, negative weights (clamp), a zero
+    // budget, the default budget, hashBuckets from 2 to >> rows-per-
+    // bucket — the cut must be the same hash-order prefix everywhere
+    val rows = (0 until 500).map(i =>
+      (i.toLong, if (i % 3 == 0) "hot" else s"s${i % 5}",
+        if (i % 11 == 0) -50L else (i % 40).toLong))
+    val d = rows.toDF("doc_id", "source", "toks")
+    val budgets = Map("hot" -> 900L, "s1" -> 200L, "s2" -> 0L)
+    val plain = Sampling.tokenBudgetSample(d, col("doc_id"), col("source"),
+      col("toks"), budgets, defaultBudget = 120L, salt = "bk")
+      .orderBy("doc_id").collect().toSeq
+    assert(plain.nonEmpty && plain.size < 500) // the budgets genuinely cut
+    for (b <- Seq(2, 32, 256)) {
+      val bucketed = Sampling.tokenBudgetSampleBucketed(d, col("doc_id"),
+        col("source"), col("toks"), budgets, defaultBudget = 120L,
+        salt = "bk", hashBuckets = b).orderBy("doc_id").collect().toSeq
+      assert(bucketed == plain, s"hashBuckets=$b")
+    }
+    val out = Sampling.tokenBudgetSampleBucketed(d, col("doc_id"), col("source"),
+      col("toks"), budgets, defaultBudget = 120L, salt = "bk")
+    assert(out.columns.toSeq == d.columns.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSampleBucketed(d, col("doc_id"), col("source"),
+        col("toks"), budgets, hashBuckets = 12)
+    }
+  }
+
+  test("topFractionByScoreBucketed == topFractionByScore row-for-row") {
+    // score ties across docs, NULL scores, singleton strata, fraction
+    // endpoints, bucket counts beyond the distinct-score count — the
+    // percent_rank cut must match the plain form exactly everywhere
+    val rows = (0 until 400).map { i =>
+      val score: java.lang.Double = if (i % 13 == 0) null else (i % 25) / 10.0
+      (i.toLong, if (i % 2 == 0) "hot" else s"s${i % 7}", score)
+    } :+ ((400L, "solo", (1.0: java.lang.Double)))
+    val d = rows.toDF("doc_id", "lang", "score")
+    for (f <- Seq(0.0, 0.3, 1.0)) {
+      val plain = Sampling.topFractionByScore(d, col("lang"), col("score"),
+        col("doc_id"), f).orderBy("doc_id").collect().toSeq
+      for (b <- Seq(2, 8, 64)) {
+        val bucketed = Sampling.topFractionByScoreBucketed(d, col("lang"),
+          col("score"), col("doc_id"), f, scoreBuckets = b)
+          .orderBy("doc_id").collect().toSeq
+        assert(bucketed == plain, s"fraction=$f scoreBuckets=$b")
+      }
+    }
+    val out = Sampling.topFractionByScoreBucketed(d, col("lang"), col("score"),
+      col("doc_id"), 0.5)
+    assert(out.columns.toSeq == d.columns.toSeq)
+    // the exact window partitions on (stratum, bucket) — a dominant
+    // stratum's sort spreads instead of serializing into one task
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_bucket"), plan.take(1200))
+  }
+
   test("topFractionByScore: hot-stratum telemetry observes exact stratum sizes") {
     graft.quality.SkewTelemetry.reset()
     val d = (0 until 300).map(i =>
