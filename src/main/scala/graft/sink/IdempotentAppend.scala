@@ -170,6 +170,14 @@ object IdempotentAppend {
     // the broadcast path, never onto it).
     val incoming = incomingCount.getOrElse(cached.count())
 
+    // Empty-batch short-circuit: streaming gates produce empty appends
+    // routinely, and the observed-write fusion would otherwise pay a
+    // staging parquet write + staging-dir create/delete just to learn
+    // n == 0. An empty batch publishes nothing, so no lease, no
+    // staging, no renames. (`incoming` is the pre-dedup row count —
+    // an upper bound — so 0 here means genuinely empty.)
+    if (incoming == 0L) return UpsertResult(0L, 0L, 0L)
+
     val lease =
     if (lock) Some(graft.warehouse.MaintenanceLock.acquireAppend(fs, tablePath))
     else None

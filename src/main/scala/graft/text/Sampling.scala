@@ -138,9 +138,12 @@ object Sampling {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
-        when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
-          max(col(cnt)) >= hotStratumMinRows, 1L).otherwise(0L)
-          .as("hot_groups"),
+        // a genuine COUNT of oversized strata (first-row marker × the
+        // absolute bound), matching the listener's "N oversized
+        // group(s)" wording — every stratum past the bound is its own
+        // serialized sort task, dominant or not
+        coalesce(sum(when(col(pc) === 0L && col(cnt) >= hotStratumMinRows, 1L)
+          .otherwise(0L)), lit(0L)).as("hot_groups"),
         coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
         lit(0L).as("skipped_pairs"))
       .filter(col(pr) <= fraction)
@@ -417,8 +420,9 @@ object Sampling {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .observe(
         graft.quality.SkewTelemetry.nextMetricName("stratumwindow"),
-        when(max(col(cnt)) * 2 >= sum(when(col(pc) === 0L, col(cnt))) &&
-          max(col(cnt)) >= hotStratumMinRows, 1L).otherwise(0L).as("hot_groups"),
+        // same count semantics as topFractionByScore's observation
+        coalesce(sum(when(col(pc) === 0L && col(cnt) >= hotStratumMinRows, 1L)
+          .otherwise(0L)), lit(0L)).as("hot_groups"),
         coalesce(max(col(cnt)), lit(0L)).as("max_stratum_rows"),
         lit(0L).as("skipped_pairs"))
       .filter(col(pw) < budget)

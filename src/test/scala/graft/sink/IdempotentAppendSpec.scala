@@ -27,6 +27,26 @@ class IdempotentAppendSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("empty batch short-circuits: zero counts, no table dir, no lock left behind") {
+    val dir = freshDir()
+    val empty = Seq.empty[(Long, String, Double, Int)]
+      .toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    val r = IdempotentAppend.appendNew(spark, empty, dir, keys)
+    assert(r == IdempotentAppend.UpsertResult(0L, 0L, 0L))
+    // nothing published, nothing staged, no lease residue: the
+    // streaming-gate empty append costs zero FS work
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!graft.warehouse.MaintenanceLock.isLocked(fs, dir))
+    // and an empty batch against an EXISTING table leaves it untouched
+    val batch = Seq((1L, "A", 10.0, 1)).toDF("timestamp_ms", "plant", "generation_mwh", "line")
+    IdempotentAppend.upsert(spark, batch, dir, keys, order)
+    val r2 = IdempotentAppend.appendNew(spark, empty, dir, keys)
+    assert(r2 == IdempotentAppend.UpsertResult(0L, 0L, 0L))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("upsert: overlapping window inserts only genuinely new keys") {
     val dir = freshDir()
     val b1 = Seq((1L, "A", 10.0, 1), (2L, "A", 20.0, 2))

@@ -361,5 +361,18 @@ class PackingSamplingSpec extends SparkSpec {
     assert(ev.isDefined, "no stratumwindow skew event observed")
     assert(ev.get.oversizedBuckets == 1L, ev.get.toString) // 200 of 300 rows on one stratum
     assert(ev.get.maxBucketSize == 200L, ev.get.toString)
+
+    // hot_groups is a genuine COUNT of strata past the bound, not a
+    // dominance flag: at bound 25 the hot stratum AND all four 25-row
+    // cold strata report — five oversized sort tasks, five counted
+    graft.quality.SkewTelemetry.reset()
+    Sampling.topFractionByScore(d, col("lang"), col("score"), col("doc_id"),
+      0.5, hotStratumMinRows = 25L)
+      .write.mode("overwrite").format("noop").save()
+    val ev2 = (0 until 50).view.map { _ =>
+      Thread.sleep(100); graft.quality.SkewTelemetry.lastEvent
+    }.collectFirst { case Some(e) if e.metric.contains("stratumwindow") => e }
+    assert(ev2.isDefined, "no stratumwindow skew event observed")
+    assert(ev2.get.oversizedBuckets == 5L, ev2.get.toString)
   }
 }
