@@ -25,7 +25,7 @@ SF_QUERIES="t11_bm25_topk,td10_dup_clusters,td11_minhash_vs_base,td15_substring_
 step "4/5 sf1 flagship bench (exponent denominators)"
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf1 \
   SPARK_GRAFT_BENCH_QUERIES="$SF_QUERIES" \
-  SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF1_FLAGSHIP.json \
   tools/runmain.sh graft.Bench
 
 step "5/5 sf10 flagship bench (the 100x point, r13 head)"
