@@ -693,6 +693,16 @@ object SparkEntry {
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
 
+    // Temperature-scaled mixture shares (XLM-R sampling, alpha=0.3):
+    // the engine-side statistic the mixing operators consume — one
+    // bounded per-stratum aggregate + a single-row denominator. The
+    // UniMax epoch-capped budget variant (driver-side water-filling
+    // over the same bounded totals) is spec-covered and feeds
+    // tokenBudgetSample's budgets map directly.
+    "t29_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureShares(tbl(s, dir, "documents"), col("lang"),
+        col("n_chars"), alpha = 0.3)),
+
     // tp7's two-pass bucketed form (the hot-stratum remedy: the exact
     // running-sum cut assembles from hash-range buckets). Same oracle
     // SQL as tp7 — output-identical by construction.
@@ -3173,6 +3183,19 @@ object SparkEntry {
     // The same md5-shuffled per-stratum order and exclusive running
     // sum; the budget-boundary straddler (prior < budget) is kept in
     // both engines.
+    // Per-stratum weight totals + pow-share; ROUND(,6) absorbs the
+    // last-ulp pow() difference between the engines (house convention
+    // for float outputs).
+    "t29_temperature_mix" ->
+      """WITH t AS (SELECT lang AS stratum,
+        |    CAST(SUM(GREATEST(n_chars, 0)) AS BIGINT) AS total_weight
+        |  FROM documents GROUP BY lang),
+        |d AS (SELECT SUM(pow(total_weight, 0.3)) AS den FROM t)
+        |SELECT stratum, total_weight,
+        |  CASE WHEN den > 0 THEN ROUND(pow(total_weight, 0.3) / den, 6)
+        |       ELSE 0.0 END AS share
+        |FROM t CROSS JOIN d""".stripMargin,
+
     "tp7_token_budget_mix" ->
       """WITH h AS (SELECT doc_id, source, n_chars,
         |    md5(concat_ws(':', 'mix', CAST(doc_id AS VARCHAR))) AS hk

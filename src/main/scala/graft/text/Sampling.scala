@@ -510,6 +510,110 @@ object Sampling {
       .drop(pw, sk, dr, bk, sk2, bk2, off)
   }
 
+  /** Temperature-scaled mixture shares — the multilingual-sampling
+    * piece (Conneau & Lample 2019 / XLM-R: sample language s with
+    * p_s ∝ (Σ weight_s)^alpha, alpha ∈ [0,1]): alpha = 1 keeps the
+    * natural distribution, alpha = 0 is uniform over strata, the
+    * usual 0.3–0.7 upsamples low-resource strata without drowning the
+    * head. This computes the engine-side statistic the mixing
+    * operators consume — until now [[stratifiedSample]] /
+    * [[tokenBudgetSample]] required the caller to hand-supply
+    * fractions/budgets.
+    *
+    * Output: (stratum, total_weight, share) — share rounded to 6
+    * decimals (pow is the one non-exact op; the rounding absorbs
+    * last-ulp engine differences, the house convention for float
+    * outputs). Negative weights clamp to zero, like every weight in
+    * this file.
+    *
+    * Scale shape: ONE map-side-combinable aggregate (one row per
+    * stratum — bounded), a single-row denominator broadcast back.
+    * Nothing here touches row grain twice. */
+  def temperatureShares(
+      docs: DataFrame,
+      stratumCol: Column,
+      weightCol: Column,
+      alpha: Double,
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range [0,1]: $alpha")
+    val totals = docs
+      .groupBy(stratumCol.as("stratum"))
+      .agg(sum(greatest(weightCol.cast("long"), lit(0L))).as("total_weight"))
+    val denom = totals.agg(
+      sum(pow(col("total_weight").cast("double"), lit(alpha))).as("_den"))
+    totals.crossJoin(broadcast(denom))
+      .select(
+        col("stratum"),
+        col("total_weight"),
+        when(col("_den") > 0.0,
+          round(pow(col("total_weight").cast("double"), lit(alpha)) / col("_den"), 6))
+          .otherwise(lit(0.0)).as("share"))
+  }
+
+  /** UniMax-style token budgets (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling"): distribute `totalBudget`
+    * over strata by temperature share, but cap every stratum at
+    * `maxEpochs` × its own weight — a low-resource stratum must not be
+    * repeated past the cap however aggressive the temperature — and
+    * water-fill the freed budget over the uncapped strata (their
+    * relative temperature shares preserved) until no new stratum caps.
+    *
+    * Driver-side by design: the totals frame is one row per stratum
+    * (bounded, the [[graft.text.QualityClassifier]] topV-collect
+    * pattern), and the output feeds [[tokenBudgetSample]]'s `budgets`
+    * map directly — see the spec for the composed pipeline. Floors are
+    * used so Σ budgets ≤ totalBudget always. */
+  def temperatureBudgets(
+      docs: DataFrame,
+      stratumCol: Column,
+      weightCol: Column,
+      alpha: Double,
+      totalBudget: Long,
+      maxEpochs: Double = Double.PositiveInfinity,
+  ): Map[String, Long] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range [0,1]: $alpha")
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val totals = docs
+      .groupBy(stratumCol.cast("string").as("stratum"))
+      .agg(sum(greatest(weightCol.cast("long"), lit(0L))).as("w"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+      .toMap
+    def capOf(w: Long): Long =
+      if (maxEpochs.isPosInfinity) Long.MaxValue
+      else math.floor(maxEpochs * w).toLong
+    // water-filling: capped strata take their cap; the rest split the
+    // remaining budget by temperature share; repeat until stable
+    // (each pass caps >= 1 new stratum, so <= |strata| passes)
+    var capped = Map.empty[String, Long]
+    var remaining = totalBudget
+    var open = totals
+    var changed = true
+    while (changed && open.nonEmpty) {
+      changed = false
+      val den = open.values.map(w => math.pow(w.toDouble, alpha)).sum
+      val want = open.map { case (s, w) =>
+        s -> (if (den > 0.0)
+          math.floor(math.pow(w.toDouble, alpha) / den * remaining).toLong
+        else 0L)
+      }
+      val newlyCapped = want.filter { case (s, b) => b > capOf(totals(s)) }
+      if (newlyCapped.nonEmpty) {
+        changed = true
+        newlyCapped.keys.foreach { s =>
+          capped += s -> capOf(totals(s))
+          remaining -= capOf(totals(s))
+          open -= s
+        }
+      } else {
+        capped ++= want
+        open = Map.empty
+      }
+    }
+    capped
+  }
+
   /** Deterministic train/val/test assignment: ONE md5 draw per key,
     * banded by two thresholds — `test` below hexThreshold(testF),
     * `val` below hexThreshold(testF + valF), `train` otherwise.

@@ -290,6 +290,58 @@ class PackingSamplingSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("temperatureShares: hand-computed shares at alpha 0.5/1/0; negatives clamp") {
+    val d = Seq((1L, "A", 400L), (2L, "A", 600L), (3L, "B", 100L), (4L, "B", -50L))
+      .toDF("doc_id", "stratum", "toks")
+    def shares(alpha: Double): Map[String, (Long, Double)] =
+      Sampling.temperatureShares(d, col("stratum"), col("toks"), alpha)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // totals: A=1000, B=100 (the -50 clamps to 0)
+    val s05 = shares(0.5)
+    assert(s05("A")._1 === 1000L && s05("B")._1 === 100L)
+    val denom = math.sqrt(1000.0) + math.sqrt(100.0)
+    assert(s05("A")._2 === math.rint(math.sqrt(1000.0) / denom * 1e6) / 1e6)
+    assert(s05("B")._2 === math.rint(math.sqrt(100.0) / denom * 1e6) / 1e6)
+    // alpha=1 is the natural distribution; alpha=0 is uniform
+    assert(shares(1.0)("A")._2 === math.rint(1000.0 / 1100.0 * 1e6) / 1e6)
+    assert(shares(0.0) === Map("A" -> (1000L, 0.5), "B" -> (100L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureShares(d, col("stratum"), col("toks"), 1.5)
+    }
+  }
+
+  test("temperatureBudgets: UniMax epoch cap water-fills the freed budget") {
+    val d = Seq((1L, "A", 1000L), (2L, "B", 10L)).toDF("doc_id", "stratum", "toks")
+    // no cap, alpha=0: uniform halves (floored)
+    assert(Sampling.temperatureBudgets(d, col("stratum"), col("toks"),
+      alpha = 0.0, totalBudget = 1000L) === Map("A" -> 500L, "B" -> 500L))
+    // maxEpochs=2: B caps at 20 tokens; its freed 480 water-fills to A
+    assert(Sampling.temperatureBudgets(d, col("stratum"), col("toks"),
+      alpha = 0.0, totalBudget = 1000L, maxEpochs = 2.0) ===
+      Map("A" -> 980L, "B" -> 20L))
+    // caps bind everywhere: leftover budget stays unspent
+    assert(Sampling.temperatureBudgets(d, col("stratum"), col("toks"),
+      alpha = 1.0, totalBudget = 100000L, maxEpochs = 1.0) ===
+      Map("A" -> 1000L, "B" -> 10L))
+  }
+
+  test("temperature budgets compose with tokenBudgetSample: per-stratum weight respects the cut") {
+    val rows = (0 until 200).map(i =>
+      (i.toLong, if (i % 4 == 0) "lo" else "hi", 10L + i % 7))
+    val d = rows.toDF("doc_id", "stratum", "toks")
+    val budgets = Sampling.temperatureBudgets(d, col("stratum"), col("toks"),
+      alpha = 0.3, totalBudget = 800L, maxEpochs = 1.5)
+    val kept = Sampling.tokenBudgetSample(d, col("doc_id"), col("stratum"),
+      col("toks"), budgets, defaultBudget = 0L, salt = "tmix")
+    // exclusive-prior cut: kept weight < budget + the straddler's weight
+    val perStratum = kept.groupBy("stratum").agg(sum("toks").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (s, w) =>
+      assert(w <= budgets(s) + 16L, s"stratum $s kept $w vs budget ${budgets(s)}")
+    }
+    assert(perStratum.values.sum > 0)
+  }
+
   test("tokenBudgetSampleBucketed == tokenBudgetSample row-for-row") {
     // hot stratum + small strata, negative weights (clamp), a zero
     // budget, the default budget, hashBuckets from 2 to >> rows-per-
