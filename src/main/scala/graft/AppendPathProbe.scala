@@ -60,14 +60,35 @@ object AppendPathProbe {
 
     var best = Double.MaxValue
     var bestActions: Seq[(String, Double)] = Seq.empty
+    // Drain the async listener bus by QUIESCENCE, not a fixed sleep: a
+    // loaded host can lag event delivery past any constant, which
+    // would truncate one rep's action list and pollute the next —
+    // wait until no new event arrives for 500 ms (max 10 s), then
+    // read. A run still delivering after 10 s fails loudly below via
+    // the action-count sanity check rather than skewing the artifact.
+    def drainQuiesce(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var last = -1
+      while (last != actions.size() && System.nanoTime() < deadline) {
+        last = actions.size()
+        Thread.sleep(500)
+      }
+    }
+    var expectActions = -1
     for (_ <- 0 until reps) {
       actions.clear()
       val total = runOnce()
-      Thread.sleep(500) // let the async listener drain
+      drainQuiesce()
       val acts = {
         val it = actions.iterator(); val b = Seq.newBuilder[(String, Double)]
         while (it.hasNext) b += it.next(); b.result()
       }
+      // per-run action counts must agree: a mismatch means an event
+      // leaked across reps and the breakdown cannot be trusted
+      if (expectActions < 0) expectActions = acts.size
+      require(acts.size == expectActions,
+        s"listener drained ${acts.size} actions vs $expectActions in an earlier rep; " +
+          "event delivery leaked across reps - rerun on a quieter host")
       if (total < best) { best = total; bestActions = acts }
       System.err.println(f"[appendpath] run total $total%.3f s, ${acts.size} actions, " +
         f"sum ${acts.map(_._2).sum}%.3f s")

@@ -267,6 +267,13 @@ object Bench {
     val minRounds = if (mainBudgetSec >= 720) 6 else 3
     val hardCapRounds = 20
     val maxSpreadPct = 5.0
+    // The dispersion gate's window is FIXED at 3 regardless of the
+    // round minimum: spread_pct is defined (and labeled, here and in
+    // every BENCH artifact) as the best-3 round-total spread, and
+    // steadyRoundTotal certifies exactly that set — a window that
+    // silently widened with minRounds would make the gate stricter on
+    // big budgets and spread_pct incomparable across rounds.
+    val spreadWindow = 3
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     def completeRounds = rounds.filter(_.size == order.size)
     // Spread is only meaningful over COMPLETE rounds — a round with
@@ -276,7 +283,7 @@ object Bench {
     // run whose every round had failures must exit dispersion_ok:false,
     // not vacuously converged at spread 0.
     def bestSpreadPct(): Double = {
-      val totals = completeRounds.map(_.values.sum).sorted.take(minRounds)
+      val totals = completeRounds.map(_.values.sum).sorted.take(spreadWindow)
       if (totals.size < 2 || totals.head <= 0) -1.0
       else (totals.last - totals.head) / totals.head * 100.0
     }

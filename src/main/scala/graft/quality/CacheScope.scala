@@ -110,21 +110,28 @@ object CacheScope {
     * queryable keeps a caller-owned cache standalone). */
   def inShared: Boolean = currentScope.get() != null
 
-  /** Keep an already-cached frame alive until the NEXT consuming query
-    * completes — the gate-count pattern: an operator runs its own
-    * action over the frame (a count that picks the plan shape, e.g.
-    * LineDedup's broadcast gate), then returns a LAZY plan embedding
-    * the same frame. [[cachedUntilAction]] would release on the
-    * operator's own count; this registers the release listener AFTER
-    * that count, so the cache survives exactly until the caller's
-    * action consumes it (or the abandoned-frame reclaim fires). Inside
-    * a [[shared]] block the release defers to block end like every
-    * scoped cache. No-op for an uncached frame. */
-  def retainUntilNextConsumption(df: DataFrame): Unit =
+  /** The gate-count pattern: an operator is ABOUT to run one action of
+    * its own over the cached frame (a count that picks the plan shape,
+    * e.g. LineDedup's broadcast gate) and then returns a LAZY plan
+    * embedding the same frame — the cache must survive the operator's
+    * own action and release after the CALLER's. [[cachedUntilAction]]
+    * would release on the operator's count, and registering a plain
+    * release listener after the count races the async listener bus
+    * (the count's completion event can be DELIVERED after
+    * registration and release the cache early). So this is called
+    * BEFORE the operator's action and the listener SKIPS the first
+    * consuming completion — events arrive in submission order, and
+    * nothing else can consume an operator-internal cache between
+    * acquire and the gate count, so the first matching event is
+    * always the operator's own. The abandoned-frame reclaim
+    * ([[MaxUnconsumedCompletions]]) still applies. Inside a [[shared]]
+    * block the release defers to block end like every scoped cache.
+    * No-op for an uncached frame. */
+  def retainAcrossOwnAction(df: DataFrame): Unit =
     if (df.storageLevel != StorageLevel.NONE) {
       val scope = currentScope.get()
       if (scope != null) scope.frames += df
-      else releaseAfterConsumption(df)
+      else releaseAfterConsumption(df, skipConsumptions = 1)
     }
 
   def cachedUntilAction(df: DataFrame): DataFrame =
@@ -137,7 +144,14 @@ object CacheScope {
       cached
     }
 
-  private def releaseAfterConsumption(cached: DataFrame): Unit = {
+  /** `skipConsumptions`: consuming completions to IGNORE before the
+    * release fires — the [[retainAcrossOwnAction]] gate-count pattern
+    * (the operator's own action is a consumption the release must
+    * outlive). Skipped consumptions still reset nothing; the
+    * unconsumed-completions reclaim counts every event as usual. */
+  private def releaseAfterConsumption(
+      cached: DataFrame,
+      skipConsumptions: Int = 0): Unit = {
     val spark = cached.sparkSession
     // The cache's identity inside any consuming query's plan: after
     // substitution the consumer carries an InMemoryRelation sharing
@@ -146,6 +160,7 @@ object CacheScope {
     val builder = cached.queryExecution.withCachedData.collectFirst {
       case r: InMemoryRelation => r.cacheBuilder
     }
+    val toSkip = new AtomicInteger(skipConsumptions)
     val released = new AtomicBoolean(false)
     val misses = new AtomicInteger(0)
     val listener: QueryExecutionListener = new QueryExecutionListener {
@@ -169,8 +184,8 @@ object CacheScope {
               .exists(_ eq b)
             catch { case _: Exception => true }
         }
-        if (consumed) release()
-        else if (misses.incrementAndGet() >= MaxUnconsumedCompletions) {
+        if (consumed && toSkip.getAndDecrement() <= 0) release()
+        else if (!consumed && misses.incrementAndGet() >= MaxUnconsumedCompletions) {
           log.debug(s"scoped cache never consumed after $MaxUnconsumedCompletions " +
             "query completions; reclaiming the abandoned entry")
           release()

@@ -83,13 +83,15 @@ object LineDedup {
       .select(col("line"))
     // Size-gate the broadcast hint: count the frequent set (it is an
     // aggregate output — cached, so the count and the anti-join below
-    // share one aggregation pass; retained until the caller's action
-    // consumes it, then released) and only hint below the bound. Above
-    // it, no hint: the anti-join shuffles both sides on line text —
-    // slower, but never a driver OOM on a boilerplate-heavy corpus.
+    // share one aggregation pass; the release listener is registered
+    // BEFORE the count and skips that first consumption, so the cache
+    // deterministically survives until the caller's action) and only
+    // hint below the bound. Above it, no hint: the anti-join shuffles
+    // both sides on line text — slower, but never a driver OOM on a
+    // boilerplate-heavy corpus.
     val (frequent, owned) = graft.quality.CacheScope.acquire(frequentRaw)
+    if (owned) graft.quality.CacheScope.retainAcrossOwnAction(frequent)
     val nFrequent = frequent.count()
-    if (owned) graft.quality.CacheScope.retainUntilNextConsumption(frequent)
     val removeSide =
       if (nFrequent <= broadcastMaxLines) broadcast(frequent) else frequent
     // the (null, null) row posexplode_outer emits for a null/absent

@@ -562,7 +562,12 @@ object Sampling {
     * (bounded, the [[graft.text.QualityClassifier]] topV-collect
     * pattern), and the output feeds [[tokenBudgetSample]]'s `budgets`
     * map directly — see the spec for the composed pipeline. Floors are
-    * used so Σ budgets ≤ totalBudget always. */
+    * used so Σ budgets ≤ totalBudget always. NULL strata are EXCLUDED:
+    * a `Map[String, Long]` key cannot address them downstream
+    * ([[tokenBudgetSample]]'s `stratumCol === key` is never true for
+    * NULL), so giving them weight here would silently skew every other
+    * stratum's share — they fall to the sampler's `defaultBudget`,
+    * which is the caller's explicit policy knob for unkeyed strata. */
   def temperatureBudgets(
       docs: DataFrame,
       stratumCol: Column,
@@ -575,10 +580,11 @@ object Sampling {
     require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     val totals = docs
+      .filter(stratumCol.isNotNull)
       .groupBy(stratumCol.cast("string").as("stratum"))
       .agg(sum(greatest(weightCol.cast("long"), lit(0L))).as("w"))
       .collect()
-      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     def capOf(w: Long): Long =
       if (maxEpochs.isPosInfinity) Long.MaxValue

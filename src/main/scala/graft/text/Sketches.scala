@@ -232,7 +232,16 @@ object Sketches {
     * [[kmvSketch]], [[kmvMerge]] or a drained streaming state): fewer
     * than k rows means the sketch IS the exact distinct set; otherwise
     * est = floor((k−1)·2⁶⁴ / u_k) — the same integer arithmetic the
-    * oracle-checked [[kmvDistinctFromSketch]] runs engine-side. */
+    * oracle-checked [[kmvDistinctFromSketch]] runs engine-side.
+    *
+    * CONTRACT: `k` must be AT MOST the k the sketch was BUILT with
+    * (for merged/state sketches: the smallest builder k of any part).
+    * With a larger k, a sub-k row count is NOT "the exact set" (the
+    * builder truncated at ITS k) and rows past the builder's k-th are
+    * not corpus order statistics — both silently bias the estimate
+    * low. [[kmvVocabEstimate]] builds and evaluates with one k, so it
+    * cannot violate this; state readers must pass the ingest-time
+    * kmvK (see [[graft.streaming.StreamingIngest.vocabEstimateFromState]]). */
   def kmvEstimateFromSketch(sketch: DataFrame, k: Int = 256): Long = {
     require(k >= 2, s"k must be >= 2, got $k")
     val us = sketch.collect().map(_.getDecimal(0).toBigInteger)

@@ -30,6 +30,22 @@ class CacheScopeSpec extends SparkSpec {
       "InMemoryRelation survived a completed query — the scoped release did not fire")
   }
 
+  test("retainAcrossOwnAction: the cache survives the operator's own action, releases after the caller's") {
+    spark.catalog.clearCache()
+    val (df, owned) = CacheScope.acquire((1 to 100).toDF("n"))
+    assert(owned)
+    CacheScope.retainAcrossOwnAction(df)
+    // the operator's own gate count — the FIRST consumption, skipped
+    assert(df.count() == 100)
+    Thread.sleep(700) // give the async bus time to deliver (and be skipped)
+    assert(df.storageLevel != StorageLevel.NONE && !cacheEmpty,
+      "the gate count released the cache the returned plan was about to reuse")
+    // the caller's action — the SECOND consumption releases
+    assert(df.count() == 100)
+    assert(eventually()(cacheEmpty),
+      "InMemoryRelation survived the caller's completed query")
+  }
+
   test("cachedUntilAction: an already-cached plan is passed through, not double-cached or released") {
     spark.catalog.clearCache()
     val outer = (1 to 50).toDF("n").cache()

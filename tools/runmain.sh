@@ -8,7 +8,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 # GRAFT_CLASSES: override the classes dir (e.g. a snapshot copy, so a
 # multi-hour bench keeps a stable classpath while sbt recompiles).
-CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*"
+# SPARK_GRAFT_SPARK_JARS: Spark jars dir — the SAME knob graft.Adjudicate
+# passes to its child JVMs, so parent and children always run one Spark.
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:${SPARK_GRAFT_SPARK_JARS:-/opt/spark/jars}/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -23,6 +23,9 @@ for i in $(seq 1 "$N"); do
     SPARK_GRAFT_NO_ADJUDICATE=1 \
     SPARK_GRAFT_BENCH_OUT="$OUT/bench_$i.json" \
     tools/runmain.sh graft.Bench > "$OUT/run_$i.log" 2>&1 || echo "JVM $i FAILED" >&2
-  grep -E "\[bench\] round|\[graft.cc\]" "$OUT/run_$i.log" | tail -20 >&2
+  # '|| true': a crashed JVM leaves no matching lines, and under
+  # set -e/pipefail a no-match grep would abort the remaining JVMs —
+  # the exact failure the per-JVM '|| echo FAILED' exists to survive.
+  { grep -E "\[bench\] round|\[graft.cc\]" "$OUT/run_$i.log" | tail -20 >&2; } || true
 done
 echo "done: $OUT" >&2
