@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Stratum-level helper frames (quantile boundaries, bucket offsets)
+    * at or under this many rows take the broadcast-join path in the
+    * bucketed samplers; larger frames fall back to a plain shuffled
+    * join. `stratumCol` is arbitrary — with per-domain strata (the
+    * RefinedWeb regime: millions of domains) the boundary frame is
+    * hundreds of MB and a forced hint never falls back, riding to
+    * Spark's broadcast hard limit (the same latent driver-OOM class
+    * [[graft.text.LineDedup.BroadcastFrequentMaxLines]] gates). At the
+    * default 250k rows the widest frame (bounds: ~31 doubles/stratum)
+    * stays under ~100 MB; past it, strata are so finely keyed that no
+    * single stratum dominates, so the shuffled fallback's per-key
+    * partitioning is safe by the same token. */
+  val BroadcastStrataMaxRows: Long = 250000L
+
   /** 32-hex-digit threshold such that P[md5 < threshold] = fraction.
     * The comparison is lexicographic over equal-length lowercase hex,
     * which equals numeric order; fraction 1.0 needs a string above
@@ -177,7 +191,20 @@ object Sampling {
     * NULL scores land in the last bucket and sort last within it —
     * the same place the plain form's `DESC NULLS LAST` puts them.
     * No inline telemetry: this IS the remedy the
-    * [[topFractionByScore]] telemetry recommends. */
+    * [[topFractionByScore]] telemetry recommends.
+    *
+    * Both stratum-level helper joins (boundaries, offsets) are
+    * broadcast only below `broadcastMaxRows` (default
+    * [[BroadcastStrataMaxRows]]) — the bounds frame has one row per
+    * stratum and the offsets frame at most `scoreBuckets` per stratum,
+    * so ONE cached count of the boundaries aggregate prices both
+    * hints; above the bound the hints are dropped (plain shuffled
+    * joins — safe in the finely-stratified regime that triggers it).
+    * NOTE: that gate count is an EAGER Spark job — calling this method
+    * runs the pass-1 quantile aggregate at plan-construction time (the
+    * cache is shared with the returned plan's own boundary join and
+    * released after the caller's action, the
+    * [[graft.quality.CacheScope.retainAcrossOwnAction]] recipe). */
   def topFractionByScoreBucketed(
       docs: DataFrame,
       stratumCol: Column,
@@ -185,6 +212,7 @@ object Sampling {
       keyCol: Column,
       fraction: Double,
       scoreBuckets: Int = 32,
+      broadcastMaxRows: Long = BroadcastStrataMaxRows,
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
     require(scoreBuckets >= 2, s"scoreBuckets must be >= 2, got $scoreBuckets")
@@ -212,11 +240,23 @@ object Sampling {
     // here — boundaries only steer bucket BALANCE; the comparison is
     // strict, so equal scores (cast identically) share a bucket.
     val fracs = (1 until scoreBuckets).map(_.toDouble / scoreBuckets)
-    val bounds = base.groupBy(col(sk)).agg(
+    val boundsRaw = base.groupBy(col(sk)).agg(
       percentile_approx(col(sc).cast("double"), typedlit(fracs), lit(10000))
         .as(bnds))
+    // Size-gate BOTH broadcast hints on one bounded action: bounds has
+    // exactly one row per stratum and offsets at most scoreBuckets per
+    // stratum, so a single cached count prices both. The cache is
+    // registered for retention BEFORE the gate count (the td8 recipe —
+    // registering after would race the async listener bus) and the
+    // count and the returned plan's boundary join share one
+    // aggregation pass.
+    val (bounds, owned) = graft.quality.CacheScope.acquire(boundsRaw)
+    if (owned) graft.quality.CacheScope.retainAcrossOwnAction(bounds)
+    val nStrata = bounds.count()
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
     val withBounds = base.join(
-      broadcast(bounds.withColumnRenamed(sk, sk2)),
+      hinted(bounds.withColumnRenamed(sk, sk2), nStrata),
       col(sk) <=> col(sk2), "left")
     // bucket = #boundaries strictly ABOVE the score (monotone: a
     // smaller bucket index always means a strictly greater score, and
@@ -238,7 +278,10 @@ object Sampling {
       .withColumn(nTot, sum(col(bn))
         .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col(sk).as(sk2), col(bk).as(bk2), col(prior), col(nTot))
-    val joined = bucketed.join(broadcast(offsets),
+    // offsets row bound: ≤ strata × buckets (the shuffled fallback
+    // joins on (stratum, bucket) — the exact keys the pass-3 window
+    // partitions by, so the join's exchange is the window's)
+    val joined = bucketed.join(hinted(offsets, nStrata * scoreBuckets),
       col(sk) <=> col(sk2) && col(bk) === col(bk2), "inner")
     // Pass 3: exact rank within (stratum, bucket) — ranks tie exactly
     // where the plain form's do (ties never span buckets), so
@@ -450,7 +493,15 @@ object Sampling {
     * SamplingSpec pins plain ≡ bucketed row-for-row (clamped weights,
     * zero budgets, straddlers); the hot-stratum point is measured in
     * MEASUREMENTS_R13. No inline telemetry: this IS the remedy the
-    * [[tokenBudgetSample]] telemetry recommends. */
+    * [[tokenBudgetSample]] telemetry recommends.
+    *
+    * The offsets join is broadcast only below `broadcastMaxRows`
+    * (default [[BroadcastStrataMaxRows]]): the per-(stratum, bucket)
+    * aggregate is counted once — an EAGER Spark job at
+    * plan-construction time, cached across the count and the returned
+    * plan via [[graft.quality.CacheScope.retainAcrossOwnAction]] — and
+    * above the bound the hint is dropped (the shuffled fallback joins
+    * on the exact keys the pass-2 window partitions by). */
   def tokenBudgetSampleBucketed(
       docs: DataFrame,
       keyCol: Column,
@@ -460,6 +511,7 @@ object Sampling {
       defaultBudget: Long = 0L,
       salt: String = "",
       hashBuckets: Int = 32,
+      broadcastMaxRows: Long = BroadcastStrataMaxRows,
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
     require(hashBuckets >= 2 && (hashBuckets & (hashBuckets - 1)) == 0,
@@ -490,13 +542,22 @@ object Sampling {
         conv(substring(col(dr), 1, 15), 16, 10).cast("long"), 60 - logB))
     val clamped = greatest(weightCol.cast("long"), lit(0L))
     // Pass 1: per-bucket clamped-weight totals → prior-bucket offsets.
-    val tiny = base.groupBy(col(sk), col(bk)).agg(sum(clamped).as(bw))
+    // The aggregate is counted once to size-gate the broadcast hint
+    // (its row count IS the offsets frame's row count); cache
+    // registered before the count — the td8 recipe — so the count and
+    // the offsets window below share one aggregation pass.
+    val tinyRaw = base.groupBy(col(sk), col(bk)).agg(sum(clamped).as(bw))
+    val (tiny, owned) = graft.quality.CacheScope.acquire(tinyRaw)
+    if (owned) graft.quality.CacheScope.retainAcrossOwnAction(tiny)
+    val nOffsetRows = tiny.count()
     val wOff = Window.partitionBy(col(sk)).orderBy(col(bk).asc)
     val offsets = tiny
       .withColumn(off,
         coalesce(sum(col(bw)).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(sk).as(sk2), col(bk).as(bk2), col(off))
-    val joined = base.join(broadcast(offsets),
+    val offsetsSide =
+      if (nOffsetRows <= broadcastMaxRows) broadcast(offsets) else offsets
+    val joined = base.join(offsetsSide,
       col(sk) <=> col(sk2) && col(bk) === col(bk2), "inner")
     // Pass 2: exact within-bucket running prior; global prior = bucket
     // offset + within-bucket prior (same zero-clamp as the plain form,

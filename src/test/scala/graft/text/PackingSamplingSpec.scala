@@ -427,4 +427,54 @@ class PackingSamplingSpec extends SparkSpec {
     assert(ev2.isDefined, "no stratumwindow skew event observed")
     assert(ev2.get.oversizedBuckets == 5L, ev2.get.toString)
   }
+
+  test("bucketed samplers: broadcast size gate, gated ≡ forced on both sides") {
+    // Auto-broadcast pinned OFF so the join strategy reflects the
+    // operators' HINT decision, not the test corpus's tiny statistics
+    // (at the 100 TB regime the gate exists for, the stratum-level
+    // frames never auto-broadcast) — the LineDedup gate-spec pattern.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = (0 until 300).map(i =>
+        (i.toLong, if (i % 3 == 0) "hot" else s"s${i % 5}", (i % 40).toLong))
+        .toDF("doc_id", "source", "toks")
+      def nBroadcasts(df: org.apache.spark.sql.DataFrame): Int =
+        "BroadcastHashJoin".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+
+      // tokenBudgetSampleBucketed: one gated hint (the offsets join).
+      val budgets = Map("hot" -> 900L, "s1" -> 200L)
+      def budgetCut(maxRows: Long) = Sampling.tokenBudgetSampleBucketed(
+        d, col("doc_id"), col("source"), col("toks"), budgets,
+        defaultBudget = 120L, salt = "gate", hashBuckets = 8,
+        broadcastMaxRows = maxRows)
+      val underB = budgetCut(Long.MaxValue)
+      val overB = budgetCut(0L)
+      assert(nBroadcasts(underB) === 1, underB.queryExecution.executedPlan.toString)
+      assert(nBroadcasts(overB) === 0, overB.queryExecution.executedPlan.toString)
+      assert(overB.orderBy("doc_id").collect().toSeq ===
+        underB.orderBy("doc_id").collect().toSeq)
+
+      // topFractionByScoreBucketed: two gated hints (bounds + offsets),
+      // priced by ONE stratum count — 6 strata here, offsets ≤ 6×8 rows.
+      // The bounds join executes on BOTH sides of the offsets join (the
+      // bucketed subtree feeds the offsets aggregate and the probe
+      // side), so a hinted bounds join shows up twice in the plan.
+      def rankCut(maxRows: Long) = Sampling.topFractionByScoreBucketed(
+        d, col("source"), col("toks"), col("doc_id"), fraction = 0.5,
+        scoreBuckets = 8, broadcastMaxRows = maxRows)
+      val underR = rankCut(Long.MaxValue)
+      val overR = rankCut(0L)
+      // mixed region: bounds (6 rows) under the gate, offsets (≤ 48)
+      // over it — only the bounds hint (×2 in the plan) survives
+      val midR = rankCut(6L)
+      assert(nBroadcasts(underR) === 3, underR.queryExecution.executedPlan.toString)
+      assert(nBroadcasts(overR) === 0, overR.queryExecution.executedPlan.toString)
+      assert(nBroadcasts(midR) === 2, midR.queryExecution.executedPlan.toString)
+      val expectR = underR.orderBy("doc_id").collect().toSeq
+      assert(overR.orderBy("doc_id").collect().toSeq === expectR)
+      assert(midR.orderBy("doc_id").collect().toSeq === expectR)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
