@@ -9,7 +9,8 @@ import scala.util.control.NonFatal
   * protocol as a harness step instead of a manual session.
   *
   * Problem it closes: the driver bench's dispersion gate (best-3 round
-  * totals within 5%) failed two rounds running on a co-tenant host, and
+  * totals within a bound — 5% through r13, recalibrated to the measured
+  * 10% host floor in r14) failed two rounds running on a co-tenant host, and
   * each time the round-over-round delta had to be adjudicated BY HAND
   * as "host drift, not code" via an interleaved A/B of the two HEADs.
   * This object runs that exact protocol automatically: spawn fresh
@@ -192,6 +193,19 @@ object Adjudicate {
         p.waitFor() == 0
       } catch { case NonFatal(_) => false })
 
+  /** Uncommitted changes over the compared paths: a committed-tree
+    * diff that reads clean is NOT evidence of a self-pair when the
+    * bench runs from a dirty working tree — the classes under test may
+    * differ from HEAD. Any git failure reads as dirty (fail toward the
+    * real-pair label, same direction as [[sameCodeAsHead]]). */
+  private def workingTreeDirty(): Boolean =
+    try {
+      val p = new ProcessBuilder(
+        "git", "status", "--porcelain", "--", "src/main", "build.sbt").start()
+      val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      p.waitFor() != 0 || out.trim.nonEmpty
+    } catch { case NonFatal(_) => true }
+
   private def gitHead(): String =
     try {
       val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
@@ -246,7 +260,8 @@ object Adjudicate {
       val bMin = headMin(Seq("B1_prev", "B2_prev"))
       def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       def mapJson(m: Map[String, Double]) =
-        m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + f3(v) }
           .mkString("{", ",", "}")
       // End-of-round protocol artifact: the prev-head jar is re-stamped
       // at each round's FINAL commit so the NEXT round pairs against
@@ -255,7 +270,18 @@ object Adjudicate {
       // itself — a legitimate same-host noise bracket, but any
       // "code improvement/regression" wording would be fiction. Detect
       // and label it; the ratio fields stay (they ARE the bracket).
-      val selfPair = sameCodeAsHead(prevCommit)
+      // A DIRTY working tree over the compared paths voids the
+      // detection: the committed diff reads clean while the classes
+      // under test differ from HEAD — label as a real pair, noted.
+      val commitsSame = sameCodeAsHead(prevCommit)
+      val dirty = commitsSame && workingTreeDirty()
+      val selfPair = commitsSame && !dirty
+      val dirtyNote =
+        if (dirty) " [NOTE: prev commit matches HEAD but the working " +
+          "tree is dirty over src/main|build.sbt - the current-head " +
+          "classes may differ from HEAD, so this is labeled a real " +
+          "pair, not a same-head bracket]"
+        else ""
       val complete = queries.forall(q => aMin.contains(q) && bMin.contains(q))
       val (ratioJson, verdict) =
         if (!complete) ("null", "incomplete: a child run failed or the reserve ran out; no ratio")
@@ -281,7 +307,7 @@ object Adjudicate {
               f"code improvement: current head ${ratio}%.3fx faster than previous head on the flagship subset"
           (s""""total_current_sec":${f3(at)},"total_prev_sec":${f3(bt)},""" +
             s""""ratio_prev_over_current":${f3(ratio)},""" +
-            s""""per_query_ratio_prev_over_current":${mapJson(perQ)}""", v)
+            s""""per_query_ratio_prev_over_current":${mapJson(perQ)}""", v + dirtyNote)
         }
       def sameHeadBracket(l1: String, l2: String): String =
         (byLabel(l1), byLabel(l2)) match {
@@ -296,8 +322,12 @@ object Adjudicate {
         s"""{"protocol":"automated interleaved same-host re-pair (4cb35fa protocol, harness-invoked): current HEAD vs prev-round HEAD jar, fresh JVMs alternating A,B,A,B, flagship subset, per-head value = min over its two JVMs (each min over >=3 interleaved timed rounds)",""" +
           s""""trigger":"${jsonEscape(reason)}",""" +
           s""""date_utc":"${java.time.Instant.now().toString.take(19)}Z",""" +
-          s""""commit_current":"${gitHead()}","commit_prev":"$prevCommit",""" +
-          s""""sf":"$sfDir","queries":[${queries.map("\"" + _ + "\"").mkString(",")}],""" +
+          // every free-form interpolation is escaped: sfDir and the
+          // query names arrive from env vars, and commit/head strings
+          // from git output — a quote or backslash in any of them must
+          // not produce an invalid artifact
+          s""""commit_current":"${jsonEscape(gitHead())}","commit_prev":"${jsonEscape(prevCommit)}",""" +
+          s""""sf":"${jsonEscape(sfDir)}","queries":[${queries.map(q => "\"" + jsonEscape(q) + "\"").mkString(",")}],""" +
           s""""runs":$runsJson,""" +
           (if (complete) ratioJson + ","
            else """"ratio_prev_over_current":null,""") +

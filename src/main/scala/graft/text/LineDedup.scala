@@ -59,6 +59,12 @@ object LineDedup {
     * can decide whether to drop empties — removal and document
     * filtering are separate policies.
     *
+    * NOT construction-lazy since the r13 gate: sizing the broadcast
+    * hint runs one EAGER Spark job (the frequent-set count — a full
+    * line-frequency aggregation, cached and shared with the returned
+    * plan) at call time; callers that only build or inspect the plan
+    * still pay it.
+    *
     * Output: idCol, n_lines_kept (int), clean_text (string).
     */
   def removeFrequentLines(

@@ -245,6 +245,14 @@ object Sketches {
   def kmvEstimateFromSketch(sketch: DataFrame, k: Int = 256): Long = {
     require(k >= 2, s"k must be >= 2, got $k")
     val us = sketch.collect().map(_.getDecimal(0).toBigInteger)
+    // fail LOUDLY on the documented contract violation: more rows than
+    // k means the sketch was built with a larger k (or is not a KMV
+    // sketch at all) — silently accepting it biases the estimate low,
+    // which can flip Bm25's shape selection
+    require(us.length <= k,
+      s"sketch has ${us.length} rows > k=$k: k must be at most the " +
+        "sketch's builder k (for merged/state sketches, the smallest " +
+        "builder k of any part)")
     if (us.length < k) us.length.toLong
     else {
       val uk = us.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
