@@ -13,7 +13,7 @@ import graft.quality.Drift
 import graft.schema.Schemas
 import graft.sim.{Fusion, Similarity}
 import graft.sink.IdempotentAppend
-import graft.text.{BigramLM, Bm25, Chunking, Curation, Decontamination, ImportanceResampling, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
+import graft.text.{BigramLM, Bm25, Chunking, CorpusStats, Curation, Decontamination, ImportanceResampling, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
 import graft.views.{GenerationViews, Refresh}
 import graft.warehouse.Warehouse
@@ -64,6 +64,24 @@ object SparkEntry {
 
   /** Exact order-independent sum of a 2-dec measure, as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Session-lifetime corpus-stats warehouses, keyed by corpus dir:
+    * the [[graft.text.CorpusStats]] table is refreshed ONCE per
+    * (JVM, corpus) through the M2 registry — standing in for the
+    * production out-of-band refresh cadence — and every t30 call then
+    * reads the one published row. computeIfAbsent keeps concurrent
+    * first callers from double-building. */
+  private val corpusStatsWhByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusStatsWarehouse(s: SparkSession, dir: String): String =
+    corpusStatsWhByDir.computeIfAbsent(dir, _ => {
+      val wh = Defaults.scratchDir("graft-corpus-stats")
+      Refresh.refreshForSources(s, wh,
+        Refresh.Registry(Map("documents" -> Seq(
+          CorpusStats.viewJob(ss => tbl(ss, dir, "documents"), "text")))),
+        Seq("documents"))
+      wh
+    })
 
   /** Frozen "now" for the validation queries: 2024-01-15T00:00:00Z,
     * mid-range of the events table so the not-in-future rule really
@@ -713,6 +731,26 @@ object SparkEntry {
           defaultBudget = 2000L, salt = "mix")
         .select("doc_id", "source", "n_chars")),
 
+    // The temperature pipeline composed END TO END (r13 verdict ask
+    // #5): t29's temperature statistic → UniMax budgets → the bucketed
+    // exact budget cut, engine-side the whole way. The budgets map is
+    // a bounded driver statistic BY DESIGN (one row per stratum, the
+    // QualityClassifier topV-collect pattern); the sampler itself is
+    // one lazy plan over the corpus. alpha=0.3 upsamples low-resource
+    // languages; budgets are floors of the temperature shares, so the
+    // oracle replays the whole chain (floor(pow-share × budget) CTE +
+    // the tp7 running-sum cut) in SQL. maxEpochs is left unbounded
+    // here — the capped water-filling path is pinned by spec against
+    // hand-computed budgets (PackingSamplingSpec).
+    "tp22_temperature_budget_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val budgets = Sampling.temperatureBudgets(docs, col("lang"),
+        col("n_chars"), alpha = 0.3, totalBudget = 60000L)
+      Sampling.tokenBudgetSampleBucketed(docs, col("doc_id"), col("lang"),
+        col("n_chars"), budgets, defaultBudget = 0L, salt = "tmix")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // The full curation-to-serving pipeline as ONE chained plan:
     // annotate -> hard gates -> exact dedup -> linear MinHash near-dup
     // -> quality-weighted soft sample -> per-source token-budget mix
@@ -770,6 +808,26 @@ object SparkEntry {
       val vocab = Sketches.kmvVocabEstimate(docs, "text")
       Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
         k = 10, corpusVocabEstimate = Some(vocab))
+    }),
+
+    // t28's production endgame (the r13 verdict's ask #3): the shape
+    // selection reads the PERSISTED corpus-stats row — a one-row
+    // summary table built like any M1 view and refreshed through the
+    // M2 registry's atomic swap, once per session per corpus here
+    // (standing in for the out-of-band refresh cadence) — instead of
+    // re-scanning the corpus per call for the KMV estimate. The
+    // executed retrieval plan touches the corpus zero extra times
+    // beyond its own postings work. Results are shape-blind (Bm25Spec
+    // pins both shapes decimal-exact), so the oracle replay is t28's
+    // SQL verbatim.
+    "t30_bm25_stats_view" -> ((s, dir) => {
+      val stats = CorpusStats.read(s, corpusStatsWarehouse(s, dir))
+      val docs = tbl(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("query_id"),
+          substring(col("text"), 1, 40).as("qtext"))
+      Bm25.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
+        k = 10, corpusVocabEstimate = Some(stats.vocabEstimate))
     }),
 
     // Hybrid retrieval: BM25 lexical top-20 over documents fused with
@@ -3208,6 +3266,32 @@ object SparkEntry {
         |WHERE prior < (CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 4000
         |               WHEN 'src2' THEN 1000 ELSE 2000 END)""".stripMargin,
 
+    // The whole composed chain in SQL: per-stratum temperature budgets
+    // (floor(pow-share × total), NULL strata excluded — they fall to
+    // the sampler's defaultBudget 0, i.e. the inner join drops them)
+    // feeding the tp7 running-sum cut. Same IEEE pow both engines;
+    // the floor of the share product is the one float-boundary risk
+    // and it is the same arithmetic the engine's driver side runs.
+    "tp22_temperature_budget_mix" ->
+      """WITH t AS (SELECT lang AS stratum,
+        |    CAST(SUM(GREATEST(n_chars, 0)) AS BIGINT) AS w
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |d AS (SELECT SUM(pow(w, 0.3)) AS den FROM t),
+        |b AS (SELECT stratum,
+        |    CASE WHEN den > 0 THEN CAST(FLOOR(pow(w, 0.3) / den * 60000) AS BIGINT)
+        |         ELSE 0 END AS budget
+        |  FROM t CROSS JOIN d),
+        |h AS (SELECT doc_id, lang, n_chars,
+        |    md5(concat_ws(':', 'tmix', CAST(doc_id AS VARCHAR))) AS hk
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    COALESCE(SUM(GREATEST(n_chars, 0)) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM h)
+        |SELECT c.doc_id, c.lang, c.n_chars FROM c
+        |JOIN b ON b.stratum = c.lang
+        |WHERE c.prior < b.budget""".stripMargin,
+
     // tp2's full replay chain (annotate/gate/exact/linear-minhash)
     // extended stage-for-stage: the 60-bit weighted draw, the
     // token-budget window, and the shard/pos assignment — each the
@@ -4478,8 +4562,12 @@ object SparkEntry {
   // row-for-row equivalence) — so the oracle replay is the same SQL,
   // and a green row here is DuckDB proving the equivalence at sf0.01
   // independently of the spec fixtures.
+  // t30 reads the persisted corpus-stats row for its shape selection;
+  // both BM25 shapes are decimal-exact equal, so its replay is t28's
+  // SQL verbatim (shape-blind, like t28's own).
   base ++ Map(
     "tp20_top_fraction_bucketed" -> base("tp10_top_fraction"),
-    "tp21_budget_mix_bucketed" -> base("tp7_token_budget_mix"))
+    "tp21_budget_mix_bucketed" -> base("tp7_token_budget_mix"),
+    "t30_bm25_stats_view" -> base("t28_bm25_auto"))
   }
 }

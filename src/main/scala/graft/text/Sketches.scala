@@ -265,6 +265,24 @@ object Sketches {
     }
   }
 
+  /** One-row frame (`vocab_estimate` BIGINT) — the ENGINE-SIDE
+    * counterpart of [[kmvEstimateFromSketch]]: the same integer
+    * arithmetic ((k−1)·2⁶⁴ floor-divided by u_k; a sub-k sketch IS the
+    * exact distinct set) with zero driver collects, so the estimate
+    * can be persisted as a table column (see
+    * [[graft.text.CorpusStats]]). Same k-contract as the driver-side
+    * form: `k` must be at most the sketch's builder k. */
+  def kmvEstimateFrame(sketch: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val num = lit(TwoTo64.multiply(new java.math.BigDecimal(k - 1)))
+    sketch
+      .agg(count(lit(1)).as("_k_used"), max(col("u")).as("_uk"))
+      .select(
+        when(col("_k_used") < k || col("_uk").isNull || col("_uk") === 0,
+          col("_k_used"))
+          .otherwise(floorDiv(num, col("_uk"))).as("vocab_estimate"))
+  }
+
   /** Merge two KMV sketch frames built with the same k: the k smallest
     * distinct values of the union. TakeOrdered over ≤ 2k rows. */
   def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {

@@ -342,6 +342,36 @@ class PackingSamplingSpec extends SparkSpec {
     assert(perStratum.values.sum > 0)
   }
 
+  test("composed temperature chain: hand-computed budgets drive the bucketed cut") {
+    // Strata with EXACT hand-computable temperature math: A totals 100,
+    // B totals 400; alpha=0.5 → pows 10/20, den 30.
+    //   uncapped, budget 300: A floor(10/30·300)=100, B floor(20/30·300)=200
+    //   maxEpochs=0.5: capOf(A)=50 → A caps first; the freed 250 water-
+    //   fills to B alone (floor(250)=250) which then hits ITS cap 200.
+    val rows = (0 until 10).map(i => (i.toLong, "A", 10L)) ++
+      (10 until 20).map(i => (i.toLong, "B", 40L))
+    val d = rows.toDF("doc_id", "lang", "toks")
+    assert(Sampling.temperatureBudgets(d, col("lang"), col("toks"),
+      alpha = 0.5, totalBudget = 300L) === Map("A" -> 100L, "B" -> 200L))
+    val capped = Sampling.temperatureBudgets(d, col("lang"), col("toks"),
+      alpha = 0.5, totalBudget = 300L, maxEpochs = 0.5)
+    assert(capped === Map("A" -> 50L, "B" -> 200L))
+    // the composed chain (budgets → bucketed exact cut, the tp22 plan)
+    // keeps exactly the hash-order prefix of each stratum's budget:
+    // 50/10 → 5 A-docs, 200/40 → 5 B-docs, no straddler (exact fits)
+    val kept = Sampling.tokenBudgetSampleBucketed(d, col("doc_id"), col("lang"),
+      col("toks"), capped, defaultBudget = 0L, salt = "tchain")
+    val perStratum = kept.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum("toks").as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perStratum === Map("A" -> ((5L, 50L)), "B" -> ((5L, 200L))))
+    // and the bucketed composition equals the plain-sampler composition
+    val plain = Sampling.tokenBudgetSample(d, col("doc_id"), col("lang"),
+      col("toks"), capped, defaultBudget = 0L, salt = "tchain")
+      .orderBy("doc_id").collect().toSeq
+    assert(kept.orderBy("doc_id").collect().toSeq === plain)
+  }
+
   test("tokenBudgetSampleBucketed == tokenBudgetSample row-for-row") {
     // hot stratum + small strata, negative weights (clamp), a zero
     // budget, the default budget, hashBuckets from 2 to >> rows-per-
