@@ -603,6 +603,116 @@ object StreamingIngest {
       .groupBy(col("e.bucket").as("bucket")).agg(max(col("e.r")).as("r"))
   }
 
+  /** Temperature-mixed streaming admission — closing the batch ↔
+    * stream mixing loop (r13 stretch): each micro-batch is admitted
+    * per-stratum at the [[graft.text.Sampling.temperatureAdmissionFractions]]
+    * computed from the totals ACCUMULATED SO FAR, then merges its own
+    * per-stratum totals into the state — so the admitted mix tracks a
+    * drifting stream within one micro-batch interval, with ZERO corpus
+    * scans at refresh time (the t28/t30 zero-scan pattern: the state
+    * table is one row per (batch, stratum) — bounded).
+    *
+    * Exactly-once shape: the admit decision is a pure function of
+    * (salt, key) ([[graft.text.Sampling.stratifiedSample]] md5 bands),
+    * so a redelivered batch admits the SAME rows; both sinks go
+    * through [[graft.sink.IdempotentAppend.appendNew]] — the admitted
+    * table keyed on `keyCol`, the totals state keyed on
+    * (batch_id, stratum), so replay after a crash between the two
+    * appends re-inserts nothing and the fractions a replayed batch
+    * reads are the same ones it read before the crash (its own totals
+    * row is keyed under its batch_id, and `stratumTotalsFromState`
+    * excludes rows at-or-past the reading batch's id).
+    *
+    * First batch (no state yet) admits everything — the natural mix
+    * is the only estimate available. NULL strata fall to
+    * `defaultFraction` (admit-all by default), the
+    * [[graft.text.Sampling.temperatureBudgets]] NULL-policy. */
+  def drainTemperatureAdmission(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weightCol: String,
+      alpha: Double,
+      admittedPath: String,
+      statePath: String,
+      checkpointPath: String,
+      salt: String = "",
+      defaultFraction: Double = 1.0,
+  ): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        admitTemperatureBatch(batch.toDF(), keyCol, stratumCol, weightCol,
+          alpha, admittedPath, statePath, batchId, salt, defaultFraction)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of the temperature admission — factored out so
+    * redelivery idempotence and the one-interval tracking are testable
+    * without faking a checkpoint crash (the [[mergeSketchBatch]]
+    * pattern). */
+  private[graft] def admitTemperatureBatch(
+      batch: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      weightCol: String,
+      alpha: Double,
+      admittedPath: String,
+      statePath: String,
+      batchId: Long,
+      salt: String,
+      defaultFraction: Double = 1.0,
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    // refresh step: bounded state read → driver math, zero corpus scans
+    val fractions = graft.text.Sampling.temperatureAdmissionFractions(
+      stratumTotalsFromState(spark, statePath, beforeBatchId = Some(batchId)), alpha)
+    val admitted =
+      if (fractions.isEmpty) batch
+      else graft.text.Sampling.stratifiedSample(batch, col(keyCol),
+        col(stratumCol), fractions, defaultFraction, salt)
+    graft.sink.IdempotentAppend.appendNew(
+      spark, admitted, admittedPath, Seq(keyCol), timeCol = None)
+    // totals reflect the OFFERED stream (what arrived), not the
+    // admitted one: the natural-mix estimate the fractions divide by
+    // must measure the source distribution, or the thinning would
+    // feed back into its own denominator and overshoot the target mix
+    val totals = batch
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(greatest(col(weightCol).cast("long"), lit(0L))).as("w"))
+      .withColumn("batch_id", lit(batchId))
+    graft.sink.IdempotentAppend.appendNew(
+      spark, totals, statePath, Seq("batch_id", "stratum"), timeCol = None)
+    ()
+  }
+
+  /** Accumulated per-stratum totals from the admission state table —
+    * one bounded aggregate over (batch, stratum) rows. With
+    * `beforeBatchId`, only rows from EARLIER batches count: a replayed
+    * batch whose own totals row survived a crash must not read its own
+    * contribution (it would compute different fractions than the
+    * original run and admit a different row set). */
+  def stratumTotalsFromState(
+      spark: SparkSession,
+      statePath: String,
+      beforeBatchId: Option[Long] = None,
+  ): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) Map.empty
+    else {
+      val all = spark.read.parquet(statePath)
+      val bounded = beforeBatchId.fold(all)(b => all.filter(col("batch_id") < b))
+      bounded.groupBy(col("stratum")).agg(sum(col("w")).as("w"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
+
   def runningTotals(
       spark: SparkSession,
       stream: DataFrame,

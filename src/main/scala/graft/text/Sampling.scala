@@ -611,6 +611,41 @@ object Sampling {
           .otherwise(lit(0.0)).as("share"))
   }
 
+  /** Per-stratum ADMISSION fractions that steer a stream toward the
+    * temperature mixture: target share (w^alpha, normalized) over
+    * natural share (w, normalized), rescaled so the most-upsampled
+    * stratum admits at fraction 1.0 — admission can only DROP, so the
+    * mix is shaped by thinning the head, never by inventing tail
+    * documents. alpha = 1 admits everything (the natural mix IS the
+    * target); alpha = 0 equalizes strata. Strata with non-positive
+    * totals are excluded (the caller's defaultFraction policy covers
+    * them, like [[temperatureBudgets]]'s NULL-strata rule).
+    *
+    * Pure driver math over a bounded per-stratum totals map — the
+    * streaming closure's refresh step
+    * ([[graft.streaming.StreamingIngest.drainTemperatureAdmission]])
+    * calls this once per micro-batch with totals accumulated in state,
+    * zero corpus scans. */
+  def temperatureAdmissionFractions(
+      totals: Map[String, Long],
+      alpha: Double,
+  ): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of range [0,1]: $alpha")
+    val pos = totals.filter(_._2 > 0)
+    if (pos.isEmpty) Map.empty
+    else {
+      val wSum = pos.values.map(_.toDouble).sum
+      val den = pos.values.map(w => math.pow(w.toDouble, alpha)).sum
+      // target/natural = w^(alpha-1) · wSum/den — monotone DECREASING
+      // in w for alpha < 1, so the smallest stratum normalizes to 1.0
+      val ratio = pos.map { case (s, w) =>
+        s -> (math.pow(w.toDouble, alpha) / den) / (w.toDouble / wSum)
+      }
+      val mx = ratio.values.max
+      ratio.map { case (s, r) => s -> math.min(1.0, r / mx) }
+    }
+  }
+
   /** UniMax-style token budgets (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling"): distribute `totalBudget`
     * over strata by temperature share, but cap every stratum at

@@ -46,6 +46,38 @@ class CacheScopeSpec extends SparkSpec {
       "InMemoryRelation survived the caller's completed query")
   }
 
+  test("retainAcrossOwnAction: concurrent unrelated actions in the window never release early") {
+    // The r13 verdict flagged the protocol's standing assumption:
+    // nothing else consumes an operator-internal cache between acquire
+    // and the gate count — but refreshForSources already submits
+    // CONCURRENT jobs in the same session, so unrelated completions can
+    // land anywhere in the acquire → gate-count → caller-action window.
+    // Pin the semantics: non-consuming completions (whatever thread,
+    // whatever order the async bus delivers them) must neither eat the
+    // skip nor release the retained cache, as long as they stay below
+    // the MaxUnconsumedCompletions reclaim bound.
+    spark.catalog.clearCache()
+    val (df, owned) = CacheScope.acquire((1 to 1000).toDF("n"))
+    assert(owned)
+    CacheScope.retainAcrossOwnAction(df)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // 48 unrelated completions across 6 threads — racing the gate
+    // count AND the post-count idle window, under the reclaim bound
+    val noise = Future.sequence((1 to 6).map(_ => Future {
+      (1 to 8).foreach(_ => spark.range(50).count(): Unit)
+    }))
+    assert(df.count() == 1000) // the gate count, amid the noise — skipped
+    Await.result(noise, Duration.Inf)
+    Thread.sleep(700) // let the async bus drain every noise completion
+    assert(df.storageLevel != StorageLevel.NONE && !cacheEmpty,
+      "a concurrent unrelated completion released (or reclaimed) the retained cache")
+    assert(df.count() == 1000) // the caller's action — releases
+    assert(eventually()(cacheEmpty),
+      "InMemoryRelation survived the caller's completed query")
+  }
+
   test("cachedUntilAction: an already-cached plan is passed through, not double-cached or released") {
     spark.catalog.clearCache()
     val outer = (1 to 50).toDF("n").cache()

@@ -603,4 +603,73 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rootMessages(err).exists(m => m != null && m.contains("raw-array")),
       rootMessages(err).mkString(" | "))
   }
+
+  test("temperature admission: shares track the stream within one interval; redelivery idempotent") {
+    import spark.implicits._
+    val admitted = Files.createTempDirectory("graft-tadmit").resolve("t").toString
+    val state = Files.createTempDirectory("graft-tadmit-state").resolve("s").toString
+    // 80/20 en/fr per batch, weight 10 each
+    def mkBatch(ids: Range) = ids
+      .map(i => (i.toLong, if (i % 5 == 4) "fr" else "en", 10L))
+      .toDF("doc_id", "lang", "toks")
+    StreamingIngest.admitTemperatureBatch(mkBatch(0 until 100), "doc_id", "lang",
+      "toks", alpha = 0.0, admitted, state, batchId = 0L, salt = "ta")
+    assert(spark.read.parquet(admitted).count() == 100) // no state yet: admit all
+    // the fractions the NEXT interval reads — alpha=0 targets EQUAL
+    // shares; natural 0.8/0.2 → ratios 0.625/2.5 → normalized 0.25/1.0
+    val fr = graft.text.Sampling.temperatureAdmissionFractions(
+      StreamingIngest.stratumTotalsFromState(spark, state), 0.0)
+    assert(math.abs(fr("en") - 0.25) < 1e-12 && fr("fr") == 1.0)
+    val b1 = mkBatch(100 until 200)
+    StreamingIngest.admitTemperatureBatch(b1, "doc_id", "lang", "toks", 0.0,
+      admitted, state, 1L, "ta")
+    val second = spark.read.parquet(admitted).filter(col("doc_id") >= 100)
+    // row-for-row the deterministic batch-side sampler at those
+    // fractions — stream admission ≡ batch semantics, one-interval lag
+    val expect = graft.text.Sampling.stratifiedSample(b1, col("doc_id"),
+      col("lang"), fr, defaultFraction = 1.0, salt = "ta")
+      .orderBy("doc_id").collect().toSeq
+    assert(second.orderBy("doc_id").collect().toSeq === expect)
+    val byLang = second.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("fr") == 20L) // the upsampled stratum admits everything
+    assert(byLang.getOrElse("en", 0L) < 80L) // the head is thinned toward the target
+    // redelivery of batch 1: determinstic draws + keyed sinks → no change
+    val before = spark.read.parquet(admitted).count()
+    StreamingIngest.admitTemperatureBatch(b1, "doc_id", "lang", "toks", 0.0,
+      admitted, state, 1L, "ta")
+    assert(spark.read.parquet(admitted).count() == before)
+    // totals reflect the OFFERED stream, both batches, idempotently
+    assert(StreamingIngest.stratumTotalsFromState(spark, state) ===
+      Map("en" -> 1600L, "fr" -> 400L))
+  }
+
+  test("drainTemperatureAdmission: second AvailableNow drain is thinned by the first's state") {
+    val in = Files.createTempDirectory("graft-tadmit-in")
+    val admitted = Files.createTempDirectory("graft-tadmit-out").resolve("t").toString
+    val state = Files.createTempDirectory("graft-tadmit-st").resolve("s").toString
+    val ckpt = Files.createTempDirectory("graft-tadmit-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("toks", org.apache.spark.sql.types.LongType)))
+    def lines(ids: Range): String = ids.map { i =>
+      s"""{"doc_id":$i,"lang":"${if (i % 5 == 4) "fr" else "en"}","toks":10}"""
+    }.mkString("", "\n", "\n")
+    def drain(): Unit =
+      StreamingIngest.drainTemperatureAdmission(
+        StreamingIngest.readStream(spark, in.toString, schema)
+          .select("doc_id", "lang", "toks"),
+        "doc_id", "lang", "toks", alpha = 0.0, admitted, state, ckpt,
+        salt = "ta").awaitTermination()
+    Files.writeString(in.resolve("a.jsonl"), lines(0 until 100))
+    drain()
+    assert(spark.read.parquet(admitted).count() == 100)
+    Files.writeString(in.resolve("b.jsonl"), lines(100 until 200))
+    drain() // checkpoint resumes at batch 1; state thins the en head
+    val second = spark.read.parquet(admitted).filter(col("doc_id") >= 100)
+    val byLang = second.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("fr") == 20L && byLang.getOrElse("en", 0L) < 80L)
+  }
 }

@@ -370,6 +370,15 @@ class PackingSamplingSpec extends SparkSpec {
       col("toks"), capped, defaultBudget = 0L, salt = "tchain")
       .orderBy("doc_id").collect().toSeq
     assert(kept.orderBy("doc_id").collect().toSeq === plain)
+
+    // admission-fraction edges (the streaming refresh math): alpha=1
+    // admits everything (natural mix IS the target); non-positive and
+    // empty totals are excluded/empty
+    assert(Sampling.temperatureAdmissionFractions(Map("A" -> 100L, "B" -> 400L), 1.0)
+      === Map("A" -> 1.0, "B" -> 1.0))
+    assert(Sampling.temperatureAdmissionFractions(Map("A" -> 0L, "B" -> -5L), 0.5)
+      === Map.empty)
+    assert(Sampling.temperatureAdmissionFractions(Map.empty, 0.3) === Map.empty)
   }
 
   test("tokenBudgetSampleBucketed == tokenBudgetSample row-for-row") {
