@@ -23,11 +23,21 @@ SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf1 \
   SPARK_GRAFT_NO_ADJUDICATE=1 \
   tools/runmain.sh graft.Bench
 
+# Budget 299, sized from the measured sf1 full-suite round (~422 s ×
+# the 0.3-0.6 family exponents ⇒ an sf10 round costs ~750-1150 s):
+# a >=720 s budget raises minRounds to 6, which can NEVER fit at that
+# round cost — the per-JVM gate would fail by construction — and
+# >=300 adds a second untimed full-suite pass (~15 min/JVM) that a
+# 900-s first pass already covers for C2 (the "rounds still declining
+# after one pass" finding was measured on ~100-s sf0.1 passes).
+# 299 ⇒ one untimed pass + exactly the 3-round floor, gate
+# satisfiable, ~65 min/JVM; the merged artifact still carries
+# 3 JVMs × 3 rounds = 9 round samples per query.
 for i in 1 2 3; do
   step "$((i+1))/5 sf10 full suite, fresh JVM $i/3"
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/tmp/sf10 \
     SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10_jvm$i.json \
-    SPARK_GRAFT_BENCH_BUDGET_SEC=2000 \
+    SPARK_GRAFT_BENCH_BUDGET_SEC=299 \
     SPARK_GRAFT_NO_ADJUDICATE=1 \
     tools/runmain.sh graft.Bench
 done
