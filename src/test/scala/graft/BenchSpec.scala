@@ -22,7 +22,7 @@ class BenchSpec extends AnyFunSuite {
     val rounds = Seq.fill(8)(results)
     val (line, _) =
       Bench.renderLines(results, "/root/testdata/sf0.1", 8, 12.345, false,
-        Bench.baselineOnly.toSeq.sorted, rounds)
+        Bench.baselineOnly.keys.toSeq.sorted, rounds)
     // the whole line must fit in the driver's ~2 KB stdout tail with
     // margin for trailing log noise; 1.25 KB leaves ~40% headroom
     assert(line.length < 1280, s"bench line is ${line.length} B; driver tail-capture is ~2 KB")
@@ -125,12 +125,24 @@ class BenchSpec extends AnyFunSuite {
   test("baseline-only queries are real, registered, and listed in the full JSON when skipped") {
     // the gate must reference live query names — a rename that orphans
     // the set would silently stop skipping anything at scale
-    assert(Bench.baselineOnly.subsetOf(SparkEntry.queries.keySet))
+    assert(Bench.baselineOnly.keySet.subsetOf(SparkEntry.queries.keySet))
+    // thresholds are per-query: the sf1-tractable exact references
+    // (v1's 4M-pair arm, v11's dense arm) stay benched at sf1 and
+    // drop out at the decade point; the full-corpus all-pairs trio
+    // drops out already at sf1; unknown scale benches everything
+    assert(!Bench.skipsAt("v1_cosine_topk", Some(1.0)))
+    assert(Bench.skipsAt("v1_cosine_topk", Some(10.0)))
+    assert(!Bench.skipsAt("v11_hybrid_rrf", Some(1.0)))
+    assert(Bench.skipsAt("v11_hybrid_rrf", Some(10.0)))
+    assert(Bench.skipsAt("td2_ngram_jaccard", Some(1.0)))
+    assert(!Bench.skipsAt("td2_ngram_jaccard", Some(0.1)))
+    assert(!Bench.skipsAt("v1_cosine_topk", None))
+    assert(!Bench.skipsAt("t11_bm25_topk", Some(10.0)))
     val results = Map("v3_lsh_topk" -> 1.0)
     val (_, full) =
       Bench.renderLines(results, "/tmp/sf1", 3, 1.0, true,
-        Bench.baselineOnly.toSeq.sorted)
-    assert(full.contains(""""skipped_baseline":["td2_ngram_jaccard","v2_cosine_pairs","v5_embed_dedup"]"""))
+        Bench.baselineOnly.keys.toSeq.sorted)
+    assert(full.contains(""""skipped_baseline":["td2_ngram_jaccard","v11_hybrid_rrf","v1_cosine_topk","v2_cosine_pairs","v5_embed_dedup"]"""))
   }
 
   test("exactly one unpartitioned Window.orderBy site in main sources (w2_mom_delta)") {

@@ -1,9 +1,11 @@
 #!/bin/bash
 # Round-14 scale campaign — the FULL suite at sf10 (VERDICT r13 ask 4).
 # BENCH_SF10.json so far covered the 23 flagship dedup/ANN queries; this
-# measures every benchable query (149 of 152; the three documented
-# brute-force baselines are factor-gated by Bench itself) at the 100×
-# point, under the protocol the r13 td10 probe wrote into
+# measures every benchable query (147 of 152 at sf10; the five
+# documented brute-force baselines are factor-gated by Bench itself —
+# td2/v2/v5 from sf1, v1/v11 from sf10 where their all-pairs dense
+# arms hit 400M pairs) at the 100× point, under the protocol the r13
+# td10 probe wrote into
 # MEASUREMENTS_R13.json: ≥3 fresh JVMs per sf10 measurement, because
 # fresh-JVM minima of a single query spread ±4.8% on identical code.
 # Each JVM runs the complete graft.Bench machinery (sf0.001 JIT warm-up,
