@@ -83,7 +83,21 @@ object Bench {
     "v5_embed_dedup" -> 1.0,
     "td2_ngram_jaccard" -> 1.0,
     "v1_cosine_topk" -> 10.0,
-    "v11_hybrid_rrf" -> 10.0)
+    "v11_hybrid_rrf" -> 10.0,
+    // The r14 full-suite decade campaign measured the compressed-scan
+    // exact family superlinear, as their plans say they must be: v8
+    // (int8 scan-all-codes, exp 1.51), v9 (same proposal stage +
+    // bounded rerank, 1.40), v12 (PQ/ADC scan-all-codes, 1.17) score
+    // EVERY code for every query — the memory-compression story, not
+    // the pruning story (their pruned counterparts v3/v4/v15 measured
+    // 0.53-0.66) — and v7 re-trains its KMeans index inside the call
+    // (the index-BUILD benchmark; serve-only v4 is the scale path).
+    // All four stay benched through sf10 (17-71 s, tractable); the
+    // next decade is where the quadratic arm prices them out.
+    "v8_quantized_topk" -> 100.0,
+    "v9_quantized_rerank" -> 100.0,
+    "v12_pq_rerank_topk" -> 100.0,
+    "v7_ivf_kmeans_topk" -> 100.0)
 
   /** True when `name` is a documented exact baseline whose skip
     * threshold the corpus scale has reached. Unknown scale factors

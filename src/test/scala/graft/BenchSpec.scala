@@ -138,11 +138,17 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.skipsAt("td2_ngram_jaccard", Some(0.1)))
     assert(!Bench.skipsAt("v1_cosine_topk", None))
     assert(!Bench.skipsAt("t11_bm25_topk", Some(10.0)))
+    // the compressed-scan exact family stays benched through sf10
+    // (r14 measured it tractable there) and gates at the next decade
+    assert(!Bench.skipsAt("v8_quantized_topk", Some(10.0)))
+    assert(Bench.skipsAt("v8_quantized_topk", Some(100.0)))
+    assert(!Bench.skipsAt("v7_ivf_kmeans_topk", Some(10.0)))
+    assert(Bench.skipsAt("v12_pq_rerank_topk", Some(100.0)))
     val results = Map("v3_lsh_topk" -> 1.0)
     val (_, full) =
       Bench.renderLines(results, "/tmp/sf1", 3, 1.0, true,
         Bench.baselineOnly.keys.toSeq.sorted)
-    assert(full.contains(""""skipped_baseline":["td2_ngram_jaccard","v11_hybrid_rrf","v1_cosine_topk","v2_cosine_pairs","v5_embed_dedup"]"""))
+    assert(full.contains(""""skipped_baseline":["td2_ngram_jaccard","v11_hybrid_rrf","v12_pq_rerank_topk","v1_cosine_topk","v2_cosine_pairs","v5_embed_dedup","v7_ivf_kmeans_topk","v8_quantized_topk","v9_quantized_rerank"]"""))
   }
 
   test("exactly one unpartitioned Window.orderBy site in main sources (w2_mom_delta)") {
