@@ -185,11 +185,13 @@ object Adjudicate {
     * follow touch no source, so commit hashes differ while the two
     * jars are code-identical. `git diff --quiet` exit 0 = no diff;
     * any git failure reads as a REAL pair (fail toward comparing). */
-  private def sameCodeAsHead(prevCommit: String): Boolean =
+  private[graft] def sameCodeAsHead(
+      prevCommit: String, repoDir: File = new File(".")): Boolean =
     prevCommit != "unknown" && (
       try {
         val p = new ProcessBuilder(
-          "git", "diff", "--quiet", prevCommit, "HEAD", "--", "src/main", "build.sbt").start()
+          "git", "diff", "--quiet", prevCommit, "HEAD", "--", "src/main", "build.sbt")
+          .directory(repoDir).start()
         p.waitFor() == 0
       } catch { case NonFatal(_) => false })
 
@@ -197,11 +199,14 @@ object Adjudicate {
     * diff that reads clean is NOT evidence of a self-pair when the
     * bench runs from a dirty working tree — the classes under test may
     * differ from HEAD. Any git failure reads as dirty (fail toward the
-    * real-pair label, same direction as [[sameCodeAsHead]]). */
-  private def workingTreeDirty(): Boolean =
+    * real-pair label, same direction as [[sameCodeAsHead]]).
+    * `repoDir` exists for the spec (a synthetic temp repo); production
+    * callers use the default working directory. */
+  private[graft] def workingTreeDirty(repoDir: File = new File(".")): Boolean =
     try {
       val p = new ProcessBuilder(
-        "git", "status", "--porcelain", "--", "src/main", "build.sbt").start()
+        "git", "status", "--porcelain", "--", "src/main", "build.sbt")
+        .directory(repoDir).start()
       val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       p.waitFor() != 0 || out.trim.nonEmpty
     } catch { case NonFatal(_) => true }

@@ -70,7 +70,12 @@ object SparkEntry {
     * (JVM, corpus) through the M2 registry — standing in for the
     * production out-of-band refresh cadence — and every t30 call then
     * reads the one published row. computeIfAbsent keeps concurrent
-    * first callers from double-building. */
+    * first callers from double-building. CONTRACT: the cache has no
+    * invalidation — a corpus dir REWRITTEN inside one JVM session
+    * serves the stats built from its first load (exactly the bench /
+    * verify contract, where a corpus dir is immutable for the run);
+    * a long-lived service would key this on the corpus snapshot
+    * marker and re-refresh through the same M2 swap. */
   private val corpusStatsWhByDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def corpusStatsWarehouse(s: SparkSession, dir: String): String =

@@ -708,8 +708,63 @@ object StreamingIngest {
     else {
       val all = spark.read.parquet(statePath)
       val bounded = beforeBatchId.fold(all)(b => all.filter(col("batch_id") < b))
+      // the collect is the POST-aggregation frame: ≤ |strata| rows —
+      // the same bounded-strata contract `temperatureBudgets` states
+      // (strata are languages/domains/source buckets, thousands at
+      // most, never a high-cardinality key). The SCAN side is rows ×
+      // batches and grows without [[compactAdmissionState]]; with the
+      // recommended compaction cadence it is |strata| snapshot rows
+      // plus the recent uncompacted batches.
       bounded.groupBy(col("stratum")).agg(sum(col("w")).as("w"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  /** Compaction for the temperature-admission state table: fold every
+    * (batch_id, stratum) totals row from batches STRICTLY BEFORE
+    * `beforeBatchId` into one snapshot row per stratum, keyed at
+    * `batch_id = beforeBatchId - 1` — the newest folded position, so
+    * any reader filtering `batch_id < b` with `b >= beforeBatchId`
+    * sums exactly what it summed before the fold. Without this the
+    * state accretes one row per (batch, stratum) forever; after it the
+    * table holds ≤ |strata| snapshot rows plus the uncompacted tail.
+    *
+    * SAFETY BOUND — redelivery: a replayed batch `b` recomputes its
+    * admission fractions from rows with `batch_id < b`; if a batch at
+    * or below `beforeBatchId - 1` could still replay, its fraction
+    * read would see the snapshot row (keyed at an id ≥ its own filter
+    * bound) DIFFERENTLY than the original run and admit a different
+    * row set. Callers must therefore pass `beforeBatchId` no larger
+    * than the newest CHECKPOINT-COMMITTED batch id — under
+    * foreachBatch semantics only batches after the last commit ever
+    * redeliver, and every such batch reads the fold identically.
+    * This is a maintenance call (refresh cadence, like every M-family
+    * view), not part of the per-batch path; it publishes through the
+    * M2 atomic swap so a concurrent fraction read never sees a
+    * half-written table. Idempotent: re-running with the same (or a
+    * later) cutoff folds the previous snapshot row into the new one.
+    * Returns the compacted table's row count (0 when no state yet). */
+  def compactAdmissionState(
+      spark: SparkSession,
+      statePath: String,
+      beforeBatchId: Long,
+  ): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    if (!fs.exists(p)) 0L
+    else {
+      val warehouse = p.getParent.toString
+      graft.views.Refresh.refreshView(spark, warehouse,
+        graft.views.Refresh.ViewJob(p.getName, { s =>
+          val all = s.read.parquet(statePath)
+          val keep = all.filter(col("batch_id") >= beforeBatchId)
+          val folded = all.filter(col("batch_id") < beforeBatchId)
+            .groupBy(col("stratum")).agg(sum(col("w")).as("w"))
+            .withColumn("batch_id", lit(beforeBatchId - 1))
+          keep.unionByName(folded)
+        }))
     }
   }
 

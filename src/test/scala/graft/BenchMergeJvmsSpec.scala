@@ -31,6 +31,18 @@ class BenchMergeJvmsSpec extends AnyFunSuite {
     assert(json.contains(""""value_source":"min_composite_multi_jvm""""))
   }
 
+  test("a single input is a legal degenerate merge: pass-through with spread 0") {
+    // a wall-bounded campaign that cut its optional bracket JVMs must
+    // still ship a normalized artifact instead of dying under set -e
+    val a = jb(3.0, 3.2, 3.4, Map("q1" -> 1.0, "q2" -> 2.0))
+    val json = BenchMergeJvms.merge(Seq(a))
+    assert(json.contains(""""jvms":1"""))
+    assert(json.contains(""""min_value":3.000"""))
+    assert(json.contains(""""q1":1.000""") && json.contains(""""q2":2.000"""))
+    assert(json.contains(""""jvm_spread_pct":0.000"""))
+    intercept[IllegalArgumentException] { BenchMergeJvms.merge(Seq.empty) }
+  }
+
   test("jvm_spread_pct brackets the fresh-JVM amplitude; medians are per-JVM") {
     val a = jb(10.0, 11.0, 12.0, Map("q1" -> 10.0))
     val b = jb(11.0, 11.5, 12.5, Map("q1" -> 11.0))
@@ -68,7 +80,8 @@ class BenchMergeJvmsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BenchMergeJvms.merge(Seq(a, b)))
     val c = jb(1.0, 1.1, 1.2, Map("q1" -> 1.0), skipped = Seq("v2"))
     intercept[IllegalArgumentException](BenchMergeJvms.merge(Seq(a, c)))
-    intercept[IllegalArgumentException](BenchMergeJvms.merge(Seq(a)))
+    // a SINGLE input is legal since r15 (degenerate pass-through);
+    // only an EMPTY input throws — covered by the single-input test
   }
 
   test("round-trips a real Bench artifact file") {

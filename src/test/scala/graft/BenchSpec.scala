@@ -73,7 +73,13 @@ class BenchSpec extends AnyFunSuite {
     val r3 = Map("a" -> 1.5, "b" -> 2.5)
     val r4 = Map("a" -> 2.0, "b" -> 3.0)
     assert(Bench.steadyRoundTotal(Seq(r1, r2, r3, r4)) == 4.0)
-    assert(Bench.steadyRoundTotal(Seq(r1, r2)) == 30.0) // best-3 of 2 → upper median
+    // a 2-round window has no middle total: steady = the MIN of the
+    // pair (the warm round), never the cold round-1 the upper median
+    // used to pick (the r14 sf10 2212.5 s-headline failure mode)
+    assert(Bench.steadyRoundTotal(Seq(r1, r2)) == 3.0)
+    // 1-round degenerate (SPARK_GRAFT_BENCH_MIN_ROUNDS=1 probes):
+    // steady = that round's total
+    assert(Bench.steadyRoundTotal(Seq(r2)) == 30.0)
     assert(Bench.steadyRoundTotal(Seq.empty) == 0.0)
     // partial rounds are provenance, not statistics
     assert(Bench.steadyRoundTotal(Seq(r1, r2, r3, Map("a" -> 0.1))) == 4.0)

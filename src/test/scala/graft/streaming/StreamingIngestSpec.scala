@@ -644,6 +644,49 @@ class StreamingIngestSpec extends SparkSpec {
       Map("en" -> 1600L, "fr" -> 400L))
   }
 
+  test("admission-state compaction: totals preserved, rows bounded, redelivery reads the fold identically") {
+    import spark.implicits._
+    val admitted = Files.createTempDirectory("graft-tcomp").resolve("t").toString
+    val state = Files.createTempDirectory("graft-tcomp-state").resolve("s").toString
+    def mkBatch(ids: Range) = ids
+      .map(i => (i.toLong, if (i % 5 == 4) "fr" else "en", 10L))
+      .toDF("doc_id", "lang", "toks")
+    (0 until 3).foreach { b =>
+      StreamingIngest.admitTemperatureBatch(mkBatch(b * 100 until (b + 1) * 100),
+        "doc_id", "lang", "toks", 0.0, admitted, state, b.toLong, "tc")
+    }
+    val totalsBefore = StreamingIngest.stratumTotalsFromState(spark, state)
+    // the fraction read a replayed batch 2 would perform, pre-fold
+    val replayReadBefore =
+      StreamingIngest.stratumTotalsFromState(spark, state, beforeBatchId = Some(2L))
+    val admittedBefore = spark.read.parquet(admitted)
+      .orderBy("doc_id").collect().toSeq
+    assert(spark.read.parquet(state).count() == 6) // 3 batches × 2 strata
+    // compact batches {0,1} into one snapshot row per stratum at
+    // batch_id=1; the safety bound (≤ newest committed batch) holds —
+    // only batch 2 is a redelivery candidate here
+    val n = StreamingIngest.compactAdmissionState(spark, state, beforeBatchId = 2L)
+    assert(n == 4) // 2 snapshot rows + batch 2's 2 rows
+    assert(spark.read.parquet(state).count() == 4)
+    // every reader past the cutoff sums exactly what it summed before
+    assert(StreamingIngest.stratumTotalsFromState(spark, state) === totalsBefore)
+    assert(StreamingIngest.stratumTotalsFromState(spark, state,
+      beforeBatchId = Some(2L)) === replayReadBefore)
+    // redelivery of batch 2 AFTER the fold: identical fractions →
+    // identical deterministic draws → keyed sinks no-op
+    StreamingIngest.admitTemperatureBatch(mkBatch(200 until 300),
+      "doc_id", "lang", "toks", 0.0, admitted, state, 2L, "tc")
+    assert(spark.read.parquet(admitted).orderBy("doc_id").collect().toSeq
+      === admittedBefore)
+    assert(StreamingIngest.stratumTotalsFromState(spark, state) === totalsBefore)
+    // idempotent re-run at the same cutoff; a later cutoff folds all
+    assert(StreamingIngest.compactAdmissionState(spark, state, 2L) == 4)
+    assert(StreamingIngest.compactAdmissionState(spark, state, 3L) == 2)
+    assert(StreamingIngest.stratumTotalsFromState(spark, state) === totalsBefore)
+    // no state yet → 0, no directory created
+    assert(StreamingIngest.compactAdmissionState(spark, state + "-none", 1L) == 0)
+  }
+
   test("drainTemperatureAdmission: second AvailableNow drain is thinned by the first's state") {
     val in = Files.createTempDirectory("graft-tadmit-in")
     val admitted = Files.createTempDirectory("graft-tadmit-out").resolve("t").toString

@@ -46,6 +46,26 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)    // rel_err
   }
 
+  test("kmvEstimateFromSketch fails loudly when the sketch outgrows the caller's k") {
+    // 20 distinct tokens sketched at builder k=16 → the sketch frame
+    // holds exactly 16 order statistics. A caller passing a SMALLER k
+    // (a merged/state reader that lost the builder bound) would treat
+    // rows past its k-th as corpus order statistics and bias the
+    // estimate low — which can flip Bm25's t30 shape selection. The
+    // contract (k ≤ builder k ⇒ rows ≤ k) must throw, not bias.
+    val docs = Seq((1L, (0 until 20).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sketch = Sketches.kmvSketch(docs, "text", k = 16)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvEstimateFromSketch(sketch, k = 8)
+    }
+    assert(e.getMessage.contains("16 rows > k=8"))
+    // the honored contract still estimates: at the builder's own k
+    // (what a CorpusStats reader gets from the persisted kmv_k column)
+    // the sketch is saturated and the order-statistic formula applies
+    assert(Sketches.kmvEstimateFromSketch(sketch, k = 16) >= 16L)
+  }
+
   test("cmsCells merge ≡ recompute: merged two-part cells equal whole-corpus cells bit-for-bit") {
     // overlapping vocab across the parts on purpose: shared tokens
     // land in the same cells and their counts must ADD exactly

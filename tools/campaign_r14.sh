@@ -48,7 +48,20 @@ SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/tmp/sf10 \
   tools/runmain.sh graft.Bench
 cp /tmp/bench_sf10_jvmA.json BENCH_SF10.json
 
+# JVM C is OPTIONAL: it runs only when the remaining wall allows
+# (CAMPAIGN_DEADLINE_EPOCH unset = always run it; set it to a `date +%s`
+# deadline to let a tight window ship a 2-JVM bracket instead of dying
+# under set -e with nothing). The r14 session in fact cut C by hand and
+# the committed artifact (BENCH_SF10_HEAVY3_JVMB.json, fresh_jvms:2)
+# reflects that path; this guard makes the script match what a bounded
+# wall actually permits.
+BRACKET_FILES=""
 for j in B C; do
+  if [ "$j" = C ] && [ -n "${CAMPAIGN_DEADLINE_EPOCH:-}" ] \
+     && [ "$(date +%s)" -ge "$CAMPAIGN_DEADLINE_EPOCH" ]; then
+    step "3/4 skipping optional JVM C: past CAMPAIGN_DEADLINE_EPOCH"
+    continue
+  fi
   step "3/4 sf10 heavy-3 bracket, fresh JVM $j"
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/tmp/sf10 \
     SPARK_GRAFT_BENCH_QUERIES="$HEAVY3" \
@@ -57,10 +70,13 @@ for j in B C; do
     SPARK_GRAFT_BENCH_MIN_ROUNDS=2 \
     SPARK_GRAFT_NO_ADJUDICATE=1 \
     tools/runmain.sh graft.Bench
+  BRACKET_FILES="$BRACKET_FILES /tmp/bench_sf10_jvm$j.json"
 done
 
-step "4/4 merge the bracket JVMs -> BENCH_SF10_JVMBRACKET.json"
-tools/runmain.sh graft.BenchMergeJvms BENCH_SF10_JVMBRACKET.json \
-  /tmp/bench_sf10_jvmB.json /tmp/bench_sf10_jvmC.json
+# output name matches the committed artifact family (BENCH_SF10_HEAVY3_*)
+step "4/4 merge the bracket JVMs -> BENCH_SF10_HEAVY3_BRACKET.json"
+# shellcheck disable=SC2086  # word-splitting the file list is intended
+tools/runmain.sh graft.BenchMergeJvms BENCH_SF10_HEAVY3_BRACKET.json \
+  $BRACKET_FILES
 
 step "campaign done"

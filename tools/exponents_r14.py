@@ -3,7 +3,10 @@
 
 Per-query exponent for the 10x step = log10(t_sf10 / t_sf1), both
 times the per-query minima their artifacts carry (sf1: min over its
-in-process rounds; sf10: cross-JVM min from BenchMergeJvms).  Prints
+in-process rounds; sf10: the single full-suite fresh JVM's per-round
+minima — the r14 campaign writes BENCH_SF10.json from one JVM; the
+cross-JVM BenchMergeJvms merge applies only to the separate heavy-3
+bracket artifact, BENCH_SF10_HEAVY3_*.json).  Prints
 a markdown table sorted by sf10 cost plus the aggregate line, and
 flags exponent >= 0.9 with sf10 time >= 1 s (the scale-killer
 screen ARCHITECTURE.md applies every campaign).
