@@ -238,8 +238,16 @@ object Adjudicate {
       def leftSec: Long = math.max((deadline - System.nanoTime()) / 1000000000L, 0L)
       val tmp = Files.createTempDirectory("adjudicate").toFile
       // A = current head, B = previous head, interleaved on one host
-      // session; per-child cap sized so four children fit the reserve
+      // session; per-child cap sized so four children fit the reserve.
+      // The cap ADAPTS to the first completed child's measured wall
+      // (r15: on a ~2x-degraded host the fixed reserve/4*1.4 cap
+      // starved both B children at 168 s while A1 had measured 135 s —
+      // the next child clearly needed ~the same, not a starved stub).
+      // One complete A and one complete B beat four starved children:
+      // the ratio computes from any one completed JVM per head, so a
+      // late child running out of reserve costs only bracket depth.
       val perChildCap = math.max((reserveSec / 4 * 1.4).toLong, 60L)
+      var maxChildSec = 0L
       val plan = Seq(
         ("A1_current", cur), ("B1_prev", jar.getAbsolutePath),
         ("A2_current", cur), ("B2_prev", jar.getAbsolutePath))
@@ -249,9 +257,15 @@ object Adjudicate {
             System.err.println(s"[adjudicate] reserve exhausted before $label")
             (label, None)
           } else {
-            System.err.println(s"[adjudicate] $label starting (${leftSec}s left)")
-            (label, runChild(cp, sfDir, queries,
-              new File(tmp, s"$label.json"), math.min(perChildCap, leftSec + 10)))
+            val cap = math.min(
+              math.max(perChildCap, maxChildSec * 3 / 2), leftSec + 10)
+            System.err.println(s"[adjudicate] $label starting (${leftSec}s left, cap ${cap}s)")
+            val t0 = System.nanoTime()
+            val r = runChild(cp, sfDir, queries,
+              new File(tmp, s"$label.json"), cap)
+            if (r.isDefined)
+              maxChildSec = math.max(maxChildSec, (System.nanoTime() - t0) / 1000000000L)
+            (label, r)
           }
       }
       val byLabel = runs.toMap

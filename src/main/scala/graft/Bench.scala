@@ -394,7 +394,15 @@ object Bench {
     }
     def converged(): Boolean = {
       val sp = bestSpreadPct()
-      completeRounds.size >= minRounds && sp >= 0.0 && sp <= maxSpreadPct
+      // The gate certifies a best-3 spread, so it needs spreadWindow
+      // complete rounds — NOT the 6-round depth target: minRounds is
+      // a sample-depth purchase that wantMore still makes whenever the
+      // budget affords it, but on a host where only 3 rounds fit
+      // (r15: 214-258 s rounds against 900 s) requiring 6 made
+      // dispersion_ok structurally unreachable regardless of how
+      // tight the spread actually was.
+      completeRounds.size >= math.min(minRounds, spreadWindow) &&
+        sp >= 0.0 && sp <= maxSpreadPct
     }
     var timedSec = 0.0
     var r = 0
