@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus scaler for scale-drift benchmarking:
@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   * replication with stride = firstFactor keeps ids, word suffixes and
   * embedding rotations DISJOINT from the first level's (without it,
   * level-2 id offsets collide with level-1 replicas and rotation
-  * totals repeat, re-correlating cross-replica cosine). */
+  * totals repeat, re-correlating cross-replica cosine). A THIRD level
+  * (sf10 → sf100, stride 100) exceeds the 64 distinct rotations a
+  * 64-dim vector admits: deltas ≥ 64 therefore compose rotation
+  * (delta mod 64) with a delta-keyed per-coordinate sign-flip —
+  * norm-preserving, injective per delta, cross-replica cosine a
+  * random-sign sum. Deltas < 64 are byte-identical to the pre-r15
+  * scaler, so existing sf1/sf10 corpora stay comparable. */
 object SynthScale {
   private val Off = 1000000000000L
 
@@ -38,7 +44,13 @@ object SynthScale {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     require(factor >= 1 && factor <= 64, s"factor out of range: $factor")
     val stride = args.lift(3).map(_.toInt).getOrElse(1)
-    require(stride >= 1 && stride <= 64, s"stride out of range: $stride")
+    // replica deltas reach (factor-1)*stride; ids stay unique as long
+    // as the BASE-10-digit decomposition of chained deltas holds
+    // (each level's stride = product of earlier factors), and the
+    // embedding transform below is injective for any delta — so the
+    // bound is only about id headroom under Off
+    require(stride >= 1 && factor.toLong * stride <= 4096,
+      s"factor*stride out of range: $factor*$stride")
     val spark = SparkSession.builder()
       .master(s"local[${Defaults.cpus}]")
       .config("spark.sql.shuffle.partitions", Defaults.cpus)
@@ -89,13 +101,32 @@ object SynthScale {
     }, "documents")
 
     write(replicate(tbl("embeddings")) { (df, i) =>
+      // The 64-dim vectors admit only 64 distinct rotations, so a
+      // THIRD decade (deltas 100..900) cannot stay disjoint by
+      // rotation alone — colliding rotations would replicate vectors
+      // bit-identically and inflate the near-dup density the scaler
+      // exists to hold constant. Deltas < 64 keep the pure rotation
+      // (bit-compatible with the sf1/sf10 corpora already built);
+      // deltas >= 64 rotate by delta mod 64 AND sign-flip each
+      // coordinate by a delta-keyed hash bit — norm and coordinate
+      // magnitude distribution preserved, cross-replica cosine a
+      // random-sign sum (decorrelated), injective per delta.
+      val rot = if (i < 64) i else i % 64
       val rotated =
-        if (i == 0) col("embedding")
+        if (rot == 0) col("embedding")
         else concat(
-          slice(col("embedding"), i + 1, 10000),
-          slice(col("embedding"), 1, i))
+          slice(col("embedding"), rot + 1, 10000),
+          slice(col("embedding"), 1, rot))
+      val shaped =
+        if (i < 64) rotated
+        else {
+          val flip = (x: Column, j: Column) =>
+            x * (lit(1.0) - lit(2.0) * pmod(xxhash64(lit(i), j), lit(2)).cast("double"))
+          zip_with(rotated, sequence(lit(0), lit(63)),
+            (x, j) => flip(x.cast("double"), j).cast("float"))
+        }
       df.withColumn("vec_id", col("vec_id") + lit(i * Off))
-        .withColumn("embedding", rotated.cast("array<float>"))
+        .withColumn("embedding", shaped.cast("array<float>"))
     }, "embeddings")
 
     println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
