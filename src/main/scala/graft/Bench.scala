@@ -125,6 +125,16 @@ object Bench {
       // inner/semi joins with a runtime bloom at 100 TB scale
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Decade-scale heaps (96g for sf100 probes) can take full-GC
+      // pauses past the 120 s default heartbeat timeout — the r15
+      // sf100 probe lost its whole SparkContext to exactly that
+      // ("Removing executor driver with no recent heartbeats:
+      // 130236 ms"), turning a slow query into 15 failed ones. A GC
+      // pause is not a dead executor, in local mode least of all;
+      // 600 s matches the large-heap settings any 100 TB cluster
+      // profile carries.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // (Measured, not assumed: adaptive.coalescePartitions.
       // parallelismFirst=false — the production-recommended setting —
       // was tried here and cost ~18% wall: at bench scale the shuffles
