@@ -2701,21 +2701,23 @@ object SparkEntry {
   }
 
   /** Adaptive-bits ladder (Similarity.adaptiveNBits replay): largest b
-    * in [4, 16] with count ≥ 128·2^b. Integer comparisons only — a
+    * in [4, 24] with count ≥ 128·2^b. Integer comparisons only — a
     * floor(log2(…)) as doubles could disagree with the JVM at exact
-    * power-of-two corpus sizes. */
+    * power-of-two corpus sizes. The 24 cap is adaptiveNBits' maxBits;
+    * both sides of the oracle must move together. */
   private def adaptiveBitsSql(src: String): String = {
-    val ladder = (16 to 5 by -1)
+    val ladder = (24 to 5 by -1)
       .map(b => s"WHEN COUNT(*) >= ${128L << b} THEN $b")
       .mkString(" ")
     s"nb AS (SELECT CASE $ladder ELSE 4 END AS nb FROM $src)"
   }
 
   /** Single-table SRP bucket CTEs with RUNTIME bit width (the v3
-    * multi-probe oracle): plane j < nb from the 16-plane constant
+    * multi-probe oracle): plane j < nb from the maxBits-plane constant
     * lists (salt 0 — plane constants depend only on (salt, j), so the
     * dynamic prefix matches lshSignature exactly), plus the Hamming ≤ 2
-    * probe-mask CTE. Expects `c` (16-entry sa/sb) and `nb` CTEs. */
+    * probe-mask CTE. Expects `c` (maxBits-entry sa/sb, currently 24)
+    * and `nb` CTEs. */
   private def srpCtesAdaptive(src: String): String = {
     val y = s"(sa[j + 1] * CAST(i AS HUGEINT) + sb[j + 1]) % $M64"
     val m = s"(CAST((${gmixSql(y)}) // 18014398509481984 AS DOUBLE) / 1024.0 - 0.5)"
@@ -4277,7 +4279,7 @@ object SparkEntry {
          |  ON e.doc_id = s.rep_id""".stripMargin,
 
     "v3_lsh_topk" ->
-      s"""WITH ${srpConstsSql(16, 1)},
+      s"""WITH ${srpConstsSql(24, 1)},
          |${adaptiveBitsSql("embeddings")},
          |${srpCtesAdaptive("embeddings")},
          |q AS (

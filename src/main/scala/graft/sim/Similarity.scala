@@ -941,8 +941,14 @@ object Similarity {
       n: Long,
       targetBucket: Long = 128,
       minBits: Int = 4,
-      maxBits: Int = 16,
+      maxBits: Int = 24,
   ): Int = {
+    // maxBits bounds the probe count (O(b²) at hamming 2) and must
+    // stay ≤ 32 (int bucket). 24 was 16 through r14 — the r15 sf100
+    // probe measured the cost of the cap directly: at 50M vectors the
+    // ladder saturated at 16 bits, expected bucket size grew from
+    // ~128 to 763, and v3's decade exponent jumped from 0.53 to 1.78.
+    // 24 bits keeps buckets at target up to ~2.1e9 vectors (128·2^24).
     require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits && maxBits <= 32)
     var b = minBits
     while (b < maxBits && n >= (targetBucket << (b + 1))) b += 1

@@ -82,18 +82,22 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("adaptiveNBits: exact integer ladder, clamped to [min, max]") {
-    // largest b with n >= 128·2^b, floor 4, cap 16
+    // largest b with n >= 128·2^b, floor 4, cap 24 (16 through r14 —
+    // the sf100 probe measured the saturated cap directly: bucket
+    // size 763 instead of ~128, v3 decade exponent 1.78)
     assert(Similarity.adaptiveNBits(0) == 4)
     assert(Similarity.adaptiveNBits(500) == 4)
     assert(Similarity.adaptiveNBits(4095) == 4)
     assert(Similarity.adaptiveNBits(4096) == 5) // boundary exact: 128·2^5
     assert(Similarity.adaptiveNBits(20000) == 7)
     assert(Similarity.adaptiveNBits(200000) == 10)
-    assert(Similarity.adaptiveNBits(Long.MaxValue) == 16)
+    assert(Similarity.adaptiveNBits(5000000) == 15)  // sf10
+    assert(Similarity.adaptiveNBits(50000000) == 18) // sf100: uncapped now
+    assert(Similarity.adaptiveNBits(Long.MaxValue) == 24)
     // expected bucket size stays in [128, 256) between tier boundaries
-    for (n <- Seq(4096L, 8000L, 100000L, 1000000L)) {
+    for (n <- Seq(4096L, 8000L, 100000L, 1000000L, 50000000L)) {
       val b = Similarity.adaptiveNBits(n)
-      if (b < 16) assert(n / (1L << b) >= 128 && n / (1L << b) < 256, s"n=$n b=$b")
+      if (b < 24) assert(n / (1L << b) >= 128 && n / (1L << b) < 256, s"n=$n b=$b")
     }
   }
 
