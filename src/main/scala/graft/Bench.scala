@@ -115,26 +115,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Defaults.cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false")
-      // off by default in Spark 4.1; prunes the big side of shuffled
-      // inner/semi joins with a runtime bloom at 100 TB scale
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Decade-scale heaps (96g for sf100 probes) can take full-GC
-      // pauses past the 120 s default heartbeat timeout — the r15
-      // sf100 probe lost its whole SparkContext to exactly that
-      // ("Removing executor driver with no recent heartbeats:
-      // 130236 ms"), turning a slow query into 15 failed ones. A GC
-      // pause is not a dead executor, in local mode least of all;
-      // 600 s matches the large-heap settings any 100 TB cluster
-      // profile carries.
-      .config("spark.network.timeout", "600s")
-      .config("spark.executor.heartbeatInterval", "60s")
+    // the shared profile (graft.Defaults.sessionBuilder) carries the
+    // decade-heap liveness timeouts since r16 — every entrypoint and
+    // user session inherits them, not just the bench
+    val spark = Defaults.sessionBuilder()
       // (Measured, not assumed: adaptive.coalescePartitions.
       // parallelismFirst=false — the production-recommended setting —
       // was tried here and cost ~18% wall: at bench scale the shuffles
@@ -146,7 +130,6 @@ object Bench {
       // (observed: +8 s on a 1 s query). Reclamation happens only at
       // the explicit untimed round boundaries below.
       .config("spark.cleaner.periodicGC.interval", "30min")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The calendar-bounded unpartitioned windows (w2_mom_delta et al.,

@@ -37,17 +37,8 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val cpus = Defaults.cpus
-    val spark = SparkSession.builder()
+    val spark = Defaults.sessionBuilder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false")
-      // off by default in Spark 4.1; prunes the big side of shuffled
-      // inner/semi joins with a runtime bloom at 100 TB scale
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code =

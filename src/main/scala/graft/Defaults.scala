@@ -9,6 +9,45 @@ object Defaults {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
 
+  /** The graft session profile — ONE definition of the SparkSession
+    * config every entrypoint (Bench/Verify/Probe/Cli) starts from, and
+    * the builder a USER session on a decade-scale corpus should start
+    * from too (ARCHITECTURE.md deployment notes):
+    *
+    *   - shuffle partitions = worker threads (local mode; a cluster
+    *     deployment overrides with its executor-core total);
+    *   - [[GraftExtensions]] (native kernels) + UTC + non-ANSI, the
+    *     oracle-comparison contract;
+    *   - runtime bloom-filter join pruning (off by default in Spark
+    *     4.1; prunes the big side of shuffled inner/semi joins at
+    *     100 TB scale);
+    *   - '''cluster-profile liveness timeouts''': decade-scale heaps
+    *     (96g at the sf100 probes) take full-GC pauses past the 120 s
+    *     default heartbeat — the r15 probe lost its SparkContext to
+    *     exactly that ("Removing executor driver with no recent
+    *     heartbeats: 130236 ms"), turning one slow query into 15
+    *     failed ones. A GC pause is not a dead executor, in local
+    *     mode least of all; 600 s network / 60 s heartbeat matches
+    *     the large-heap profile any 100 TB deployment carries, and on
+    *     a small quiet heap the slack costs nothing. Previously these
+    *     lived only in Bench's builder — a user driving SparkEntry on
+    *     a big corpus through their own session hit the same kill.
+    *
+    * Callers chain further config (Cli's master override, Bench's
+    * timed-round GC policy) before getOrCreate(). */
+  def sessionBuilder(): org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.ui.enabled", "false")
+
   /** A working-column name guaranteed absent from `existing` (an input
     * that already carries e.g. `_rn` must survive unclobbered). Shared
     * by every operator that needs a transient column — Sessionize,

@@ -9,18 +9,7 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val cpus = Defaults.cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.ansi.enabled", "false")
-      // off by default in Spark 4.1; prunes the big side of shuffled
-      // inner/semi joins with a runtime bloom at 100 TB scale
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Defaults.sessionBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.contains("PROBE_EXPLAIN")
     // PROBE_DUMP=<dir>: also write each probed query's result as

@@ -11,7 +11,7 @@ import graft.ingest.{Enrich, IngestJob, JsonlSource}
 import graft.multimodal.Multimodal
 import graft.quality.Drift
 import graft.schema.Schemas
-import graft.sim.{Fusion, Similarity}
+import graft.sim.{Fusion, IvfIndex, Similarity}
 import graft.sink.IdempotentAppend
 import graft.text.{BigramLM, Bm25, Chunking, CorpusStats, Curation, Decontamination, ImportanceResampling, LineDedup, Packing, QualityClassifier, Sampling, Scrub, Sketches, TextAnalysis, TextDedup, TrainOrder, UnigramLM}
 import graft.validate.{Rules, Validator}
@@ -889,8 +889,13 @@ object SparkEntry {
 
     // tp10's two-pass bucketed form (the hot-stratum remedy: the exact
     // rank assembles from score-range buckets, so a dominant stratum
-    // never serializes its full sort into one task). Same oracle SQL
-    // as tp10 — output-identical by construction.
+    // never serializes its full sort into one task). r16: the grid is
+    // now scale-ADAPTIVE — the r15 sf100 probe measured the fixed
+    // 32-bucket grid's decade-3 exponent at 0.95 (per-bucket occupancy
+    // growing linearly); the v3 integer ladder over the largest
+    // stratum's count now holds occupancy flat at any scale. Same
+    // oracle SQL as tp10 — output-identical by construction (the grid
+    // steers only sort-task balance).
     "tp20_top_fraction_bucketed" -> ((s, dir) =>
       Sampling
         .topFractionByScoreBucketed(tbl(s, dir, "documents"), col("lang"),
@@ -1467,14 +1472,24 @@ object SparkEntry {
         k = 10, nBits = bits, probeHamming = 2)
     }),
 
-    // IVF approximate top-k (the other scale path). Hash-checked:
-    // seed-centroid selection + assignment are pure arithmetic.
+    // IVF approximate top-k SERVED FROM THE PERSISTED INDEX (r16: the
+    // r15 sf100 probe measured the per-call fixed-256-centroid form at
+    // decade-3 exponent 1.43 — assignment work grows with n, lists
+    // fatten linearly). ensure() builds at refresh cadence (KMeans
+    // centroids, scale-adaptive k from the v3 integer ladder,
+    // cell-partitioned lists through the M2 swap); the query path is
+    // probes + one DPP-pruned hash join + slim top-k. Hash-checked:
+    // the oracle re-derives assignment/probes/top-k from the PUBLISHED
+    // centroid parquet (the v7 pattern), so the persisted assignment
+    // is verified against an independent replay.
     "v4_ivf_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, centroidFilter = col("vec_id") % 31 === 0, nprobe = 3)
+      val h = IvfIndex.ensure(s, annWarehouseFor(dir), "ivf_a",
+        e, "vec_id", "embedding", AnnParamsA)
+      IvfIndex.topK(s, h, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, nprobe = 3)
     }),
 
     // Cluster-balanced diversity subsample: nearest seed centroid
@@ -1560,20 +1575,23 @@ object SparkEntry {
         .select("vec_id", "label")
     }),
 
-    // SemDeDup (arXiv:2303.09540): cluster embeddings to the v4
-    // seed-centroid coarse quantizer, then keep-min-id cosine dedup
-    // within each cluster — all-pairs only inside clusters at or
-    // under maxClusterSize; oversized clusters fall through to the
-    // linear min-id-representative form (bounded per-key work at any
-    // skew). The cap of 32 here deliberately splits the sf0.01
-    // cluster-size range (23–41) so the oracle exercises BOTH
-    // branches. Hash-checked: assignment, the size gate, and both
-    // loser paths are pure arithmetic.
+    // SemDeDup (arXiv:2303.09540) SERVED FROM THE PERSISTED INDEX
+    // (r16: the per-call fixed-256-centroid clustering was the same
+    // scale-fixed-quantizer class the sf100 probe flagged on v4 —
+    // decade-3 exponent 0.98). The `ivf_b` profile's targetList 16
+    // holds expected cluster size ≈ 16–32 at EVERY scale, so the cap
+    // of 32 keeps splitting the realized KMeans size range and the
+    // oracle exercises BOTH loser branches (all-pairs ≤ 32, linear
+    // min-id-representative above). The query path reads the published
+    // assignment — the size gate, both loser paths and the anti-join,
+    // zero centroid math per call. Hash-checked: the oracle re-derives
+    // assignment from the published centroid parquet and replays the
+    // size-gated dedup.
     "v10_semdedup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
-        col("vec_id") % 31 === 0)
-      Similarity.semDedup(e, "vec_id", "embedding", cents, threshold = 0.35,
+      val h = IvfIndex.ensure(s, annWarehouseFor(dir), "ivf_b",
+        e, "vec_id", "embedding", AnnParamsB)
+      IvfIndex.semDedup(s, h, e, "vec_id", "embedding", threshold = 0.35,
           maxClusterSize = 32)
         .select("vec_id", "label")
     }),
@@ -1623,24 +1641,26 @@ object SparkEntry {
         k = 10, candidateK = CandK, cb, subDim = 16)
     }),
 
-    // IVF-PQ (the FAISS IVFPQ composition): v4's seed-centroid coarse
-    // quantizer supplies the cells, v12's PQ machinery the codes;
-    // candidates come from a broadcast join on the probed cell ids
-    // (pqRerankTopK's crossJoin divided by nprobe/|cells|), ADC
-    // proposes, exact cosine reranks. Codebooks persist under v15's
-    // own corpus-keyed path; cells re-derive in SQL.
+    // IVF-PQ (the FAISS IVFPQ composition) SERVED FROM THE PERSISTED
+    // INDEX (r16): the `ivf_a` profile's PQ component publishes the
+    // codebooks AND the cell-partitioned codes table at build time, so
+    // the query path scans only narrow pruned codes (DPP on the probed
+    // cells), ADC-proposes over 24-byte ranked rows (the r15 sf100
+    // spill carried full vectors through this sort), and exact-reranks
+    // the CandK survivors against the corpus vectors. The r15 failure
+    // mode — 16 FIXED cells at 2M rows → 500k-row lists → a 60 GB
+    // spill wall — is gone structurally: the ladder holds lists at
+    // ~1–2k rows at any scale. Hash-checked: the oracle re-derives
+    // cells from the published centroids and codes from the published
+    // codebooks, then replays ADC → rerank.
     "v15_ivfpq_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val cents = Similarity.seedCentroids(e, "vec_id", "embedding",
-        col("vec_id") % 31 === 0, maxCentroids = 16)
-      val cb = Similarity.pqCodebooks(e, "embedding", m = 4, subDim = 16, ksub = 16)
-      s.createDataFrame(cb).toDF("j", "cid", "cvec")
-        .repartition(1).write.mode("overwrite")
-        .parquet(v15CodebooksPathFor(v7CorpusKeyFor(dir)))
-      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", "query_id", "qvec",
-        k = 10, candidateK = CandK, cents, nprobe = 4, cb, subDim = 16)
+      val h = IvfIndex.ensure(s, annWarehouseFor(dir), "ivf_a",
+        e, "vec_id", "embedding", AnnParamsA)
+      IvfIndex.pqTopK(s, h, e, q, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, candidateK = CandK, nprobe = 4)
     }),
 
     // --- Multimodal plumbing (beyond-reference) ------------------------
@@ -2648,16 +2668,27 @@ object SparkEntry {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_t12_weights_${System.getProperty("user.name", "anon")}_$key").toString
 
-  /** v15's PQ codebooks persist under their OWN path (trained
-    * identically to v12's but never shared — queries run concurrently
-    * in Verify, so no query reads another's artifact). The IVF cells
-    * are v4-style seed centroids, re-derived in SQL directly. */
-  private def v15CodebooksPathFor(key: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_v15_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
   private def v12CodebooksPathFor(key: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_v12_codebooks_${System.getProperty("user.name", "anon")}_$key").toString
+  /** Warehouse root for the persisted ANN indexes ([[graft.sim.IvfIndex]])
+    * of one corpus — the same tmpdir + corpus-key convention as every
+    * persisted query artifact here. Two profiles live under it:
+    * `ivf_a` (serve-grade lists, targetList 1024, + the PQ component —
+    * v4/v15) and `ivf_b` (SemDeDup clustering grain, targetList 16 so
+    * realized cluster sizes straddle v10's maxClusterSize 32 at every
+    * scale — both dedup branches stay exercised). The oracle replays
+    * assignment/probes/codes from the PUBLISHED centroid + codebook
+    * parquet (the v7 pattern), so a wrong persisted assignment or code
+    * hash-mismatches the independent re-derivation. */
+  private def annWarehouseFor(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_${System.getProperty("user.name", "anon")}_${v7CorpusKeyFor(dir)}").toString
+
+  private val AnnParamsA = IvfIndex.Params(targetList = 1024L,
+    pq = Some(IvfIndex.PqParams(m = 4, subDim = 16, ksub = 16)))
+  private val AnnParamsB = IvfIndex.Params(targetList = 16L)
+
   private def v7CorpusKeyFor(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4294,14 +4325,17 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
-    // Seed-centroid IVF is pure arithmetic: centroid selection (id
-    // order, capped), nearest-centroid assignment (ties → larger cid,
-    // matching array_max's lexicographic struct order), nprobe probes,
-    // rounded-cosine top-k.
+    // Persisted-index IVF replay (the v7 pattern): the centroid table
+    // is read from the parquet the index build published (learned
+    // KMeans geometry; doubles round-trip parquet exactly), then
+    // assignment (ties → larger cid, matching array_max's
+    // lexicographic struct order), nprobe probes and the
+    // rounded-cosine top-k are re-derived independently — a wrong
+    // persisted assignment in the engine's serve path would
+    // hash-mismatch this replay.
     "v4_ivf_topk" ->
       s"""WITH cents AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
+         |  SELECT cid, cvec FROM read_parquet('${annWarehouseFor(sfDir)}/ivf_a_centroids/*.parquet')),
          |asn AS (
          |  SELECT vec_id, embedding, cid
          |  FROM embeddings CROSS JOIN cents
@@ -4389,14 +4423,13 @@ object SparkEntry {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id % 50 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin,
 
-    // v4's centroid selection + assignment replay, then the
-    // size-gated dedup: keep-min-id all-pairs inside clusters of ≤ 32
-    // members, linear min-id-representative verification inside
-    // larger ones (the bounded-skew fall-through).
+    // Persisted-index assignment replay (centroids from the published
+    // ivf_b parquet), then the size-gated dedup: keep-min-id all-pairs
+    // inside clusters of ≤ 32 members, linear min-id-representative
+    // verification inside larger ones (the bounded-skew fall-through).
     "v10_semdedup" ->
       s"""WITH cents AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
+         |  SELECT cid, cvec FROM read_parquet('${annWarehouseFor(sfDir)}/ivf_b_centroids/*.parquet')),
          |asn AS (
          |  SELECT vec_id, embedding, cid
          |  FROM embeddings CROSS JOIN cents
@@ -4510,15 +4543,17 @@ object SparkEntry {
          |  FROM ex)
          |WHERE rank <= 10""".stripMargin,
 
-    // v15 replay: v4's seed-centroid cells + assignment/probes, v12's
-    // PQ codes/LUT parts from the v15-persisted codebooks, candidates
-    // restricted to (cell = probed cell), ADC top-50 → exact rerank.
+    // v15 replay from the persisted index: cells re-derived from the
+    // published ivf_a centroids, PQ codes/LUT parts from the published
+    // ivf_a codebooks (verifying the engine's persisted codes table
+    // against an independent re-encode), candidates restricted to
+    // (cell = probed cell), ADC top-CandK → exact rerank.
     "v15_ivfpq_topk" ->
       s"""WITH cb AS (
-         |  SELECT j, cid, cvec FROM read_parquet('${v15CodebooksPathFor(v7CorpusKeyFor(sfDir))}/*.parquet')),
+         |  SELECT j, cid, cvec FROM read_parquet('${annWarehouseFor(sfDir)}/ivf_a_codebooks/*.parquet')),
          |cents AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid, embedding AS cvec2
-         |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+         |  SELECT cid AS ccid, cvec AS cvec2
+         |  FROM read_parquet('${annWarehouseFor(sfDir)}/ivf_a_centroids/*.parquet')),
          |asn AS (
          |  SELECT vec_id, ccid AS cell
          |  FROM embeddings CROSS JOIN cents

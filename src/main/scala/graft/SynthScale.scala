@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
   * (delta mod 64) with a delta-keyed per-coordinate sign-flip —
   * norm-preserving, injective per delta, cross-replica cosine a
   * random-sign sum. Deltas < 64 are byte-identical to the pre-r15
-  * scaler, so existing sf1/sf10 corpora stay comparable. */
+  * scaler; deltas ≥ 64 are NOT — the pre-r15 slice rotation on a
+  * 64-dim vector was the IDENTITY there (slice past the array end is
+  * empty), so any corpus whose chain produced deltas ≥ 64 under the
+  * old scaler (sf10's stride-10 chain: deltas 70/80/90) carried
+  * bit-identical cross-replica embeddings — inflated near-dup
+  * density, not comparable data. Those corpora (and anything chained
+  * from them, e.g. the r15 sf100) must be REGENERATED with this
+  * scaler and their decade artifacts re-baselined (done in r16);
+  * only sf1-class chains (deltas ≤ 63) carry over unchanged. */
 object SynthScale {
   private val Off = 1000000000000L
 
@@ -105,8 +113,11 @@ object SynthScale {
       // THIRD decade (deltas 100..900) cannot stay disjoint by
       // rotation alone — colliding rotations would replicate vectors
       // bit-identically and inflate the near-dup density the scaler
-      // exists to hold constant. Deltas < 64 keep the pure rotation
-      // (bit-compatible with the sf1/sf10 corpora already built);
+      // exists to hold constant — and the pre-r15 scaler in fact DID
+      // collide: rot ≥ 64 sliced past the array end and degenerated to
+      // the identity, so the old sf10 (deltas 70/80/90) shipped
+      // bit-identical replicas. Deltas < 64 keep the pure rotation
+      // (bit-compatible with sf1-class corpora already built);
       // deltas >= 64 rotate by delta mod 64 AND sign-flip each
       // coordinate by a delta-keyed hash bit — norm and coordinate
       // magnitude distribution preserved, cross-replica cosine a

@@ -56,10 +56,23 @@ object Similarity {
   /** Rank scored candidates per query and keep the top k. Similarity
     * must already be rounded (6 dp) so ordering — and therefore the
     * result set — is stable across engines; residual ties break on
-    * corpus id. */
+    * corpus id.
+    *
+    * The EXPLICIT projection to (query id, id, sim) before the window
+    * is the sort-spill lever: candidate frames arrive carrying the
+    * vectors / LUT arrays / query payloads they were scored from, and
+    * although the window itself needs none of them, Catalyst's column
+    * pruning does not reliably push a Project below a Window whose
+    * child is a join — the r15 sf100 probe measured v15's candidate
+    * sort spilling full 64-dim vectors on BOTH sides past the host's
+    * 60 GB scratch. Ranking 24-byte rows instead of ~1 KB rows cuts
+    * the sorted (and spilled) bytes by ~40×; callers that need
+    * payload columns after the cut re-join them on the surviving ids
+    * (the rerank pattern every caller here already uses). */
   private def rankTopK(scored: DataFrame, queryIdCol: String, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
     scored
+      .select(col(queryIdCol), col(idCol), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
@@ -324,14 +337,40 @@ object Similarity {
       codebooks: Seq[(Int, Int, Seq[Double])],
       subDim: Int,
   ): DataFrame = {
-    val centLit = typedlit(cents)
-    def simToCents(vec: Column): Column =
-      transform(centLit, c =>
-        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid")))
-    val m = codebooks.map(_._1).max + 1
     val encoded = pqEncode(corpus, vecCol, codebooks, subDim, "_pq_code")
-      .withColumn("_cell", array_max(simToCents(col(vecCol))).getField("cid"))
+      .withColumn("_cell", nearestCentroid(cents, col(vecCol)))
       .select(col(idCol), col("_cell"), col("_pq_code"))
+    ivfPqTopKEncoded(encoded, corpus, queries, idCol, vecCol, "_cell", "_pq_code",
+      queryIdCol, queryVecCol, k, candidateK, cents, nprobe, codebooks, subDim)
+  }
+
+  /** IVF-PQ probe + ADC + rerank over a PRE-ENCODED corpus — the
+    * serve path of a persisted index ([[IvfIndex]] with a PQ
+    * component): `encoded` carries (idCol, cellCol, codeCol) computed
+    * once at index-build time, so a query call never encodes or
+    * assigns the corpus — it scans the narrow codes table (pruned to
+    * the probed cells via the broadcast probe join's DPP when the
+    * table is cell-partitioned), ADC-scores with m LUT lookups per
+    * candidate, ranks 24-byte rows, and exact-reranks only the
+    * |queries| × candidateK survivors against the full vectors. */
+  def ivfPqTopKEncoded(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      codeCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      candidateK: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nprobe: Int,
+      codebooks: Seq[(Int, Int, Seq[Double])],
+      subDim: Int,
+  ): DataFrame = {
+    val m = codebooks.map(_._1).max + 1
     val withLuts = (0 until m).foldLeft(queries) { (acc, j) =>
       val qsub = slice(col(queryVecCol).cast("array<double>"), j * subDim + 1, subDim)
       acc.withColumn(s"_qsub_$j", qsub)
@@ -340,14 +379,12 @@ object Similarity {
         .drop(s"_qsub_$j")
     }
     val probes = withLuts.withColumn("_probe",
-      explode(transform(
-        slice(reverse(array_sort(simToCents(col(queryVecCol)))), 1, nprobe),
-        s => s.getField("cid"))))
+      probeCells(cents, col(queryVecCol), nprobe))
     val adc = (0 until m)
-      .map(j => element_at(col(s"_lut_$j"), element_at(col("_pq_code"), j + 1) + 1))
+      .map(j => element_at(col(s"_lut_$j"), element_at(col(codeCol), j + 1) + 1))
       .reduce(_ + _)
     val cands = encoded
-      .join(broadcast(probes), col("_cell") === col("_probe"))
+      .join(broadcast(probes), encoded(cellCol) === probes("_probe"))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("sim", round(adc, 6))
     val top = rankTopK(cands, queryIdCol, idCol, candidateK)
@@ -778,14 +815,27 @@ object Similarity {
       cents: Seq[(Int, Seq[Double])],
       threshold: Double,
       maxClusterSize: Int = 4096,
+  ): DataFrame =
+    semDedupAssigned(df, df.withColumn("_cid", nearestCentroid(cents, col(vecCol))),
+      idCol, vecCol, threshold, maxClusterSize)
+
+  /** [[semDedup]] over a PRE-ASSIGNED frame — the serve path of a
+    * persisted index ([[IvfIndex]]): `assigned` carries (idCol,
+    * vecCol, `_cid`) with the cluster id computed once at
+    * index-build/refresh time, so the per-call plan never touches the
+    * centroid table at all — it is the size gate + the two loser
+    * paths + the anti-join, every stage linear in the corpus with
+    * cluster-bounded per-key work. `df` is the full-width corpus the
+    * survivors project from (the anti-join side). */
+  def semDedupAssigned(
+      df: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxClusterSize: Int = 4096,
   ): DataFrame = {
     require(maxClusterSize >= 1, s"maxClusterSize must be >= 1, got $maxClusterSize")
-    val centLit = typedlit(cents)
-    def nearest(vec: Column): Column =
-      array_max(transform(centLit, c =>
-        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid"))))
-        .getField("cid")
-    val assigned = df.withColumn("_cid", nearest(col(vecCol)))
     // ≤ |cents| rows — always broadcastable, regardless of corpus size.
     val sizes = assigned.groupBy(col("_cid")).agg(count(lit(1)).as("_csize"))
     val sized = assigned.join(broadcast(sizes), Seq("_cid"))
@@ -835,24 +885,60 @@ object Similarity {
       cents: Seq[(Int, Seq[Double])],
       nprobe: Int,
   ): DataFrame = {
-    // One literal column holding all centroids: array<struct<_1:cid,_2:vec>>.
-    val centLit = typedlit(cents)
+    val assigned = corpus.withColumn("_cell",
+      nearestCentroid(cents, col(vecCol)))
+    ivfTopKAssigned(assigned, queries, idCol, vecCol, "_cell",
+      queryIdCol, queryVecCol, k, cents, nprobe)
+  }
 
-    def simToCentroids(vec: Column): Column =
-      transform(centLit, c =>
-        struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid")))
+  /** All centroids as ONE literal column —
+    * array<struct<_1:cid,_2:vec>>: plan size O(1) literal data, not
+    * O(C) expression terms. Shared by every coarse-quantizer op. */
+  private def centroidLit(cents: Seq[(Int, Seq[Double])]): Column = typedlit(cents)
 
-    def nearestCentroid(vec: Column): Column =
-      array_max(simToCentroids(vec)).getField("cid")
+  /** (sim, cid) struct per centroid — array_max over it is the
+    * assignment rule (ties break to the LARGER cid, array_max's
+    * lexicographic struct order; the oracle replays it as
+    * ORDER BY cos DESC, cid DESC). */
+  private def simToCentroids(cents: Seq[(Int, Seq[Double])], vec: Column): Column =
+    transform(centroidLit(cents), c =>
+      struct(cosine(vec, c.getField("_2")).as("sim"), c.getField("_1").as("cid")))
 
-    val assigned = corpus.withColumn("_cid", nearestCentroid(col(vecCol)))
+  def nearestCentroid(cents: Seq[(Int, Seq[Double])], vec: Column): Column =
+    array_max(simToCentroids(cents, vec)).getField("cid")
+
+  /** The nprobe nearest centroid ids of a query vector, exploded —
+    * one probe row per (query, probed cell). */
+  def probeCells(cents: Seq[(Int, Seq[Double])], vec: Column, nprobe: Int): Column =
+    explode(transform(
+      slice(reverse(array_sort(simToCentroids(cents, vec))), 1, nprobe),
+      s => s.getField("cid")))
+
+  /** IVF probe + top-k over a PRE-ASSIGNED corpus — the serve path of
+    * a persisted index ([[IvfIndex]]): the corpus frame already
+    * carries its cell id (computed once at index-build/refresh time),
+    * so the per-call work is probes (narrow map over the small query
+    * side) + one hash join on the cell id + the slim top-k. When the
+    * assigned frame is a cell-partitioned published table, the join's
+    * broadcast side drives dynamic partition pruning — the scan reads
+    * only the probed lists, which is the whole point of IVF at
+    * 100 TB. */
+  def ivfTopKAssigned(
+      assigned: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      cents: Seq[(Int, Seq[Double])],
+      nprobe: Int,
+  ): DataFrame = {
     val probes = queries
-      .withColumn("_probe",
-        explode(transform(
-          slice(reverse(array_sort(simToCentroids(col(queryVecCol)))), 1, nprobe),
-          s => s.getField("cid"))))
+      .withColumn("_probe", probeCells(cents, col(queryVecCol), nprobe))
     val scored = assigned
-      .join(probes, assigned("_cid") === probes("_probe"))
+      .join(broadcast(probes), assigned(cellCol) === probes("_probe"))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
     rankTopK(scored, queryIdCol, idCol, k)

@@ -626,7 +626,19 @@ object StreamingIngest {
     * First batch (no state yet) admits everything — the natural mix
     * is the only estimate available. NULL strata fall to
     * `defaultFraction` (admit-all by default), the
-    * [[graft.text.Sampling.temperatureBudgets]] NULL-policy. */
+    * [[graft.text.Sampling.temperatureBudgets]] NULL-policy.
+    *
+    * Compaction cadence (r16): every `compactEvery` batches the drain
+    * folds the state's pre-cutoff rows into one snapshot row per
+    * stratum ([[compactAdmissionState]]) with cutoff = the CURRENT
+    * batch id — exactly the documented safety bound, because the
+    * engine writes batch b−1's commit log before constructing batch
+    * b, so when batch b runs, no batch below b can ever redeliver;
+    * batch b itself may (its own totals row is keyed AT b, outside
+    * the fold), and its `batch_id < b` read sums identically across
+    * the fold (spec-pinned). Without the cadence the state accretes
+    * one row per (batch, stratum) forever; `compactEvery = 0`
+    * disables it for callers that run their own maintenance verb. */
   def drainTemperatureAdmission(
       df: DataFrame,
       keyCol: String,
@@ -638,11 +650,13 @@ object StreamingIngest {
       checkpointPath: String,
       salt: String = "",
       defaultFraction: Double = 1.0,
+      compactEvery: Int = 32,
   ): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         admitTemperatureBatch(batch.toDF(), keyCol, stratumCol, weightCol,
-          alpha, admittedPath, statePath, batchId, salt, defaultFraction)
+          alpha, admittedPath, statePath, batchId, salt, defaultFraction,
+          compactEvery)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -664,6 +678,7 @@ object StreamingIngest {
       batchId: Long,
       salt: String,
       defaultFraction: Double = 1.0,
+      compactEvery: Int = 0,
   ): Unit = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
@@ -687,7 +702,16 @@ object StreamingIngest {
       .withColumn("batch_id", lit(batchId))
     graft.sink.IdempotentAppend.appendNew(
       spark, totals, statePath, Seq("batch_id", "stratum"), timeCol = None)
-    ()
+    // cadence fold AFTER the batch's own appends: cutoff = this batch
+    // id is within the safety bound (no batch below a RUNNING batch
+    // can redeliver — its commit log precedes this batch's
+    // construction), and a replay of THIS batch reads `batch_id <
+    // batchId` sums unchanged across the fold while its own totals
+    // row (keyed at batchId) stays in the uncompacted tail.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactAdmissionState(spark, statePath, beforeBatchId = batchId)
+      ()
+    }
   }
 
   /** Accumulated per-stratum totals from the admission state table —

@@ -204,18 +204,48 @@ object Sampling {
     * runs the pass-1 quantile aggregate at plan-construction time (the
     * cache is shared with the returned plan's own boundary join and
     * released after the caller's action, the
-    * [[graft.quality.CacheScope.retainAcrossOwnAction]] recipe). */
+    * [[graft.quality.CacheScope.retainAcrossOwnAction]] recipe).
+    *
+    * '''Adaptive grid (r16).''' `scoreBuckets = 0` (the default)
+    * derives the bucket count from the LARGEST stratum's row count —
+    * the count the pass-1 aggregate computes anyway — via the same
+    * integer ladder as [[graft.sim.Similarity.adaptiveNBits]]:
+    * b = the largest power of two with maxN ≥ targetBucketRows·2b,
+    * clamped to [2, `maxScoreBuckets`]. Per-bucket sort-task occupancy
+    * then stays in [targetBucketRows, 2·targetBucketRows) at ANY
+    * corpus size instead of growing linearly past a fixed grid (the
+    * r15 sf100 probe measured the fixed 32-bucket form's decade-3
+    * exponent at 0.95 — the remedy converging back to the plain
+    * window it exists to beat). The quantile pass always sketches
+    * boundaries at `maxScoreBuckets` resolution and the realized grid
+    * takes every (maxScoreBuckets/b)-th boundary, so choosing b never
+    * re-aggregates; the extra `max(count)` read is a second tiny
+    * action on the already-cached pass-1 frame. The cap is honest the
+    * way v3's bit cap is: above targetBucketRows·2·maxScoreBuckets
+    * rows in one stratum (≈134M at the defaults) occupancy grows
+    * again — raise `maxScoreBuckets` in lockstep with the fine
+    * resolution if a corpus gets there. An EXPLICIT `scoreBuckets`
+    * (≥ 2) pins the grid exactly as before; the output is identical
+    * either way (bucket count steers only balance — SamplingSpec pins
+    * plain ≡ bucketed across explicit AND adaptive grids). */
   def topFractionByScoreBucketed(
       docs: DataFrame,
       stratumCol: Column,
       scoreCol: Column,
       keyCol: Column,
       fraction: Double,
-      scoreBuckets: Int = 32,
+      scoreBuckets: Int = 0,
       broadcastMaxRows: Long = BroadcastStrataMaxRows,
+      targetBucketRows: Long = 65536L,
+      maxScoreBuckets: Int = 1024,
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
-    require(scoreBuckets >= 2, s"scoreBuckets must be >= 2, got $scoreBuckets")
+    require(scoreBuckets == 0 || scoreBuckets >= 2,
+      s"scoreBuckets must be 0 (adaptive) or >= 2, got $scoreBuckets")
+    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1, got $targetBucketRows")
+    require(maxScoreBuckets >= 2 && (maxScoreBuckets & (maxScoreBuckets - 1)) == 0,
+      s"maxScoreBuckets must be a power of two >= 2, got $maxScoreBuckets")
+    val adaptive = scoreBuckets == 0
     // working columns, all collision-safe against the user's frame
     var taken = docs.columns.toIndexedSeq
     def fresh(base: String): String = {
@@ -224,6 +254,7 @@ object Sampling {
     val sk = fresh("_stratum")
     val sc = fresh("_score")
     val bnds = fresh("_bnds")
+    val cn = fresh("_n")
     val sk2 = fresh("_stratum2")
     val bk = fresh("_bucket")
     val bk2 = fresh("_bucket2")
@@ -236,13 +267,18 @@ object Sampling {
     // expensive score expression must never sit inside the bucket
     // lambda — the tp6 per-element re-evaluation gotcha).
     val base = docs.withColumn(sk, stratumCol).withColumn(sc, scoreCol)
-    // Pass 1: per-stratum score quantile boundaries. Doubles are fine
-    // here — boundaries only steer bucket BALANCE; the comparison is
-    // strict, so equal scores (cast identically) share a bucket.
-    val fracs = (1 until scoreBuckets).map(_.toDouble / scoreBuckets)
+    // Pass 1: per-stratum score quantile boundaries, ALWAYS sketched
+    // at the fine resolution (the realized grid subsets them by
+    // stride, so adaptivity never re-aggregates), plus the stratum
+    // row count the adaptive ladder reads. Doubles are fine here —
+    // boundaries only steer bucket BALANCE; the comparison is strict,
+    // so equal scores (cast identically) share a bucket.
+    val fineB = if (adaptive) maxScoreBuckets else scoreBuckets
+    val fracs = (1 until fineB).map(_.toDouble / fineB)
     val boundsRaw = base.groupBy(col(sk)).agg(
       percentile_approx(col(sc).cast("double"), typedlit(fracs), lit(10000))
-        .as(bnds))
+        .as(bnds),
+      count(lit(1)).as(cn))
     // Size-gate BOTH broadcast hints on one bounded action: bounds has
     // exactly one row per stratum and offsets at most scoreBuckets per
     // stratum, so a single cached count prices both. The cache is
@@ -253,21 +289,43 @@ object Sampling {
     val (bounds, owned) = graft.quality.CacheScope.acquire(boundsRaw)
     if (owned) graft.quality.CacheScope.retainAcrossOwnAction(bounds)
     val nStrata = bounds.count()
+    // The adaptive grid: b = the v3 integer ladder over the LARGEST
+    // stratum (the one whose sort the grid exists to spread), read
+    // from the cached pass-1 frame — a second tiny action, no second
+    // aggregation. Power-of-two b divides the power-of-two fine
+    // resolution, so the realized boundaries are every stride-th fine
+    // boundary and bucket semantics are unchanged.
+    val nBuckets =
+      if (!adaptive) scoreBuckets
+      else {
+        val maxN = bounds.agg(max(col(cn))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        1 << graft.sim.Similarity.adaptiveNBits(maxN, targetBucketRows,
+          minBits = 1, maxBits = Integer.numberOfTrailingZeros(maxScoreBuckets))
+      }
+    val stride = fineB / nBuckets
     def hinted(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMaxRows) broadcast(df) else df
     val withBounds = base.join(
       hinted(bounds.withColumnRenamed(sk, sk2), nStrata),
       col(sk) <=> col(sk2), "left")
-    // bucket = #boundaries strictly ABOVE the score (monotone: a
-    // smaller bucket index always means a strictly greater score, and
-    // equal scores share a bucket); NULL scores → the last bucket,
-    // where the in-bucket DESC NULLS LAST sort puts them globally last
+    // bucket = #REALIZED boundaries strictly ABOVE the score
+    // (monotone: a smaller bucket index always means a strictly
+    // greater score, and equal scores share a bucket); NULL scores →
+    // the last bucket, where the in-bucket DESC NULLS LAST sort puts
+    // them globally last
+    val realizedBnds =
+      if (stride == 1) col(bnds)
+      else transform(sequence(lit(1), lit(nBuckets - 1)),
+        j => element_at(col(bnds), j * lit(stride)))
     val bucketed = withBounds
       .withColumn(bk,
-        when(col(sc).isNull, lit(scoreBuckets - 1))
+        when(col(sc).isNull, lit(nBuckets - 1))
           .otherwise(coalesce(
-            size(filter(col(bnds), b => b > col(sc).cast("double"))), lit(0))))
-      .drop(bnds, sk2)
+            size(filter(realizedBnds, b => b > col(sc).cast("double"))), lit(0))))
+      .drop(bnds, cn, sk2)
     // Pass 2: tiny (stratum, bucket) counts → per-bucket prior rows +
     // stratum totals, broadcast back.
     val tiny = bucketed.groupBy(col(sk), col(bk)).agg(count(lit(1)).as(bn))
@@ -281,7 +339,7 @@ object Sampling {
     // offsets row bound: ≤ strata × buckets (the shuffled fallback
     // joins on (stratum, bucket) — the exact keys the pass-3 window
     // partitions by, so the join's exchange is the window's)
-    val joined = bucketed.join(hinted(offsets, nStrata * scoreBuckets),
+    val joined = bucketed.join(hinted(offsets, nStrata * nBuckets),
       col(sk) <=> col(sk2) && col(bk) === col(bk2), "inner")
     // Pass 3: exact rank within (stratum, bucket) — ranks tie exactly
     // where the plain form's do (ties never span buckets), so

@@ -22,7 +22,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Refresh {
 
-  final case class ViewJob(name: String, build: SparkSession => DataFrame)
+  /** `partitionBy` lays the view out hive-partitioned on those
+    * columns — readers that join or filter on them get partition
+    * pruning (static or DPP) against the published directories. The
+    * swap semantics are identical: the whole partitioned tree moves
+    * atomically because the rename is of the view ROOT. */
+  final case class ViewJob(
+      name: String,
+      build: SparkSession => DataFrame,
+      partitionBy: Seq[String] = Nil)
 
   /** Registry: source → views to refresh after that source loads
     * (reference refresh_views.py:24-34). */
@@ -57,9 +65,11 @@ object Refresh {
     // the old read-the-staging-dir-back count() doubled every
     // refresh's driver actions for a number the write already knows
     val obs = new org.apache.spark.sql.Observation()
-    df.observe(obs, org.apache.spark.sql.functions.count(
+    val writer = df.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.mode(SaveMode.Overwrite)
+    (if (job.partitionBy.nonEmpty) writer.partitionBy(job.partitionBy: _*) else writer)
+      .parquet(tmp)
     val n = obs.get("n").asInstanceOf[Long]
     if (fs.exists(oldP)) fs.delete(oldP, true)
     // Hadoop rename reports most failures by returning false — an

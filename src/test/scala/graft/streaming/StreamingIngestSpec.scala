@@ -687,6 +687,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(StreamingIngest.compactAdmissionState(spark, state + "-none", 1L) == 0)
   }
 
+  test("admission compaction CADENCE: a long drain folds mid-stream and replay stays byte-identical") {
+    import spark.implicits._
+    val admitted = Files.createTempDirectory("graft-tcad").resolve("t").toString
+    val state = Files.createTempDirectory("graft-tcad-state").resolve("s").toString
+    def mkBatch(ids: Range) = ids
+      .map(i => (i.toLong, if (i % 5 == 4) "fr" else "en", 10L))
+      .toDF("doc_id", "lang", "toks")
+    // the drain path's cadence wiring, driven batch-by-batch:
+    // compactEvery=2 folds at batches 2 and 4 with cutoff = the
+    // running batch id (the documented safety bound)
+    (0 until 5).foreach { b =>
+      StreamingIngest.admitTemperatureBatch(mkBatch(b * 100 until (b + 1) * 100),
+        "doc_id", "lang", "toks", 0.0, admitted, state, b.toLong, "tcad",
+        compactEvery = 2)
+    }
+    // batch 4's fold left: 2 snapshot rows (batch_id=3) + batch 4's 2
+    // rows — bounded at ≤ |strata| × (1 + compactEvery) instead of
+    // one row per (batch, stratum) forever
+    assert(spark.read.parquet(state).count() == 4)
+    val totals = StreamingIngest.stratumTotalsFromState(spark, state)
+    assert(totals === Map("en" -> 4000L, "fr" -> 1000L))
+    // replay of the LAST batch (the only redelivery candidate) across
+    // the mid-stream folds: identical fractions → identical draws →
+    // keyed sinks no-op, and its own re-fold is idempotent
+    val admittedBefore = spark.read.parquet(admitted).orderBy("doc_id").collect().toSeq
+    StreamingIngest.admitTemperatureBatch(mkBatch(400 until 500),
+      "doc_id", "lang", "toks", 0.0, admitted, state, 4L, "tcad",
+      compactEvery = 2)
+    assert(spark.read.parquet(admitted).orderBy("doc_id").collect().toSeq
+      === admittedBefore)
+    assert(StreamingIngest.stratumTotalsFromState(spark, state) === totals)
+  }
+
   test("drainTemperatureAdmission: second AvailableNow drain is thinned by the first's state") {
     val in = Files.createTempDirectory("graft-tadmit-in")
     val admitted = Files.createTempDirectory("graft-tadmit-out").resolve("t").toString

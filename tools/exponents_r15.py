@@ -35,12 +35,20 @@ for k in shared:
     t_lo, t_hi = qlo[k], qhi[k]
     agg_lo += t_lo
     agg_hi += t_hi
-    e = math.log(t_hi / t_lo, step) if t_lo > 0 else float("nan")
-    print(f"| {k} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} |")
-    if e >= 0.9 and t_hi >= 1.0:
-        flagged.append((k, t_lo, t_hi, e))
-print(f"| **aggregate ({len(shared)} shared queries)** | **{agg_lo:.1f}** "
-      f"| **{agg_hi:.1f}** | **{math.log(agg_hi/agg_lo, step):.2f}** |")
+    # degrade, don't crash: a zero/negative time on EITHER side (a
+    # failed or clock-skewed sample) gets 'n/a', not a ValueError
+    if t_lo > 0 and t_hi > 0:
+        e = math.log(t_hi / t_lo, step)
+        print(f"| {k} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} |")
+        if e >= 0.9 and t_hi >= 1.0:
+            flagged.append((k, t_lo, t_hi, e))
+    else:
+        print(f"| {k} | {t_lo:.2f} | {t_hi:.2f} | n/a |")
+if shared and agg_lo > 0 and agg_hi > 0:
+    print(f"| **aggregate ({len(shared)} shared queries)** | **{agg_lo:.1f}** "
+          f"| **{agg_hi:.1f}** | **{math.log(agg_hi/agg_lo, step):.2f}** |")
+else:
+    print(f"| **aggregate** | — | — | n/a (no shared positive-time queries) |")
 print()
 print(f"lo-only (skipped at the higher scale): {only_lo}")
 print(f"hi-only: {only_hi}")

@@ -41,7 +41,12 @@ flagged = {
 # a log-timestamped fact outside the JSON) stays a constant — guarded:
 # if the artifact's round structure no longer matches the session the
 # constant came from, fail loudly instead of emitting stale numbers.
-_round_totals = [sum(r.values()) for r in sf10.get("rounds_detail", [])]
+# only COMPLETE rounds: Bench omits failed queries from a round's map,
+# so a partial round understates its total and the derived pair-spread
+# narrative — mirror Bench.medianRoundTotal's maximal-size filter
+_details = sf10.get("rounds_detail", [])
+_full = max((len(r) for r in _details), default=0)
+_round_totals = [sum(r.values()) for r in _details if len(r) == _full]
 if len(_round_totals) < 2:
     raise SystemExit(
         "BENCH_SF10.json no longer carries the 2-round fresh-JVM-A "
