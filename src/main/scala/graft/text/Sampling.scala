@@ -207,24 +207,29 @@ object Sampling {
     * [[graft.quality.CacheScope.retainAcrossOwnAction]] recipe).
     *
     * '''Adaptive grid (r16).''' `scoreBuckets = 0` (the default)
-    * derives the bucket count from the LARGEST stratum's row count —
-    * the count the pass-1 aggregate computes anyway — via the same
-    * integer ladder as [[graft.sim.Similarity.adaptiveNBits]]:
-    * b = the largest power of two with maxN ≥ targetBucketRows·2b,
-    * clamped to [2, `maxScoreBuckets`]. Per-bucket sort-task occupancy
-    * then stays in [targetBucketRows, 2·targetBucketRows) at ANY
-    * corpus size instead of growing linearly past a fixed grid (the
-    * r15 sf100 probe measured the fixed 32-bucket form's decade-3
+    * derives the bucket count from the LARGEST stratum's row count
+    * via the same integer ladder as
+    * [[graft.sim.Similarity.adaptiveNBits]]: b = the largest power of
+    * two with maxN ≥ targetBucketRows·2b, clamped to
+    * [2, `maxScoreBuckets`]. Per-bucket sort-task occupancy then
+    * stays in [targetBucketRows, 2·targetBucketRows) at ANY corpus
+    * size instead of growing linearly past a fixed grid (the r15
+    * sf100 probe measured the fixed 32-bucket form's decade-3
     * exponent at 0.95 — the remedy converging back to the plain
-    * window it exists to beat). The quantile pass always sketches
-    * boundaries at `maxScoreBuckets` resolution and the realized grid
-    * takes every (maxScoreBuckets/b)-th boundary, so choosing b never
-    * re-aggregates; the extra `max(count)` read is a second tiny
-    * action on the already-cached pass-1 frame. The cap is honest the
-    * way v3's bit cap is: above targetBucketRows·2·maxScoreBuckets
-    * rows in one stratum (≈134M at the defaults) occupancy grows
+    * window it exists to beat). The ladder reads a NARROW
+    * stratum-count pre-aggregate (column pruning keeps the score
+    * expression out of it) and the quantile pass then sketches
+    * boundaries at exactly the realized resolution. The cap is honest
+    * the way v3's bit cap is: above targetBucketRows·2·maxScoreBuckets
+    * rows in one stratum (≈67M at the defaults) occupancy grows
     * again — raise `maxScoreBuckets` in lockstep with the fine
-    * resolution if a corpus gets there. An EXPLICIT `scoreBuckets`
+    * resolution if a corpus gets there. The default target sits at
+    * the r14-measured sweet spot: the fixed 32-bucket grid's decade-2
+    * win (exp 0.51, 3.8× over the plain window) ran ~62k rows per
+    * sort task at sf10, and the first r16 ladder default (65536 →
+    * occupancy up to 131k) measured tp20 1.5× slower there than the
+    * 32-bucket grid — occupancy [32k, 65k) reproduces the proven
+    * balance point at every scale. An EXPLICIT `scoreBuckets`
     * (≥ 2) pins the grid exactly as before; the output is identical
     * either way (bucket count steers only balance — SamplingSpec pins
     * plain ≡ bucketed across explicit AND adaptive grids). */
@@ -236,7 +241,7 @@ object Sampling {
       fraction: Double,
       scoreBuckets: Int = 0,
       broadcastMaxRows: Long = BroadcastStrataMaxRows,
-      targetBucketRows: Long = 65536L,
+      targetBucketRows: Long = 32768L,
       maxScoreBuckets: Int = 1024,
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
@@ -267,20 +272,40 @@ object Sampling {
     // expensive score expression must never sit inside the bucket
     // lambda — the tp6 per-element re-evaluation gotcha).
     val base = docs.withColumn(sk, stratumCol).withColumn(sc, scoreCol)
-    // Pass 1: per-stratum score quantile boundaries, ALWAYS sketched
-    // at the fine resolution (the realized grid subsets them by
-    // stride, so adaptivity never re-aggregates), plus the stratum
-    // row count the adaptive ladder reads. Doubles are fine here —
-    // boundaries only steer bucket BALANCE; the comparison is strict,
-    // so equal scores (cast identically) share a bucket.
-    val fineB = if (adaptive) maxScoreBuckets else scoreBuckets
-    val fracs = (1 until fineB).map(_.toDouble / fineB)
+    // The adaptive grid: b = the v3 integer ladder over the LARGEST
+    // stratum (the one whose sort the grid exists to spread), from a
+    // NARROW pre-count — column pruning keeps the (possibly heavy)
+    // score expression out of this scan, so the extra eager job costs
+    // one pass over the stratum column only. The ladder must run
+    // BEFORE the quantile sketch because the sketch's cut points are
+    // the realized grid's: a first cut of this operator sketched at a
+    // fixed fine resolution (1024 cuts) and subset by stride, and
+    // QuantileSummaries.query's per-cut linear scan of the merged
+    // summary made the 1023-cut read take tens of MINUTES at 50M rows
+    // (one thread, measured at the sf100 probe) — resolution must
+    // follow the grid, never anticipate it.
+    val nBuckets =
+      if (!adaptive) scoreBuckets
+      else {
+        val maxN = base.groupBy(col(sk)).agg(count(lit(1)).as(cn))
+          .agg(max(col(cn))).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        1 << graft.sim.Similarity.adaptiveNBits(maxN, targetBucketRows,
+          minBits = 1, maxBits = Integer.numberOfTrailingZeros(maxScoreBuckets))
+      }
+    // Pass 1: per-stratum score quantile boundaries at exactly the
+    // realized resolution. Doubles are fine here — boundaries only
+    // steer bucket BALANCE (accuracy 1000 likewise: boundary-grade,
+    // not result-grade); the comparison is strict, so equal scores
+    // (cast identically) share a bucket.
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val boundsRaw = base.groupBy(col(sk)).agg(
-      percentile_approx(col(sc).cast("double"), typedlit(fracs), lit(10000))
-        .as(bnds),
-      count(lit(1)).as(cn))
+      percentile_approx(col(sc).cast("double"), typedlit(fracs), lit(1000))
+        .as(bnds))
     // Size-gate BOTH broadcast hints on one bounded action: bounds has
-    // exactly one row per stratum and offsets at most scoreBuckets per
+    // exactly one row per stratum and offsets at most nBuckets per
     // stratum, so a single cached count prices both. The cache is
     // registered for retention BEFORE the gate count (the td8 recipe —
     // registering after would race the async listener bus) and the
@@ -289,43 +314,21 @@ object Sampling {
     val (bounds, owned) = graft.quality.CacheScope.acquire(boundsRaw)
     if (owned) graft.quality.CacheScope.retainAcrossOwnAction(bounds)
     val nStrata = bounds.count()
-    // The adaptive grid: b = the v3 integer ladder over the LARGEST
-    // stratum (the one whose sort the grid exists to spread), read
-    // from the cached pass-1 frame — a second tiny action, no second
-    // aggregation. Power-of-two b divides the power-of-two fine
-    // resolution, so the realized boundaries are every stride-th fine
-    // boundary and bucket semantics are unchanged.
-    val nBuckets =
-      if (!adaptive) scoreBuckets
-      else {
-        val maxN = bounds.agg(max(col(cn))).collect()(0) match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-        1 << graft.sim.Similarity.adaptiveNBits(maxN, targetBucketRows,
-          minBits = 1, maxBits = Integer.numberOfTrailingZeros(maxScoreBuckets))
-      }
-    val stride = fineB / nBuckets
     def hinted(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMaxRows) broadcast(df) else df
     val withBounds = base.join(
       hinted(bounds.withColumnRenamed(sk, sk2), nStrata),
       col(sk) <=> col(sk2), "left")
-    // bucket = #REALIZED boundaries strictly ABOVE the score
-    // (monotone: a smaller bucket index always means a strictly
-    // greater score, and equal scores share a bucket); NULL scores →
-    // the last bucket, where the in-bucket DESC NULLS LAST sort puts
-    // them globally last
-    val realizedBnds =
-      if (stride == 1) col(bnds)
-      else transform(sequence(lit(1), lit(nBuckets - 1)),
-        j => element_at(col(bnds), j * lit(stride)))
+    // bucket = #boundaries strictly ABOVE the score (monotone: a
+    // smaller bucket index always means a strictly greater score, and
+    // equal scores share a bucket); NULL scores → the last bucket,
+    // where the in-bucket DESC NULLS LAST sort puts them globally last
     val bucketed = withBounds
       .withColumn(bk,
         when(col(sc).isNull, lit(nBuckets - 1))
           .otherwise(coalesce(
-            size(filter(realizedBnds, b => b > col(sc).cast("double"))), lit(0))))
-      .drop(bnds, cn, sk2)
+            size(filter(col(bnds), b => b > col(sc).cast("double"))), lit(0))))
+      .drop(bnds, sk2)
     // Pass 2: tiny (stratum, bucket) counts → per-bucket prior rows +
     // stratum totals, broadcast back.
     val tiny = bucketed.groupBy(col(sk), col(bk)).agg(count(lit(1)).as(bn))

@@ -431,8 +431,8 @@ class PackingSamplingSpec extends SparkSpec {
       // the ladder choosing the grid. target 16 over the 200-row hot
       // stratum realizes b = 8 on a 16-wide fine sketch (stride 2 —
       // the boundary-subset path), and a huge target floors at b = 2;
-      // the default (65536) also floors here
-      for ((tgt, maxB) <- Seq((16L, 16), (1000000L, 16), (65536L, 1024))) {
+      // the default (32768) also floors here
+      for ((tgt, maxB) <- Seq((16L, 16), (1000000L, 16), (32768L, 1024))) {
         val adaptive = Sampling.topFractionByScoreBucketed(d, col("lang"),
           col("score"), col("doc_id"), f,
           targetBucketRows = tgt, maxScoreBuckets = maxB)
