@@ -11,133 +11,183 @@ import org.apache.spark.sql.functions._
   * (The reference pipeline stops at row-level dedup; this is part of
   * the beyond-reference LLM-curation family.)
   *
-  * Algorithm: min-label propagation to fixpoint as a DELTA iteration —
-  * label(v) starts as v and becomes the min over v and its neighbors'
-  * labels; at fixpoint every vertex carries the minimum vertex id of
-  * its component (deterministic, so the output is oracle-checkable:
-  * DuckDB replays it as a recursive-CTE label closure over the same
-  * pairs). Labels only ever decrease, so a vertex whose label did NOT
-  * change in round r has nothing new to tell its neighbors in round
-  * r+1 — each round therefore aggregates only over edges incident to
-  * the previous round's CHANGED vertices (the frontier), the classic
-  * semi-naive / delta-iteration evaluation.
+  * Algorithm (r16 shape): contract-then-solve. Every vertex first
+  * takes label(v) = min(v ∪ N(v)) in ONE fused aggregate; the edge set
+  * is contracted through those labels into the QUOTIENT graph (edges
+  * between distinct label groups only); the quotient's closure is then
+  * solved either on the driver (size-gated union-find over a bounded
+  * collect) or, above the gate, by distributed alternating
+  * large-star/small-star contraction (Kiveris, Lattanzi, Mirrokni,
+  * Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+  * Beyond", SoCC 2014 — O(log n) rounds at ANY diameter). All paths
+  * produce the identical deterministic labeling (component = minimum
+  * vertex id), so the output is oracle-checkable: DuckDB replays it as
+  * a recursive-CTE label closure over the same pairs.
   *
   * Scale shape (100 TB):
-  *   - Round 1 is ONE aggregate over the symmetric edge set (the
-  *     groupBy keys ARE the vertex set, so the initial labeling and
-  *     the first propagation fuse into a single min() pass — bounded
-  *     buffer, map-side combine, flat at any degree skew).
-  *   - Rounds 2+ touch only frontier-incident edges. LSH near-dup
-  *     graphs are star-dominated (rep→member pairs from the
-  *     oversized-bucket path; dense blobs from the all-pairs path),
-  *     so the frontier collapses after round 1 and later rounds cost
-  *     ~nothing even though the worst-case round count is still the
-  *     graph diameter. `maxIters` bounds the loop; non-convergence
-  *     THROWS rather than returning silently wrong labels (no-silent-
-  *     caps principle).
-  *   - The edge set is hash-partitioned by src ONCE and materialized
-  *     (eager localCheckpoint): every round's frontier join and the
-  *     round-1 aggregate reuse that layout instead of re-shuffling
-  *     the edges each round — per-round shuffle volume is the
-  *     frontier, not the graph. Label updates join the full label
-  *     frame with the (small) improvement frame, which Spark
-  *     broadcasts off the checkpoint-known size.
-  *   - Lineage is truncated per round with an eager localCheckpoint —
-  *     diameter-many rounds of self-joins would otherwise stack into
-  *     one unplannable tree. On a cluster with a checkpoint dir,
+  *   - The symmetric edge set is built in a single pass over the
+  *     pair-producing pipeline (explode to both directions — a
+  *     self-union would evaluate the upstream LSH cascade per branch),
+  *     hash-partitioned by src once and materialized (eager
+  *     localCheckpoint) so the round-1 aggregate and the contraction
+  *     join reuse the layout.
+  *   - Round 1 is ONE aggregate over that frame (the groupBy keys ARE
+  *     the vertex set — initial labeling and first propagation fuse
+  *     into a single min() pass: bounded buffer, map-side combine,
+  *     flat at any degree skew).
+  *   - Contraction is one join pass re-keying edges by label; LSH
+  *     near-dup graphs are star/clique-dominated, so most components
+  *     collapse entirely in round 1 and the quotient carries only the
+  *     edges that cross round-1 groups — orders of magnitude fewer
+  *     than the pair set.
+  *   - The quotient solve: below [[DefaultMaxDriverQuotientRows]]
+  *     symmetric rows a driver union-find closes it in one bounded
+  *     collect (the KMeans-centroid bounded-driver-state class) and a
+  *     broadcast remap joins the closure back. Above the gate — a
+  *     quotient that large means the corpus is one giant loosely
+  *     chained dup blob — star contraction runs distributed; `maxIters`
+  *     bounds its rounds and non-convergence THROWS rather than
+  *     returning silently wrong labels (no-silent-caps principle).
+  *   - Lineage is truncated with eager localCheckpoints per
+  *     materialized stage (sym, labels, quotient, and per star round) —
+  *     iterated self-joins would otherwise stack into one unplannable
+  *     tree. On a cluster with a checkpoint dir,
   *     `spark.sparkContext.setCheckpointDir` + reliable checkpoints
   *     are the durable variant of the same move.
-  *   - HIGH-DIAMETER graphs (transitive near-dup CHAINS under a loose
-  *     threshold — exactly how web-corpus dup graphs grow long paths)
-  *     would need diameter-many propagation rounds; instead, if the
-  *     frontier has not emptied after a few rounds, the loop escalates
-  *     to alternating large-star/small-star contraction (Kiveris,
-  *     Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
-  *     Components in MapReduce and Beyond", SoCC 2014), which
-  *     converges in O(log n) rounds REGARDLESS of diameter. Both
-  *     paths produce the identical deterministic labeling (component
-  *     = min vertex id), so escalation never changes the answer —
-  *     only the round count. `maxIters` bounds the star rounds; at
-  *     the default 20 that covers graphs of diameter far beyond any
-  *     real corpus (2^20-link chains), and non-convergence still
-  *     THROWS rather than returning silently wrong labels.
   */
 object ConnectedComponents {
-
-  /** Frontier-propagation rounds (cheap, reuses the src-partitioned
-    * edges) before escalating to star contraction: star-dominated LSH
-    * graphs empty their frontier by round 2-3; anything still moving
-    * after that is diameter-shaped and propagation is the wrong tool. */
-  private val EscalateAfter = 3
 
   /** (id, component) for every vertex that appears in `pairs`;
     * `component` is the minimum vertex id of the connected component.
     * Vertices not present in any pair are absent — left-join and
-    * coalesce to the vertex's own id for singleton semantics. */
+    * coalesce to the vertex's own id for singleton semantics.
+    *
+    * Shape (r16): contract-then-solve. The fused round-1 aggregate
+    * labels every vertex with min(v ∪ N(v)); the edge set is then
+    * CONTRACTED through those labels — (u,v) → (l(u), l(v)), dropping
+    * within-group edges — and star contraction runs on the contracted
+    * graph only. Pre-r16 this ran up to two more frontier-propagation
+    * rounds first and, if still moving, restarted star contraction
+    * from the RAW edge set: on the near-dup chain graphs the bench
+    * corpus actually produces (td10/td13 escalated at every measured
+    * scale factor), that paid 2 frontier passes + checkpoints for
+    * nothing and then re-derived round 1 inside the star pass. The
+    * contracted form reaches the same fixpoint — label groups are
+    * single-component by construction, and the global min vertex g
+    * always survives contraction (l(g) = g, and any multi-group
+    * component has a group-crossing edge at g's group) — so star
+    * labels of the contracted vertices compose with the round-1
+    * labels to the identical (min vertex id) output. A clique/star
+    * graph (the LSH rep-pair shape) contracts to ZERO edges and exits
+    * without any star round — cheaper than the old confirmation
+    * propagation round — while a diameter-shaped graph skips straight
+    * to the O(log n) algorithm on a pre-shrunk edge set. */
+  /** Size gate for solving the CONTRACTED quotient graph on the
+    * driver: at or below this many symmetric quotient rows (2× the
+    * undirected quotient edge count) the component closure is a
+    * driver-side union-find over a bounded collect — the same
+    * bounded-driver-state class as the KMeans centroid and topV-vocab
+    * collects (≤ ~32 MB of longs at the default). Above it, the
+    * distributed star contraction runs unchanged. The quotient is the
+    * graph AFTER round-1 groups collapse, which on near-dup corpora is
+    * orders of magnitude smaller than the pair set — but it is
+    * data-sized, not parameter-sized, hence the gate. */
+  val DefaultMaxDriverQuotientRows: Int = 1 << 21
+
   def components(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIters: Int = 20,
+      maxDriverQuotientRows: Int = DefaultMaxDriverQuotientRows,
   ): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(maxDriverQuotientRows >= 0,
+      s"maxDriverQuotientRows must be >= 0, got $maxDriverQuotientRows")
     val edges = pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    // symmetrize: propagation must travel both directions. Partition by
-    // src and materialize once: every round joins this frame on src,
-    // and without the checkpoint each round would recompute the
-    // caller's entire pair-generation pipeline (an LSH near-dup
-    // cascade, typically).
+    // Symmetrize in ONE pass over the pair-producing pipeline (an LSH
+    // near-dup cascade, typically): each row explodes into both
+    // directions. The previous self-union evaluated the cascade once
+    // per branch unless exchange reuse happened to fire. Partition by
+    // src and materialize: the round-1 aggregate and the contraction
+    // join both reuse that layout.
     val sym = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .repartition(col("src"))
       .localCheckpoint(true)
     // Round 1, fused: sym is symmetric, so groupBy(src) keys are
     // exactly the vertex set — initial labeling and first propagation
     // are one shuffle-free aggregate over the pre-partitioned edges.
-    var labels = sym
+    val labels = sym
       .groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_nbr"))
       .select(col("id"), least(col("id"), col("_nbr")).as("component"))
       .localCheckpoint(true)
-    var frontier = labels.filter(col("component") =!= col("id"))
-    var round = 1
-    var converged = frontier.isEmpty // only true for an empty graph
-    while (!converged && round < math.min(EscalateAfter, maxIters)) {
-      // neighbor minimum per vertex, from frontier-incident edges only:
-      // bounded aggregation buffer, map-side combinable — flat under
-      // hub skew; volume ∝ frontier degree sum, not graph size
-      val nbrMin = sym
-        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("_nbr"))
-      val improved = labels
-        .join(nbrMin, Seq("id"))
-        .filter(col("_nbr") < col("component"))
-        .select(col("id"), col("_nbr").as("component"))
-        .localCheckpoint(true)
-      round += 1
-      if (improved.isEmpty) converged = true
-      else {
-        labels = labels
-          .join(improved.withColumnRenamed("component", "_new"), Seq("id"), "left")
-          .select(col("id"), coalesce(col("_new"), col("component")).as("component"))
-          .localCheckpoint(true)
-        frontier = improved
+    // Contract through the round-1 labels. sym and labels share the
+    // src hash layout, so the first join is exchange-free; the second
+    // re-keys by dst once. Self-loops (within-group edges) drop here —
+    // a graph whose components all collapsed in round 1 contracts to
+    // an EMPTY edge set and starComponents detects that with its
+    // zero-edge checksum before any contraction round runs.
+    val contracted = sym
+      .join(labels.select(col("id").as("src"), col("component").as("_la")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("component").as("_lb")), Seq("dst"))
+      .filter(col("_la") =!= col("_lb"))
+      .select(col("_la").as("src"), col("_lb").as("dst"))
+      .localCheckpoint(true)
+    // One bounded read answers "does the quotient fit the driver":
+    // take(bound+1) returning <= bound rows IS the whole quotient.
+    val head = contracted.select(col("src"), col("dst"))
+      .take(maxDriverQuotientRows + 1)
+    val quotientLabels: DataFrame =
+      if (head.isEmpty) {
+        // every component collapsed in round 1 — labels are final
+        return labels
+      } else if (head.length <= maxDriverQuotientRows) {
+        // Driver union-find over the bounded quotient (min-id roots —
+        // union points the larger root at the smaller, so every root
+        // is its component's minimum label value, which is the global
+        // minimum vertex id as argued above). Broadcast the closure
+        // back: one map per quotient vertex, joined below.
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+          r
+        }
+        head.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val roots = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+        keys.foreach(k => roots += ((k.longValue(), find(k.longValue()))))
+        val spark = pairs.sparkSession
+        broadcast(spark.createDataFrame(roots.toSeq)
+          .toDF("component", "_c2"))
+      } else {
+        System.err.println(
+          s"[graft.cc] quotient graph exceeds the $maxDriverQuotientRows-row " +
+            "driver gate — star contraction (O(log n) rounds)")
+        val (starLabels, starRounds) = starComponents(contracted, maxIters)
+        System.err.println(
+          s"[graft.cc] star contraction converged in $starRounds rounds")
+        starLabels.select(col("id").as("component"), col("component").as("_c2"))
       }
-    }
-    if (converged) labels
-    else {
-      // observable escalation (no-silent-behavior): a diameter-shaped
-      // graph is a data-shape fact the operator's user wants to know
-      System.err.println(
-        s"[graft.cc] frontier still moving after $round propagation rounds — " +
-          "escalating to large-star/small-star contraction (O(log n) rounds)")
-      val (starLabels, starRounds) = starComponents(sym, maxIters)
-      System.err.println(s"[graft.cc] star contraction converged in $starRounds rounds")
-      starLabels
-    }
+    // Compose: component(v) = quotientComponent(l(v)) when l(v)'s group
+    // had a crossing edge, else l(v) itself (single-group component).
+    // Only non-root quotient vertices need a remap row, so the
+    // broadcast frame stays within the gate bound.
+    labels
+      .join(quotientLabels, Seq("component"), "left")
+      .select(col("id"), coalesce(col("_c2"), col("component")).as("component"))
   }
 
   /** Alternating large-star/small-star contraction over the edge set

@@ -5,9 +5,13 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 20): Map[Long, Long] =
+  private def cc(
+      pairs: Seq[(Long, Long)],
+      maxIters: Int = 20,
+      maxDriverQuotientRows: Int = ConnectedComponents.DefaultMaxDriverQuotientRows,
+  ): Map[Long, Long] =
     ConnectedComponents
-      .components(pairs.toDF("a", "b"), "a", "b", maxIters)
+      .components(pairs.toDF("a", "b"), "a", "b", maxIters, maxDriverQuotientRows)
       .as[(Long, Long)].collect().toMap
 
   test("two components get their min ids; orientation and duplicates don't matter") {
@@ -72,8 +76,26 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("non-convergence throws instead of returning wrong labels") {
+    // gate the driver path off so the distributed star fallback (the
+    // only path with a round bound) is the one exercised
     val chain = (0L until 9L).map(i => (i, i + 1))
-    intercept[IllegalStateException] { cc(chain, maxIters = 2) }
+    intercept[IllegalStateException] {
+      cc(chain, maxIters = 2, maxDriverQuotientRows = 0)
+    }
+  }
+
+  test("law: driver union-find gate and star fallback agree (fixed seeds)") {
+    import org.scalacheck.{Gen, rng}
+    val edgeGen = for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L) if a != b
+    } yield (a, b)
+    val graphGen = Gen.listOfN(30, edgeGen)
+    for (seed <- 20L to 23L) {
+      val edges = graphGen(Gen.Parameters.default, rng.Seed(seed))
+        .getOrElse(fail(s"generator failed for seed $seed"))
+      assert(cc(edges) == cc(edges, maxDriverQuotientRows = 0), s"seed $seed")
+    }
   }
 
   test("empty pair set yields an empty labeling") {
