@@ -1184,7 +1184,14 @@ object SparkEntry {
         topV = 256, steps = 3, lr = 0.05, trainFilter = col("doc_id") % 2 === 0)
       val path = t12WeightsPathFor(v7CorpusKeyFor(dir))
       QualityClassifier.persist(model, s, path)
-      QualityClassifier.score(docs, "doc_id", "text", s.read.parquet(path))
+      // narrow scorer, not the vocab-join batch scorer: training only
+      // tokenized the doc_id%2==0 SAMPLE, so the full-corpus scoring
+      // pass shares nothing with it — the vocab-join form would pay a
+      // corpus explode plus two shuffles for a margin the map-literal
+      // decimal fold computes per-row with ZERO shuffles, and the two
+      // paths are bit-identical (StreamingIngestSpec "narrow scorer is
+      // the batch scorer's exact twin"; decimal addition is order-free)
+      QualityClassifier.scoreNarrow(docs, "doc_id", "text", s.read.parquet(path))
     }),
 
     // The stream-admission scorer (QualityClassifier.scoreNarrow):

@@ -874,6 +874,52 @@ case class Tokens(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** token_tf(text) → array<struct<t:string, tf:bigint>>: per-document
+  * TERM FREQUENCIES over the normalized whitespace tokens (the
+  * [[Tokens]] kernel's token stream folded through one hash map),
+  * first-occurrence order. This is the MAP-SIDE replacement for the
+  * `explode(tokens) → groupBy(doc, token) → count` idiom: term counts
+  * are a per-document statistic, so computing them inside the row
+  * kernel removes the full-vocabulary (doc, token) exchange — the
+  * largest shuffle of the BM25/classifier indexing paths — entirely.
+  * Σ tf over the array equals the token count (doc length), so doc
+  * lengths fold narrowly from the same array. */
+case class TokenTf(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("t", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_tf"
+
+  override def nullSafeEval(t: Any): Any = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+    val n = starts.size()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var j = 0
+    while (j < n) {
+      val tok = Tokenize.slice(bytes, starts.get(j), ends.get(j))
+      val prev = counts.get(tok)
+      counts.put(tok,
+        java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue + 1L))
+      j += 1
+    }
+    val arr = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(w) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue)
+      w += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ngrams(text) → array<string>: DSIR's feature list — ALL unigrams
   * in order, then all adjacent bigrams in order, NON-distinct (counts
   * matter for a multinomial). ≡ ImportanceResampling.ngramsOf over
@@ -1012,6 +1058,8 @@ object GraftFunctions {
       args => Shingles(args(0), args(1))),
     desc("graft_tokens", "normalized whitespace tokens of text, non-distinct, in order",
       args => Tokens(args(0))),
+    desc("graft_token_tf", "per-document (token, tf) pairs of normalized text, first-occurrence order",
+      args => TokenTf(args(0))),
     desc("graft_ngrams", "non-distinct unigrams then adjacent bigrams of normalized text",
       args => Ngrams(args(0))),
   )

@@ -114,18 +114,39 @@ object Bm25 {
     //   stats: one row (_n, _avgdl)
     val (qpost, dl, stats) =
       if (!pruneInstances) {
-        val tok = docs.select(col(idCol),
-          explode(TextAnalysis.normalizedTokens(col(textCol))).as("_t"))
-        // One tokenization pass: every statistic derives from the
-        // postings frame — doc length is the sum of its term counts,
-        // df a count over postings — so the corpus is scanned once,
-        // not three times. Cache the postings (vocab-per-doc-sized,
-        // i.e. sub-linear in raw text), action-scoped: released when
-        // the caller's query completes, so repeated calls in a
-        // long-lived session never accumulate cached postings.
-        val tf = graft.quality.CacheScope.cachedUntilAction(
-          tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf")))
-        val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
+        // One tokenization pass, MAP-SIDE term counting: term
+        // frequencies are a per-document statistic, so the old
+        // explode → groupBy(doc, token) idiom's full-VOCABULARY
+        // exchange (the largest shuffle of the indexing path at any
+        // scale) is not fundamental — the graft_token_tf kernel folds
+        // each document's token stream through one hash map inside
+        // the row, and doc lengths fold narrowly from the same array
+        // (Σ tf ≡ token count). Cache the per-doc arrays
+        // (vocab-per-doc-sized, i.e. sub-linear in raw text),
+        // action-scoped: the postings explode and the length fold are
+        // two consumers of one tokenization, and repeated calls in a
+        // long-lived session accumulate nothing.
+        // The repartition replaces the old shape's full-vocabulary
+        // aggregate exchange with a strictly smaller one — per-doc
+        // PACKED arrays (the id once per document, no per-(doc,term)
+        // row overhead) instead of flat (doc, term, tf) rows — and
+        // hash-partitions the postings by id, so the dl join below is
+        // exchange-free and the scoring fan-out inherits real
+        // parallelism even when the scan is a single split (small
+        // corpora are one parquet row group; at scale the scan has
+        // natural splits and this exchange is the indexing pass's
+        // only one).
+        val tfs = graft.quality.CacheScope.cachedUntilAction(
+          docs.select(col(idCol),
+            call_function("graft_token_tf", col(textCol)).as("_tfs"))
+            .repartition(col(idCol)))
+        val tf = tfs
+          .select(col(idCol), explode(col("_tfs")).as("_e"))
+          .select(col(idCol), col("_e.t").as("_t"), col("_e.tf").as("_tf"))
+        val dl = tfs
+          .select(col(idCol),
+            aggregate(col("_tfs"), lit(0L), (a, x) => a + x.getField("tf")).as("_dl"))
+          .filter(col("_dl") > 0)
         val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
         // Postings pruned to query terms BEFORE any per-term
         // statistic: df(t) over the pruned postings equals df(t) over

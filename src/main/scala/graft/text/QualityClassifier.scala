@@ -44,13 +44,15 @@ import org.apache.spark.sql.types.DecimalType
 object QualityClassifier {
 
   /** Per-document term frequencies over the capped-vocab candidate
-    * space: one (id, token, tf) row per distinct token per doc. */
+    * space: one (id, token, tf) row per distinct token per doc —
+    * MAP-SIDE via the graft_token_tf kernel (term counts are
+    * per-document, so the old explode → groupBy(id, token) idiom's
+    * full-vocabulary exchange was not fundamental). */
   private def docTermFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      explode(TextAnalysis.normalizedTokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      explode(call_function("graft_token_tf", col(textCol))).as("_e"))
+      .select(col(idCol), col("_e.t").as("token"), col("_e.tf").as("tf"))
 
   /** Top-`topV` tokens by document frequency (ties: token asc) —
     * deterministic, bounded. */

@@ -651,11 +651,32 @@ object TextDedup {
       bands: Int = 6,
       maxBucketSize: Int = DefaultMaxBucketSize,
   ): DataFrame = {
-    val local = minhashDedup(batch, idCol, textCol, threshold, k, numHashes, bands, maxBucketSize)
+    // ONE shingle/fingerprint pass over the batch feeds the internal
+    // dedup AND the survivor bucket derivation. Pre-r16 this called
+    // minhashDedup(batch) and then minhashBuckets(local) on its OUTPUT
+    // — re-evaluating the whole dedup plan and re-shingling survivor
+    // text a second time inside one query. The survivors of the
+    // keep-min-id dedup are exactly the surviving REPRESENTATIVES
+    // (every non-min member of an identical-shingle-set group loses to
+    // its rep at jaccard 1.0), and a rep row carries its group's
+    // shingle set — so the gate's buckets come from the cached rep
+    // rows, bucket-for-bucket what minhashBuckets(local) derived from
+    // raw text.
+    val hashed = CacheScope.cachedUntilAction(
+      withHashedShingles(batch, textCol, k, "sh")
+        .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
+    val reps = hashed.groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+    val repLosers = nearDupPairsOfHashed(reps.select(col(idCol), col("sh")),
+        idCol, threshold, numHashes, bands, maxBucketSize)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    val surviving = reps.select(col(idCol), col("sh"))
+      .join(repLosers, Seq(idCol), "left_anti")
+    val local = batch.join(surviving.select(col(idCol)), Seq(idCol), "left_semi")
     val baseBuckets = minhashBuckets(base, idCol, textCol, k, numHashes, bands)
       .select(col("band"), col("bucket")).distinct()
-    collisionGate(local,
-      minhashBuckets(local, idCol, textCol, k, numHashes, bands),
+    collisionGate(local, bucketsOfHashed(surviving, idCol, numHashes, bands),
       baseBuckets, idCol)
   }
 

@@ -102,4 +102,34 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.meanWordLengthOf(col("_toks"))).as[Double].head()
     assert(both == 3.0)
   }
+
+  test("law: graft_token_tf ≡ explode(graft_tokens) → groupBy count, on the real corpus") {
+    // the map-side kernel that replaced the (doc, token) exchange in
+    // the BM25/classifier indexing paths must count exactly what the
+    // shuffle counted
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(call_function("graft_token_tf", col("text"))).as("_e"))
+      .select(col("doc_id"), col("_e.t").as("token"), col("_e.tf").as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaShuffle = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaKernel == viaShuffle)
+    assert(viaKernel.nonEmpty)
+    // null and empty text: null yields NULL (explode drops), empty
+    // yields an empty array
+    val edge = Seq((1L, null: String), (2L, ""), (3L, "a a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(call_function("graft_token_tf", col("text"))).as("_e"))
+      .select(col("doc_id"), col("_e.t"), col("_e.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(edge == Set((3L, "a", 2L), (3L, "b", 1L)))
+  }
 }
