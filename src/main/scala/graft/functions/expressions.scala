@@ -874,6 +874,90 @@ case class Tokens(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Canonical pattern strings for [[TextStats]] — single source of
+  * truth shared with [[graft.text.TextAnalysis]] (whose oracle SQL
+  * mirrors them): change one and the other moves with it. */
+object GraftTextPatterns {
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b",
+    "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
+    "fr" -> "(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
+    "es" -> "(?i)\\b(el|los|las|es|una|para|con|por|del|como)\\b",
+  )
+  val ZhPattern = "[\\u4e00-\\u9fff]"
+  val PunctPattern = "[\\p{Punct}]"
+
+  private[functions] val Compiled: Array[java.util.regex.Pattern] =
+    (LangMarkers.map(_._2) ++ Seq(ZhPattern, PunctPattern))
+      .map(java.util.regex.Pattern.compile).toArray
+}
+
+/** text_stats(text) → struct<n_chars, n_tokens, tok_chars, punct, zh,
+  * en, de, fr, es>: every scalar the cheap text annotators (language
+  * id, quality score, token stats) consume, in ONE kernel pass — one
+  * String conversion and count-only java.util.regex loops (the same
+  * engine `regexp_extract_all` uses, so counts are bit-identical)
+  * instead of one conversion + a materialized match ARRAY per helper
+  * per row, plus one raw-byte whitespace tokenize (≡ the
+  * `split(trim(x), "\\s+")` boundaries — the [[Tokenize]] byte-class
+  * argument — WITHOUT lowercasing, so per-token char counts equal
+  * `length()` of the raw split tokens). The downstream annotators are
+  * plain arithmetic over the struct, and codegen subexpression
+  * elimination shares one evaluation across them. */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("tok_chars", LongType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("zh", IntegerType, nullable = false),
+    StructField("en", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  override def nullSafeEval(t: Any): Any = {
+    val u = t.asInstanceOf[UTF8String]
+    val s = u.toString
+    // count-only regex loops (en, de, fr, es, zh, punct)
+    val c = new Array[Int](GraftTextPatterns.Compiled.length)
+    var i = 0
+    while (i < c.length) {
+      val m = GraftTextPatterns.Compiled(i).matcher(s)
+      var k = 0
+      while (m.find()) k += 1
+      c(i) = k
+      i += 1
+    }
+    // raw-byte tokenize: java-\s is ASCII-only, multibyte UTF-8 units
+    // never collide with ASCII bytes; char count = non-continuation
+    // bytes
+    val bytes = u.getBytes
+    val n = bytes.length
+    var nTokens = 0
+    var tokChars = 0L
+    var p = 0
+    while (p < n) {
+      while (p < n && Tokenize.isWs(bytes(p))) p += 1
+      if (p < n) {
+        nTokens += 1
+        while (p < n && !Tokenize.isWs(bytes(p))) {
+          if ((bytes(p) & 0xC0) != 0x80) tokChars += 1
+          p += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      u.numChars(), nTokens, tokChars, c(5), c(4), c(0), c(1), c(2), c(3))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** token_tf(text) → array<struct<t:string, tf:bigint>>: per-document
   * TERM FREQUENCIES over the normalized whitespace tokens (the
   * [[Tokens]] kernel's token stream folded through one hash map),
@@ -1060,6 +1144,8 @@ object GraftFunctions {
       args => Tokens(args(0))),
     desc("graft_token_tf", "per-document (token, tf) pairs of normalized text, first-occurrence order",
       args => TokenTf(args(0))),
+    desc("graft_text_stats", "char/token/punct/lang-marker counts of text in one pass",
+      args => TextStats(args(0))),
     desc("graft_ngrams", "non-distinct unigrams then adjacent bigrams of normalized text",
       args => Ngrams(args(0))),
   )

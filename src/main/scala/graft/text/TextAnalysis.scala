@@ -19,7 +19,17 @@ object TextAnalysis {
     when(trim(text) === "" || text.isNull, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** The fused per-row stats struct (`graft_text_stats`): char/token/
+    * punct/lang-marker counts in one kernel pass. Every count-shaped
+    * annotator below is arithmetic over this ONE expression, and
+    * codegen subexpression elimination shares a single evaluation
+    * when several annotators sit in one projection (the curation
+    * annotate chain previously paid one String conversion + one
+    * materialized regex match ARRAY per helper per row). */
+  private def statsOf(text: Column): Column =
+    call_function("graft_text_stats", coalesce(text, lit("")))
+
+  def tokenCount(text: Column): Column = statsOf(text).getField("n_tokens")
 
   /** The `tokens(normalized(text))` idiom as ONE kernel call
     * (`graft_tokens`): lowercase + java-\s byte split in a single
@@ -47,16 +57,12 @@ object TextAnalysis {
   // argmax) is what matters.
   // -------------------------------------------------------------------
 
-  /** Tiny high-frequency function-word lists per language. */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b",
-    "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
-    "fr" -> "(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
-    "es" -> "(?i)\\b(el|los|las|es|una|para|con|por|del|como)\\b",
-  )
+  /** Tiny high-frequency function-word lists per language (canonical
+    * strings live next to the fused kernel — one source of truth). */
+  val LangMarkers: Seq[(String, String)] = graft.functions.GraftTextPatterns.LangMarkers
 
   /** CJK ideograph detection for zh (codepoint-range n-gram test). */
-  val ZhPattern = "[\\u4e00-\\u9fff]"
+  val ZhPattern = graft.functions.GraftTextPatterns.ZhPattern
 
   def langScore(text: Column, pattern: String): Column =
     size(regexp_extract_all(coalesce(text, lit("")), lit(pattern), lit(0)))
@@ -66,10 +72,14 @@ object TextAnalysis {
     * lexicographically LARGEST language code on a score tie (zh > fr >
     * es > en > de) — the t2 oracle's CASE chain mirrors exactly this
     * order, so any change here (or a new language) must be mirrored
-    * there. */
+    * there. Counts come from the fused stats kernel (same
+    * java.util.regex engine and patterns as the old per-marker
+    * regexp_extract_all chain — bit-identical counts, one text pass). */
   def langId(text: Column): Column = {
-    val zh = langScore(text, ZhPattern) * 3 // ideograms are strong signal
-    val scored = ("zh", zh) +: LangMarkers.map { case (l, p) => (l, langScore(text, p)) }
+    val st = statsOf(text)
+    val zh = st.getField("zh") * 3 // ideograms are strong signal
+    val scored = ("zh", zh) +:
+      LangMarkers.map { case (l, _) => (l, st.getField(l)) }
     val best = scored.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }
     val top = greatest(best: _*) // struct ordering: score first, then lang
     when(top.getField("score") > 0, top.getField("lang")).otherwise(lit("und"))
@@ -80,16 +90,15 @@ object TextAnalysis {
   // ratios, the standard cheap pre-filter for web-scale corpora.
   // -------------------------------------------------------------------
 
-  def punctCount(text: Column): Column =
-    size(regexp_extract_all(coalesce(text, lit("")), lit("[\\p{Punct}]"), lit(0)))
+  def punctCount(text: Column): Column = statsOf(text).getField("punct")
 
-  def stopwordCount(text: Column): Column =
-    langScore(text, LangMarkers.head._2)
+  def stopwordCount(text: Column): Column = statsOf(text).getField("en")
 
   def meanWordLength(text: Column): Column = {
-    val n = tokenCount(text)
+    val st = statsOf(text)
+    val n = st.getField("n_tokens")
     when(n === 0, lit(0.0))
-      .otherwise(aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      .otherwise(st.getField("tok_chars").cast("double") / n)
   }
 
   /** Composite quality score in [0,1]: rewards adequate length, real
@@ -97,13 +106,18 @@ object TextAnalysis {
     * exact formula is a deterministic, engine-portable stand-in for a
     * learned quality model. */
   def qualityScore(text: Column): Column = {
-    val chars = charCount(text).cast("double")
-    val toks = tokenCount(text).cast("double")
+    val st = statsOf(text)
+    val chars = st.getField("n_chars").cast("double")
+    val toks = st.getField("n_tokens").cast("double")
+    val mwl = {
+      val n = st.getField("n_tokens")
+      when(n === 0, lit(0.0)).otherwise(st.getField("tok_chars").cast("double") / n)
+    }
     val lengthOk = least(chars / 200.0, lit(1.0)) // saturate at 200 chars
-    val punctRatio = when(chars === 0, 1.0).otherwise(punctCount(text) / chars)
-    val stopRatio = when(toks === 0, 0.0).otherwise(least(stopwordCount(text) / toks, lit(0.5)) * 2.0)
+    val punctRatio = when(chars === 0, 1.0).otherwise(st.getField("punct") / chars)
+    val stopRatio = when(toks === 0, 0.0).otherwise(least(st.getField("en") / toks, lit(0.5)) * 2.0)
     val wordShape = when(toks === 0, 0.0)
-      .otherwise(least(meanWordLength(text) / 5.0, lit(1.0)))
+      .otherwise(least(mwl / 5.0, lit(1.0)))
     round(lit(0.4) * lengthOk + lit(0.2) * stopRatio + lit(0.2) * wordShape
       + lit(0.2) * (lit(1.0) - least(punctRatio * 5.0, lit(1.0))), 6)
   }
