@@ -33,8 +33,45 @@ import graft.warehouse.Warehouse
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Scan-split count per (dir, table), memoized — building the scan
+    * RDD just to count its partitions is cheap but not free, and tbl()
+    * is called several times per query. */
+  private val scanPartsByTable =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Shared table reader, with the guide's input-underparallelism
+    * remedy (spark_optimization_guide §2.5: an unsplittable or
+    * single-row-group input leaves the scan — and with it EVERY
+    * map-side kernel before the first exchange: tokenize, shingle,
+    * decode, explode+partial-agg — on a handful of cores; "fix at the
+    * source if you can; otherwise repartition immediately after the
+    * read"). The gate is scale-adaptive, not a local constant: it
+    * fires only when the scan yields fewer splits than the session's
+    * default parallelism, so a production-scale table (splits ≫
+    * cores) reads untouched and pays nothing, while a small or
+    * badly-laid-out input spreads once through a table-sized
+    * round-robin exchange. Catalyst still pushes filters/projections
+    * through the Repartition node, so PushedFilters/ReadSchema at the
+    * scan are unchanged. */
+  /** Tables whose consumers are map-KERNEL-heavy (tokenize / shingle /
+    * n-gram / vector math / codec decode) — the work that sits BEFORE
+    * any exchange and therefore inherits the scan's split count. The
+    * relational tables (events, lineitem, …) go straight to keyed
+    * aggregates/joins, where an extra round-robin exchange is pure
+    * overhead (measured: a1 +0.5 s, p1 +0.5 s at sf0.1) — they are
+    * deliberately NOT spread. */
+  private val SpreadTables = Set("documents", "media", "embeddings")
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (!SpreadTables(name)) df
+    else {
+      val parts = scanPartsByTable.computeIfAbsent(s"$dir/$name",
+        _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+      val par = s.sparkContext.defaultParallelism
+      if (parts >= par) df else df.repartition(par)
+    }
+  }
 
   /** events.ts normalization — the physical parquet type has varied
     * across testdata generations and the engine must accept all of
