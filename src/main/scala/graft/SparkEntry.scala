@@ -53,24 +53,35 @@ object SparkEntry {
     * round-robin exchange. Catalyst still pushes filters/projections
     * through the Repartition node, so PushedFilters/ReadSchema at the
     * scan are unchanged. */
-  /** Tables whose consumers are map-KERNEL-heavy (tokenize / shingle /
-    * n-gram / vector math / codec decode) — the work that sits BEFORE
-    * any exchange and therefore inherits the scan's split count. The
-    * relational tables (events, lineitem, …) go straight to keyed
-    * aggregates/joins, where an extra round-robin exchange is pure
-    * overhead (measured: a1 +0.5 s, p1 +0.5 s at sf0.1) — they are
-    * deliberately NOT spread. */
-  private val SpreadTables = Set("documents", "media", "embeddings")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (!SpreadTables(name)) df
-    else {
-      val parts = scanPartsByTable.computeIfAbsent(s"$dir/$name",
-        _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
-      val par = s.sparkContext.defaultParallelism
-      if (parts >= par) df else df.repartition(par)
-    }
+  /** [[tbl]] + the guide's input-underparallelism remedy, applied
+    * PER CALL SITE (guide §2.5 "fix at the source if you can;
+    * otherwise repartition immediately after the read"): the corpus
+    * parquet is one row group per table, so a scan is a single split
+    * and everything before the first exchange runs on one core. The
+    * gate is scale-adaptive — it fires only when the scan yields fewer
+    * splits than the session's default parallelism, so a
+    * production-scale table reads untouched — and Catalyst still
+    * pushes filters/projections through the Repartition node.
+    *
+    * Deliberately OPT-IN, not the tbl() default: the full-suite A/B
+    * (BENCH_MID_r16 vs BENCH_BASELINE_r16) showed the blanket form
+    * helps exactly the queries whose per-row KERNEL work dominates
+    * (codec decode, substring/jaccard grams, the annotator scans:
+    * mm* −80 %, td14 −45 %, t2/t3/t5/t7 −40–60 %) and HURTS the rest
+    * of the tail — sketch aggregates carry per-PARTITION partial
+    * buffers (CMS/Bloom/KMV state × 32 instead of × 1: t18/t27/t19
+    * +~2×), the LSH cascade pays per-stage task overhead across its
+    * many small stages (td3/td4 +25–35 %), and the embedding family
+    * likewise (v1/v3 +~50 %). */
+  private def spreadTbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = tbl(s, dir, name)
+    val parts = scanPartsByTable.computeIfAbsent(s"$dir/$name",
+      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+    val par = s.sparkContext.defaultParallelism
+    if (parts >= par) df else df.repartition(par)
   }
 
   /** events.ts normalization — the physical parquet type has varied
@@ -684,11 +695,11 @@ object SparkEntry {
     }),
 
     "t2_lang_id" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
     "t3_quality_score" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     "t4_fingerprint" -> ((s, dir) =>
@@ -697,7 +708,7 @@ object SparkEntry {
 
     // Rolling 64-bit content hash (order-sensitive) — no SQL oracle.
     "t5_rolling_hash" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingHash64(col("text")).as("rhash"))),
 
     // Composed curation pipeline, deterministic prefix: annotate
@@ -935,7 +946,7 @@ object SparkEntry {
     // steers only sort-task balance).
     "tp20_top_fraction_bucketed" -> ((s, dir) =>
       Sampling
-        .topFractionByScoreBucketed(tbl(s, dir, "documents"), col("lang"),
+        .topFractionByScoreBucketed(spreadTbl(s, dir, "documents"), col("lang"),
           TextAnalysis.qualityScore(col("text")), col("doc_id"), fraction = 0.5)
         .select("doc_id", "lang", "source")),
 
@@ -994,7 +1005,7 @@ object SparkEntry {
     // length-punct quality score can't see. Tokens bound as a real
     // column first (HOF lambda re-evaluation gotcha).
     "t7_repetition" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .withColumn("_toks", TextAnalysis.normalizedTokens(col("text")))
         .select(col("doc_id"),
           TextAnalysis.repetitionScore(col("_toks"), 2).as("rep_2gram"))),
@@ -1168,7 +1179,7 @@ object SparkEntry {
       val passSym = symr <= 0.1
       val passAlpha = alpha >= 0.8
       val passStop = stop >= 2
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .withColumn("_toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
           wc.as("n_words"),
@@ -1252,7 +1263,7 @@ object SparkEntry {
         lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
         col("doc_id") % 256, lit("."), col("doc_id") % 100,
         lit(" tel +1 555 867-53"), col("doc_id") % 100)
-      tbl(s, dir, "documents")
+      spreadTbl(s, dir, "documents")
         .select(col("doc_id"), Scrub.redact(injected).as("_scrubbed"))
         .select(col("doc_id"),
           md5(col("_scrubbed")).as("scrubbed_md5"),
@@ -1312,7 +1323,7 @@ object SparkEntry {
     // sum over a ≤ B-row broadcast of per-bucket log deltas.
     // Hash-checked: buckets replay as gmix64(fnv1a(gram)) % B.
     "tp17_dsir_weights" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = spreadTbl(s, dir, "documents")
       ImportanceResampling.logWeights(
         docs, "doc_id", "text", docs.filter(col("lang") === "en"), DsirBuckets)
     }),
@@ -1349,7 +1360,7 @@ object SparkEntry {
     // Word-set (k=1 shingle) Jaccard pairs within a blocking key.
     "td2_ngram_jaccard" -> ((s, dir) =>
       TextDedup.blockedJaccardPairs(
-        tbl(s, dir, "documents"), "doc_id", "text", "source", k = 1, threshold = 0.5)),
+        spreadTbl(s, dir, "documents"), "doc_id", "text", "source", k = 1, threshold = 0.5)),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥0.9.
     // Identical word sets ⇒ identical signatures ⇒ recall 1 at j=1.
@@ -1464,14 +1475,14 @@ object SparkEntry {
     // rebuilt text is md5-compared — so the oracle re-derives the full
     // interval-union algebra, not just counts.
     "td14_exact_substring_dedup" -> ((s, dir) =>
-      TextDedup.exactSubstringDedup(tbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
+      TextDedup.exactSubstringDedup(spreadTbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
 
     // td14 with the gram shuffle key hash-packed to 128 bits (two
     // independent xxhash64 draws) — the 100 TB shuffle-bytes knob.
     // Answers to the SAME oracle SQL as td14, so packed ≡ exact is an
     // oracle-checked fact every round, not only a spec assertion.
     "td15_substring_dedup_packed" -> ((s, dir) =>
-      TextDedup.exactSubstringDedupPacked(tbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
+      TextDedup.exactSubstringDedupPacked(spreadTbl(s, dir, "documents"), "doc_id", "text", k = SubstrK)),
 
     "td8_line_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(
@@ -1719,7 +1730,7 @@ object SparkEntry {
     // dimensions and channel means are oracle-reproducible from the
     // id arithmetic in ImageIoCodec.synthPng.
     "mm2_media_features" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticImageTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticImageTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       Multimodal
         .extractImageFeatures(s, media)
         .select("media_id", "media_type", "decoded", "width", "height",
@@ -1730,7 +1741,7 @@ object SparkEntry {
     // solid-fill source keeps the rescale exact, so the round-trip is
     // oracle-checkable too.
     "mm3_thumbnail" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticImageTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticImageTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       val thumbs = Multimodal.resizeImages(s, media, 20, 12)
       Multimodal
         .extractImageFeatures(s, thumbs)
@@ -1743,7 +1754,7 @@ object SparkEntry {
     // is oracle-reproducible from the id arithmetic in
     // WavCodec.synthWav.
     "mm4_audio_features" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticAudioTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticAudioTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       Multimodal
         .extractAudioFeatures(s, media)
         .select("media_id", "media_type", "decoded", "sample_rate",
@@ -1755,7 +1766,7 @@ object SparkEntry {
     // constant +amp signal, so RMS and peak stay exactly amplitude at
     // half the rate and frame count.
     "mm6_audio_resample" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticAudioTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticAudioTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       val resampled = Multimodal.resampleAudio(s, media, factor = 2)
       Multimodal
         .extractAudioFeatures(s, resampled)
@@ -1768,7 +1779,7 @@ object SparkEntry {
     // oracle-reproducible from the id arithmetic in
     // GifFrameCodec.synthGif.
     "mm5_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticVideoTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticVideoTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       Multimodal
         .sampleFrameFeatures(s, media, every = 2)
         .select("media_id", "frame_no", "decoded", "width", "height",
@@ -1782,7 +1793,7 @@ object SparkEntry {
     // are deliberately NOT in the compared output — JPEG is lossy, so
     // their tolerance contract lives in MultimodalSpec instead.
     "mm7_avi_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.asSyntheticAviTable(s, tbl(s, dir, "documents"), "doc_id")
+      val media = Multimodal.asSyntheticAviTable(s, spreadTbl(s, dir, "documents"), "doc_id")
       Multimodal
         .sampleFrameFeatures(s, media, every = 2)
         .select("media_id", "frame_no", "decoded", "width", "height")
@@ -2728,6 +2739,28 @@ object SparkEntry {
   private def annWarehouseFor(dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ann_${System.getProperty("user.name", "anon")}_${v7CorpusKeyFor(dir)}").toString
+
+  /** Delete the persisted per-corpus ANN index warehouse, so the
+    * CALLING invocation provably rebuilds it from the parquet inputs.
+    * Every other persisted query artifact (t12 weights, v12 codebooks,
+    * v7 centroids) is write-through — re-trained and re-written on
+    * every call — but [[graft.sim.IvfIndex.ensure]] deliberately skips
+    * a rebuild when the published meta row still matches (the M2
+    * refresh-cadence contract). That is correct for a long-lived
+    * session and WRONG for a measurement contract that requires each
+    * bench/verify invocation to compute from the inputs: Bench and
+    * Verify call this at startup, so the index build happens inside
+    * the invocation (in Bench's untimed warm-up, exactly like the t30
+    * corpus-stats session refresh), never carried over from a previous
+    * process. */
+  def purgePersistedIndexes(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(annWarehouseFor(dir)))
+  }
 
   private val AnnParamsA = IvfIndex.Params(targetList = 1024L,
     pq = Some(IvfIndex.PqParams(m = 4, subDim = 16, ksub = 16)))

@@ -18,6 +18,9 @@ object Verify {
     val nameFilter: String => Boolean =
       if (args.length > 2) _.contains(args(2)) else _ => true
     val cpus = Defaults.cpus
+    // every invocation computes from the parquet inputs: drop any ANN
+    // index a previous process published for this corpus
+    SparkEntry.purgePersistedIndexes(sfDir)
     val spark = Defaults.sessionBuilder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -84,8 +84,15 @@ object BigramLM {
 
     val bg = bigrams(df, idCol, textCol)
     val m = mapped(bg.select(col(idCol), col("w1"), col("w2")), vocab)
-    val c12 = m.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = m.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c12 is the vocab-BOUNDED bigram table (≤ (topV+1)² rows), and
+    // c1(w1) = Σ_w2 c12(w1, w2) exactly — deriving the unigram context
+    // counts from it removes a third full corpus pass (the old
+    // m.groupBy(w1) re-ran the explode+mapping chain end to end).
+    // Cached so the c1 derivation and the scoring broadcast share one
+    // evaluation of the bigram aggregate.
+    val c12 = graft.quality.CacheScope.cachedUntilAction(
+      m.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
 
     val scored = m
       .join(broadcast(c12), Seq("w1", "w2"))
