@@ -43,6 +43,18 @@ object Defaults {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // ObjectHashAggregate (collect_list/collect_set — the LSH
+      // bucket-member lists) falls back to SORT-based aggregation at
+      // 128 in-memory keys by default; the minhash cascade's
+      // (band, bucket) aggregate has thousands of keys per task, and
+      // QProf showed every task falling back (numTasksFallBacked=32,
+      // 3.1 s aggTime + the sort path re-serializing signature
+      // structs). 4096 keys × a bounded bucket-member buffer
+      // (maxBucketSize × ~250 B ≈ 8 KB) ≈ 32 MB per task worst-case —
+      // safe on any executor profile this engine targets, and the
+      // fallback still guards beyond it. Scale-independent: the limit
+      // is per-task state, not data size.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
