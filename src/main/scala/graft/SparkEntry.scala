@@ -1722,7 +1722,7 @@ object SparkEntry {
 
     "mm1_media_meta" -> ((s, dir) =>
       Multimodal
-        .asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+        .asMediaTable(spreadTbl(s, dir, "documents"), "doc_id", "text")
         .select("media_id", "media_type", "n_bytes")),
 
     // Real javax.imageio decode over synthesized PNG payloads: the

@@ -958,6 +958,44 @@ case class TextStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** token_stats(text) → struct<n_chars, n_tokens, tok_chars>: the
+  * tokenizer-only subset of [[TextStats]] — for annotators that need
+  * counts and lengths but NO regex-marker counts (token stats,
+  * budget packing), which would otherwise pay six wasted regex scans
+  * per row. Same raw-byte tokenize, bit-identical fields. */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("tok_chars", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  override def nullSafeEval(t: Any): Any = {
+    val u = t.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val n = bytes.length
+    var nTokens = 0
+    var tokChars = 0L
+    var p = 0
+    while (p < n) {
+      while (p < n && Tokenize.isWs(bytes(p))) p += 1
+      if (p < n) {
+        nTokens += 1
+        while (p < n && !Tokenize.isWs(bytes(p))) {
+          if ((bytes(p) & 0xC0) != 0x80) tokChars += 1
+          p += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(u.numChars(), nTokens, tokChars)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** token_tf(text) → array<struct<t:string, tf:bigint>>: per-document
   * TERM FREQUENCIES over the normalized whitespace tokens (the
   * [[Tokens]] kernel's token stream folded through one hash map),
@@ -1146,6 +1184,8 @@ object GraftFunctions {
       args => TokenTf(args(0))),
     desc("graft_text_stats", "char/token/punct/lang-marker counts of text in one pass",
       args => TextStats(args(0))),
+    desc("graft_token_stats", "char/token/token-char counts of text (no regex markers)",
+      args => TokenStats(args(0))),
     desc("graft_ngrams", "non-distinct unigrams then adjacent bigrams of normalized text",
       args => Ngrams(args(0))),
   )

@@ -29,7 +29,13 @@ object TextAnalysis {
   private def statsOf(text: Column): Column =
     call_function("graft_text_stats", coalesce(text, lit("")))
 
-  def tokenCount(text: Column): Column = statsOf(text).getField("n_tokens")
+  /** Tokenizer-only stats (no regex-marker counts) — for annotators
+    * that need counts/lengths alone; the full statsOf would pay six
+    * wasted regex scans per row (measured +0.4 s on t1). */
+  private def tokStatsOf(text: Column): Column =
+    call_function("graft_token_stats", coalesce(text, lit("")))
+
+  def tokenCount(text: Column): Column = tokStatsOf(text).getField("n_tokens")
 
   /** The `tokens(normalized(text))` idiom as ONE kernel call
     * (`graft_tokens`): lowercase + java-\s byte split in a single
@@ -95,7 +101,7 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column = statsOf(text).getField("en")
 
   def meanWordLength(text: Column): Column = {
-    val st = statsOf(text)
+    val st = tokStatsOf(text)
     val n = st.getField("n_tokens")
     when(n === 0, lit(0.0))
       .otherwise(st.getField("tok_chars").cast("double") / n)
