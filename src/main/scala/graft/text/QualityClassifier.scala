@@ -88,33 +88,45 @@ object QualityClassifier {
     // training pass (cache held for the whole shared scope).
     val tfAll = graft.quality.CacheScope.cachedUntilAction(
       docTermFreqs(sample, idCol, textCol))
-    val labels = sample.select(col(idCol), col(labelCol).cast("double").as("y"))
+    // labels cached too: the weak-label HEURISTIC expression
+    // (token-stats kernels over the sample text) is referenced by the
+    // count action, the NB aggregate and every GD step's residual —
+    // uncached it re-ran per consumer.
+    val labels = graft.quality.CacheScope.cachedUntilAction(
+      sample.select(col(idCol), col(labelCol).cast("double").as("y")))
     val nRow = labels.agg(count(lit(1)), sum(col("y"))).head()
     val n = nRow.getLong(0).max(1L)
     val nPos = Option(nRow.get(1)).fold(0.0)(_ => nRow.getDouble(1))
-    val vocab: Array[String] = tfAll
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // ONE aggregate pass yields the vocabulary AND the NB class
+    // frequencies (pre-r16 these were two actions and an extra join
+    // pass): per-token (df, cfp, cft) over the labeled postings, top
+    // topV by (df desc, token) — per-token statistics are identical
+    // whether computed before or after the vocab cut, and the
+    // tf·y/tf sums are integer-valued doubles, so they are exact and
+    // order-free. The collect stays bounded by topV.
+    val vocabCf: Array[(String, Double, Double)] = tfAll
+      .join(labels, Seq(idCol))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf") * col("y")).as("cfp"),
+        sum(col("tf").cast("double")).as("cft"))
       .orderBy(col("df").desc, col("token")).limit(topV)
-      .select("token").collect().map(_.getString(0))
+      .select("token", "cfp", "cft").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val vocab: Array[String] = vocabCf.map(_._1)
     // Every aggregate below runs on the vocab-restricted rows, so all
     // driver collects are bounded by topV, never the raw vocab.
     val vocabDf = spark.createDataFrame(vocab.toSeq.map(Tuple1(_))).toDF("token")
     val toks = graft.quality.CacheScope.cachedUntilAction(
       tfAll.join(broadcast(vocabDf), Seq("token")))
 
-    // Multinomial NB warm start: per-token per-class collection
-    // frequencies in ONE aggregate pass, Laplace α = 1 over the capped
-    // vocab. Full-batch GD from zero would need tens of passes to move
-    // off the flat sigmoid(0) plateau; from the NB odds it refines in
-    // a few.
+    // Multinomial NB warm start, Laplace α = 1 over the capped vocab.
+    // Full-batch GD from zero would need tens of passes to move off
+    // the flat sigmoid(0) plateau; from the NB odds it refines in a
+    // few.
     val nNeg = (n - nPos).max(1.0)
-    val cf: Map[String, (Double, Double)] = toks
-      .join(labels, Seq(idCol))
-      .groupBy(col("token"))
-      .agg(sum(col("tf") * col("y")).as("cfp"), sum(col("tf").cast("double")).as("cft"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
-      .toMap
+    val cf: Map[String, (Double, Double)] =
+      vocabCf.map { case (t, cfp, cft) => t -> ((cfp, cft)) }.toMap
     val cfPos = cf.valuesIterator.map(_._1).sum
     val cfNeg = cf.valuesIterator.map(v => v._2 - v._1).sum
     val v = vocab.length.max(1)
