@@ -1452,8 +1452,18 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val base = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      // The base side is the STORED (band, bucket) index — persisted,
+      // refresh-maintained, purged per Bench/Verify invocation
+      // (purgePersistedIndexes) and rebuilt inside the invocation, the
+      // IvfIndex pattern. Pre-r17 the query re-shingled and re-signed
+      // the full base corpus on every call; the gate's drop set is
+      // bucket-for-bucket identical (TextDedupSpec pins the two forms,
+      // and the oracle re-derives the base buckets from text).
+      val h = graft.text.BucketIndex.ensure(s, annWarehouseFor(dir), "td11_base",
+        base, "doc_id", "text", k = 1, numHashes = 30, bands = 6)
       TextDedup
-        .minhashDedupAgainstBase(batch, base, "doc_id", "text", threshold = 0.9)
+        .minhashDedupAgainstBaseBuckets(batch,
+          graft.text.BucketIndex.buckets(s, h), "doc_id", "text", threshold = 0.9)
         .select("doc_id", "lang", "source")
     }),
 
@@ -2740,12 +2750,15 @@ object SparkEntry {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ann_${System.getProperty("user.name", "anon")}_${v7CorpusKeyFor(dir)}").toString
 
-  /** Delete the persisted per-corpus ANN index warehouse, so the
-    * CALLING invocation provably rebuilds it from the parquet inputs.
-    * Every other persisted query artifact (t12 weights, v12 codebooks,
-    * v7 centroids) is write-through — re-trained and re-written on
-    * every call — but [[graft.sim.IvfIndex.ensure]] deliberately skips
-    * a rebuild when the published meta row still matches (the M2
+  /** Delete the persisted per-corpus index warehouse (the IVF tables
+    * AND the td11 base bucket index — both live under
+    * [[annWarehouseFor]]), so the CALLING invocation provably rebuilds
+    * them from the parquet inputs. Every other persisted query
+    * artifact (t12 weights, v12 codebooks, v7 centroids) is
+    * write-through — re-trained and re-written on every call — but
+    * [[graft.sim.IvfIndex.ensure]] and
+    * [[graft.text.BucketIndex.ensure]] deliberately skip a rebuild
+    * when the published meta row still matches (the M2
     * refresh-cadence contract). That is correct for a long-lived
     * session and WRONG for a measurement contract that requires each
     * bench/verify invocation to compute from the inputs: Bench and

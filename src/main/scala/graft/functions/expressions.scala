@@ -114,16 +114,27 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   * rows-only to hash-checked in the oracle. Empty input → all
   * elements [[GHash.EmptySigElement]] (unsigned max). */
 case class MinHashSignature(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes =
     Seq(ArrayType(LongType), IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override def nullSafeEval(a: Any, n: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
-    val numHashes = n.asInstanceOf[Int]
+  override def nullSafeEval(a: Any, n: Any): Any =
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($a, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object MinHashSignature {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) {
@@ -141,9 +152,6 @@ case class MinHashSignature(left: Expression, right: Expression)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** simhash_bits(tokens, nBits): classic SimHash — one 64-bit token
@@ -153,24 +161,33 @@ case class MinHashSignature(left: Expression, right: Expression)
   * enforced — a wider request would silently reuse bits 0..63 via the
   * wrapping shift. */
 case class SimHashBits(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes =
     Seq(ArrayType(StringType), IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_simhash_bits"
 
-  override def nullSafeEval(a: Any, n: Any): Any = {
-    val nBits = n.asInstanceOf[Int]
-    val counters = SimHashCore.voteCounters(a.asInstanceOf[ArrayData], nBits)
+  override def nullSafeEval(a: Any, n: Any): Any =
+    SimHashBits.compute(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) =>
+      s"${ev.value} = graft.functions.SimHashBits.compute($a, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SimHashBits {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, nBits: Int): ArrayData = {
+    val counters = SimHashCore.voteCounters(arr, nBits)
     val bits = new Array[Int](nBits)
     var b = 0
     while (b < nBits) { bits(b) = if (counters(b) > 0) 1 else 0; b += 1 }
     new GenericArrayData(bits)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** The per-token SimHash voting loop shared by [[SimHashBits]] and
@@ -222,14 +239,26 @@ object SimHashCore {
   * codegen'd built-ins — and the column is sortable/hashable by any
   * external comparator (an array<int> signature is not). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
-  override def nullSafeEval(a: Any): Any = {
-    val counters = SimHashCore.voteCounters(a.asInstanceOf[ArrayData], 64)
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
+    val counters = SimHashCore.voteCounters(arr, 64)
     var sig = 0L
     var b = 0
     while (b < 64) {
@@ -238,8 +267,6 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** token_hash(s) → gmix64(fnv1a(s)): the scalar form of the per-token
@@ -248,16 +275,26 @@ case class SimHash64(child: Expression)
   * ([[graft.text.Sketches]]) hash EXPLODED token streams with the
   * same SQL-replayable chain the array expressions use internally. */
 case class TokenHash64(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_token_hash"
 
   override def nullSafeEval(s: Any): Any =
-    GHash.gmix64(SimHashCore.fnv1aUtf8(s.asInstanceOf[UTF8String]))
+    TokenHash64.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokenHash64.compute($s);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): Long =
+    GHash.gmix64(SimHashCore.fnv1aUtf8(s))
 }
 
 /** hash_shingles(arr<string>) → sorted distinct arr<long> (FNV-1a 64
@@ -268,14 +305,25 @@ case class TokenHash64(child: Expression)
   * 360 µs and ~3 µs per candidate pair. 64-bit hashes make
   * within-pair collisions (~1e-15) irrelevant. */
 case class HashShingles(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hash_shingles"
 
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    HashShingles.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashShingles.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashShingles {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val hs = new Array[Long](n)
     var i = 0
@@ -293,8 +341,6 @@ case class HashShingles(child: Expression)
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Sorted distinct 64-bit hash array packed to a 32-bit binary set:
@@ -310,14 +356,25 @@ case class HashShingles(child: Expression)
   * near 0.9 is ±1/|A∪B|), and BOTH gate sides are packed through this
   * same kernel so the two engines compare identical 32-bit sets. */
 case class PackHashes32(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_pack_hashes32"
 
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    PackHashes32.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PackHashes32.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PackHashes32 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val hs = new Array[Int](n)
     var i = 0
@@ -341,27 +398,36 @@ case class PackHashes32(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** jaccard of two [[PackHashes32]] sets: merge intersection straight
   * over the packed bytes, no allocation. Both inputs MUST come from
   * the same packing kernel (sorted distinct 32-bit, 4 bytes BE). */
 case class JaccardPacked32(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard_packed32"
 
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardPacked32.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardPacked32.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaccardPacked32 {
   private def at(b: Array[Byte], i: Int): Int =
     ((b(i * 4) & 0xff) << 24) | ((b(i * 4 + 1) & 0xff) << 16) |
       ((b(i * 4 + 2) & 0xff) << 8) | (b(i * 4 + 3) & 0xff)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Array[Byte]]
-    val y = b.asInstanceOf[Array[Byte]]
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: Array[Byte], y: Array[Byte]): Double = {
     val nx = x.length / 4
     val ny = y.length / 4
     var i = 0
@@ -377,23 +443,31 @@ case class JaccardPacked32(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** jaccard of two sorted distinct long arrays: merge intersection,
   * no allocation. */
 case class JaccardSortedLong(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard_sorted"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSortedLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSortedLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaccardSortedLong {
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -409,9 +483,6 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** bucket_pairs(members, rowsPerBand, band, minAgree) — in-bucket LSH
@@ -617,15 +688,27 @@ case class SrpSignature(first: Expression, second: Expression, third: Expression
   * (`list_reduce` with `*`/`+`/`%`), so band bucket assignment — and
   * therefore the candidate pair set — is oracle-replayable. */
 case class PolyFoldLong(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(LongType), LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_fold"
 
-  override def nullSafeEval(a: Any, s: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
-    var acc = s.asInstanceOf[Long]
+  override def nullSafeEval(a: Any, s: Any): Any =
+    PolyFoldLong.compute(a.asInstanceOf[ArrayData], s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) =>
+      s"${ev.value} = graft.functions.PolyFoldLong.compute($a, $s);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PolyFoldLong {
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, seed: Long): Long = {
+    var acc = seed
     var i = 0
     while (i < arr.numElements()) {
       acc = acc * GHash.FnvPrime + arr.getLong(i)
@@ -633,9 +716,6 @@ case class PolyFoldLong(left: Expression, right: Expression)
     }
     acc
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** bloom_suspicion(grams, masks, width) →
@@ -856,20 +936,60 @@ private[functions] object Tokenize {
   * The entry point for every per-token operator (LM scoring, BM25,
   * sketches, DSIR) that previously paid the regex chain per row. */
 case class Tokens(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
 
-  override def nullSafeEval(t: Any): Any = {
-    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any): Any =
+    Tokens.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Tokens.compute($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Tokens {
+  /** Shared by interpreted eval and generated code. */
+  def compute(t: UTF8String): ArrayData = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t)
     val n = starts.size()
     val arr = new Array[Any](n)
     var j = 0
     while (j < n) { arr(j) = Tokenize.slice(bytes, starts.get(j), ends.get(j)); j += 1 }
     new GenericArrayData(arr)
   }
+}
+
+/** eval_once(expr) — IDENTITY on its child, flagged non-deterministic
+  * so the optimizer will not duplicate or reorder it (the guide §4.4
+  * remedy for expensive expressions, applied to a native kernel
+  * instead of a Python UDF). The curation chain computes a
+  * [[TextStats]] struct column and then FILTERS on fields derived
+  * from it; `PushDownPredicate` would inline the whole kernel into
+  * the filter predicate once per conjunct (and `CollapseProject`
+  * once per consumer), and whole-stage-codegen Filter nodes do no
+  * subexpression elimination — measured 2.8–5.8× regressions on
+  * tp1/tp2/tp12 when the kernels joined codegen without this
+  * barrier. Wrapping the ONE struct evaluation in eval_once pins it
+  * to its own Project; every consumer (including the pushed-down
+  * filter) references the computed column. The child is genuinely
+  * deterministic — the flag is strictly an optimizer barrier, so
+  * values, oracle replays and retries are unaffected. */
+case class EvalBarrier(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "graft_eval_once"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -902,10 +1022,13 @@ object GraftTextPatterns {
   * `split(trim(x), "\\s+")` boundaries — the [[Tokenize]] byte-class
   * argument — WITHOUT lowercasing, so per-token char counts equal
   * `length()` of the raw split tokens). The downstream annotators are
-  * plain arithmetic over the struct, and codegen subexpression
-  * elimination shares one evaluation across them. */
+  * plain arithmetic over the struct. Participates in whole-stage
+  * codegen (one static-call doGenCode, the [[CosineSimilarity]]
+  * pattern), so an annotator Project stays one starred codegen span
+  * and WSCG subexpression elimination shares ONE kernel evaluation
+  * per row across every annotator in the projection. */
 case class TextStats(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -920,8 +1043,19 @@ case class TextStats(child: Expression)
     StructField("es", IntegerType, nullable = false)))
   override def prettyName: String = "graft_text_stats"
 
-  override def nullSafeEval(t: Any): Any = {
-    val u = t.asInstanceOf[UTF8String]
+  override def nullSafeEval(t: Any): Any =
+    TextStats.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextStats.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextStats {
+  /** Shared by interpreted eval and generated code. */
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = u.toString
     // count-only regex loops (en, de, fr, es, zh, punct)
     val c = new Array[Int](GraftTextPatterns.Compiled.length)
@@ -954,17 +1088,16 @@ case class TextStats(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(
       u.numChars(), nTokens, tokChars, c(5), c(4), c(0), c(1), c(2), c(3))
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** token_stats(text) → struct<n_chars, n_tokens, tok_chars>: the
   * tokenizer-only subset of [[TextStats]] — for annotators that need
   * counts and lengths but NO regex-marker counts (token stats,
   * budget packing), which would otherwise pay six wasted regex scans
-  * per row. Same raw-byte tokenize, bit-identical fields. */
+  * per row. Same raw-byte tokenize, bit-identical fields. Codegen'd
+  * like [[TextStats]]. */
 case class TokenStats(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -973,8 +1106,19 @@ case class TokenStats(child: Expression)
     StructField("tok_chars", LongType, nullable = false)))
   override def prettyName: String = "graft_token_stats"
 
-  override def nullSafeEval(t: Any): Any = {
-    val u = t.asInstanceOf[UTF8String]
+  override def nullSafeEval(t: Any): Any =
+    TokenStats.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenStats.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenStats {
+  /** Shared by interpreted eval and generated code. */
+  def compute(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = u.getBytes
     val n = bytes.length
     var nTokens = 0
@@ -992,8 +1136,6 @@ case class TokenStats(child: Expression)
     }
     org.apache.spark.sql.catalyst.InternalRow(u.numChars(), nTokens, tokChars)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** token_tf(text) → array<struct<t:string, tf:bigint>>: per-document
@@ -1007,7 +1149,7 @@ case class TokenStats(child: Expression)
   * Σ tf over the array equals the token count (doc length), so doc
   * lengths fold narrowly from the same array. */
 case class TokenTf(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(
@@ -1016,8 +1158,20 @@ case class TokenTf(child: Expression)
     containsNull = false)
   override def prettyName: String = "graft_token_tf"
 
-  override def nullSafeEval(t: Any): Any = {
-    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any): Any =
+    TokenTf.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenTf.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenTf {
+  /** Shared by interpreted eval and generated code. */
+  def compute(t: UTF8String): ArrayData = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t)
     val n = starts.size()
     val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var j = 0
@@ -1038,8 +1192,6 @@ case class TokenTf(child: Expression)
     }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** ngrams(text) → array<string>: DSIR's feature list — ALL unigrams
@@ -1047,14 +1199,26 @@ case class TokenTf(child: Expression)
   * matter for a multinomial). ≡ ImportanceResampling.ngramsOf over
   * the normalized tokens, as one kernel loop. */
 case class Ngrams(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_ngrams"
 
-  override def nullSafeEval(t: Any): Any = {
-    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any): Any =
+    Ngrams.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Ngrams.compute($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Ngrams {
+  /** Shared by interpreted eval and generated code. */
+  def compute(t: UTF8String): ArrayData = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t)
     val n = starts.size()
     val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
     var j = 0
@@ -1063,12 +1227,10 @@ case class Ngrams(child: Expression)
     while (g < n - 1) { out(n + g) = Tokenize.joined(bytes, starts, ends, g, g + 1); g += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class Shingles(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1089,9 +1251,21 @@ case class Shingles(left: Expression, right: Expression)
     }
   }
 
-  override def nullSafeEval(t: Any, kAny: Any): Any = {
-    val k = kAny.asInstanceOf[Int]
-    val (bytes, starts, ends) = Tokenize.tokenize(t.asInstanceOf[UTF8String])
+  override def nullSafeEval(t: Any, kAny: Any): Any =
+    Shingles.compute(t.asInstanceOf[UTF8String], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.functions.Shingles.compute($t, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Shingles {
+  /** Shared by interpreted eval and generated code. */
+  def compute(t: UTF8String, k: Int): ArrayData = {
+    val (bytes, starts, ends) = Tokenize.tokenize(t)
     val nTok = starts.size()
     val seen = new java.util.LinkedHashSet[UTF8String]()
     if (k <= 1) {
@@ -1118,9 +1292,6 @@ case class Shingles(left: Expression, right: Expression)
     while (it.hasNext) { arr(w) = it.next(); w += 1 }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 object GraftFunctions {
@@ -1188,5 +1359,7 @@ object GraftFunctions {
       args => TokenStats(args(0))),
     desc("graft_ngrams", "non-distinct unigrams then adjacent bigrams of normalized text",
       args => Ngrams(args(0))),
+    desc("graft_eval_once", "identity optimizer barrier: the child is evaluated exactly once per row",
+      args => EvalBarrier(args(0))),
   )
 }

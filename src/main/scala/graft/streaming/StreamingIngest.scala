@@ -117,11 +117,17 @@ object StreamingIngest {
     import org.apache.spark.sql.functions._
     import graft.text.{QualityClassifier, TextAnalysis}
     val t = col(textCol)
+    // one stats kernel eval per row behind the eval_once barrier —
+    // the same pushdown-proofing as Curation.annotate (the admission
+    // filter would otherwise inline the kernel once per conjunct)
+    val st = graft.Defaults.freshCol(stream.columns.toIndexedSeq, "_curation_st")
     val gated = stream
-      .withColumn("curation_lang", TextAnalysis.langId(t))
-      .withColumn("curation_quality", TextAnalysis.qualityScore(t))
-      .withColumn("curation_tokens", TextAnalysis.tokenCount(t))
+      .withColumn(st, TextAnalysis.sharedStats(t))
+      .withColumn("curation_lang", TextAnalysis.langIdOfStats(col(st)))
+      .withColumn("curation_quality", TextAnalysis.qualityScoreOfStats(col(st)))
+      .withColumn("curation_tokens", col(st).getField("n_tokens"))
       .withColumn("_fp", TextAnalysis.fingerprintMd5(t))
+      .drop(st)
       .filter(col("curation_quality") >= minQuality
         && col("curation_lang").isin(langs: _*)
         && col("curation_tokens").between(minTokens, maxTokens))

@@ -37,13 +37,28 @@ object Curation {
   )
 
   /** Per-document curation annotations (computed once, kept in the
-    * output so downstream sampling/packing can reuse them). */
+    * output so downstream sampling/packing can reuse them).
+    *
+    * All three columns derive from ONE [[TextAnalysis.sharedStats]]
+    * struct column pinned behind the `graft_eval_once` optimizer
+    * barrier: the downstream [[keep]] filter is pushed down BY
+    * Catalyst onto these columns, and without the barrier the whole
+    * stats kernel (six regex scans + tokenize) inlines into every
+    * filter conjunct and every consumer projection — whole-stage
+    * codegen does no subexpression elimination in Filter nodes, and
+    * the measured cost was 2.8–5.8× on tp1/tp2/tp12 (r17 A/B). With
+    * the barrier, the kernel provably runs once per row and
+    * curation_tokens rides the same struct (bit-identical n_tokens
+    * field) instead of paying a second tokenizer kernel. */
   def annotate(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val st = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_curation_st")
     docs
-      .withColumn("curation_lang", TextAnalysis.langId(t))
-      .withColumn("curation_quality", TextAnalysis.qualityScore(t))
-      .withColumn("curation_tokens", TextAnalysis.tokenCount(t))
+      .withColumn(st, TextAnalysis.sharedStats(t))
+      .withColumn("curation_lang", TextAnalysis.langIdOfStats(col(st)))
+      .withColumn("curation_quality", TextAnalysis.qualityScoreOfStats(col(st)))
+      .withColumn("curation_tokens", col(st).getField("n_tokens"))
+      .drop(st)
   }
 
   private def keep(cfg: Config): Column =

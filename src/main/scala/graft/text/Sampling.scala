@@ -96,9 +96,20 @@ object Sampling {
       probCol: Column,
       salt: String = "",
   ): DataFrame = {
-    val p = least(lit(1.0), greatest(lit(0.0), probCol.cast("double")))
+    // probCol is materialized behind the `graft_eval_once` barrier
+    // before the filter: callers pass expensive per-row scores (tp9:
+    // qualityScore — a multi-regex kernel referenced ~7× inside its
+    // own expression tree), and a filter predicate is the one plan
+    // position where neither extraction nor whole-stage-codegen
+    // subexpression elimination dedupes them. The barrier column pins
+    // one evaluation per row (Project-level CSE applies there);
+    // values are identical.
+    val pc = graft.Defaults.freshCol(docs.columns.toIndexedSeq, "_ws_p")
+    val p = least(lit(1.0), greatest(lit(0.0), col(pc).cast("double")))
     val draw = conv(substring(keyHash(keyCol, salt), 1, 15), 16, 10).cast("long")
-    docs.filter(draw < floor(p * lit(math.pow(2, 60))).cast("long"))
+    docs.withColumn(pc, call_function("graft_eval_once", probCol))
+      .filter(draw < floor(p * lit(math.pow(2, 60))).cast("long"))
+      .drop(pc)
   }
 
   /** Relative (distribution-robust) quality gate: keep the top

@@ -29,6 +29,17 @@ object TextAnalysis {
   private def statsOf(text: Column): Column =
     call_function("graft_text_stats", coalesce(text, lit("")))
 
+  /** [[statsOf]] pinned behind the `graft_eval_once` optimizer barrier
+    * ([[graft.functions.EvalBarrier]]): a caller that materializes
+    * this as a COLUMN and filters on fields derived from it is
+    * guaranteed ONE kernel evaluation per row — PushDownPredicate
+    * cannot inline the kernel into the filter conjuncts (where
+    * whole-stage-codegen does no subexpression elimination: measured
+    * 2.8–5.8× on tp1/tp2/tp12) and CollapseProject cannot duplicate it
+    * per consumer. Identity on the value. */
+  def sharedStats(text: Column): Column =
+    call_function("graft_eval_once", statsOf(text))
+
   /** Tokenizer-only stats (no regex-marker counts) — for annotators
     * that need counts/lengths alone; the full statsOf would pay six
     * wasted regex scans per row (measured +0.4 s on t1). */
@@ -81,8 +92,11 @@ object TextAnalysis {
     * there. Counts come from the fused stats kernel (same
     * java.util.regex engine and patterns as the old per-marker
     * regexp_extract_all chain — bit-identical counts, one text pass). */
-  def langId(text: Column): Column = {
-    val st = statsOf(text)
+  def langId(text: Column): Column = langIdOfStats(statsOf(text))
+
+  /** [[langId]] over an already-computed stats struct (a
+    * [[sharedStats]] column) — same expression, shared kernel eval. */
+  def langIdOfStats(st: Column): Column = {
     val zh = st.getField("zh") * 3 // ideograms are strong signal
     val scored = ("zh", zh) +:
       LangMarkers.map { case (l, _) => (l, st.getField(l)) }
@@ -111,8 +125,11 @@ object TextAnalysis {
     * words and some stopword mass; penalizes punctuation soup. The
     * exact formula is a deterministic, engine-portable stand-in for a
     * learned quality model. */
-  def qualityScore(text: Column): Column = {
-    val st = statsOf(text)
+  def qualityScore(text: Column): Column = qualityScoreOfStats(statsOf(text))
+
+  /** [[qualityScore]] over an already-computed stats struct (a
+    * [[sharedStats]] column) — same expression, shared kernel eval. */
+  def qualityScoreOfStats(st: Column): Column = {
     val chars = st.getField("n_chars").cast("double")
     val toks = st.getField("n_tokens").cast("double")
     val mwl = {

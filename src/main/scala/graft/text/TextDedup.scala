@@ -650,6 +650,31 @@ object TextDedup {
       numHashes: Int = 30,
       bands: Int = 6,
       maxBucketSize: Int = DefaultMaxBucketSize,
+  ): DataFrame =
+    minhashDedupAgainstBaseBuckets(
+      batch,
+      minhashBuckets(base, idCol, textCol, k, numHashes, bands)
+        .select(col("band"), col("bucket")).distinct(),
+      idCol, textCol, threshold, k, numHashes, bands, maxBucketSize)
+
+  /** [[minhashDedupAgainstBase]] with the base side already in its
+    * production form — the STORED distinct (band, bucket) index
+    * ([[minhashBuckets]] output; persisted and refresh-maintained by
+    * [[BucketIndex]]) — so the query path never re-shingles or
+    * re-signs the base corpus. Bucket-for-bucket the same gate:
+    * [[minhashDedupAgainstBase]] delegates here after deriving the
+    * buckets from base text, and TextDedupSpec pins the two forms
+    * row-identical. */
+  def minhashDedupAgainstBaseBuckets(
+      batch: DataFrame,
+      baseBuckets: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 1,
+      numHashes: Int = 30,
+      bands: Int = 6,
+      maxBucketSize: Int = DefaultMaxBucketSize,
   ): DataFrame = {
     // ONE shingle/fingerprint pass over the batch feeds the internal
     // dedup AND the survivor bucket derivation. Pre-r16 this called
@@ -674,10 +699,8 @@ object TextDedup {
     val surviving = reps.select(col(idCol), col("sh"))
       .join(repLosers, Seq(idCol), "left_anti")
     val local = batch.join(surviving.select(col(idCol)), Seq(idCol), "left_semi")
-    val baseBuckets = minhashBuckets(base, idCol, textCol, k, numHashes, bands)
-      .select(col("band"), col("bucket")).distinct()
     collisionGate(local, bucketsOfHashed(surviving, idCol, numHashes, bands),
-      baseBuckets, idCol)
+      baseBuckets.select(col("band"), col("bucket")), idCol)
   }
 
   // -------------------------------------------------------------------

