@@ -94,25 +94,38 @@ object QualityClassifier {
     // uncached it re-ran per consumer.
     val labels = graft.quality.CacheScope.cachedUntilAction(
       sample.select(col(idCol), col(labelCol).cast("double").as("y")))
-    val nRow = labels.agg(count(lit(1)), sum(col("y"))).head()
-    val n = nRow.getLong(0).max(1L)
-    val nPos = Option(nRow.get(1)).fold(0.0)(_ => nRow.getDouble(1))
-    // ONE aggregate pass yields the vocabulary AND the NB class
-    // frequencies (pre-r16 these were two actions and an extra join
-    // pass): per-token (df, cfp, cft) over the labeled postings, top
-    // topV by (df desc, token) — per-token statistics are identical
-    // whether computed before or after the vocab cut, and the
-    // tf·y/tf sums are integer-valued doubles, so they are exact and
-    // order-free. The collect stays bounded by topV.
-    val vocabCf: Array[(String, Double, Double)] = tfAll
+    // ONE aggregate action yields the vocabulary, the NB class
+    // frequencies AND the doc-level label totals (pre-r16: three
+    // actions; pre-r17: two — the (n, nPos) count rode its own job).
+    // Per-token (df, cfp, cft) over the labeled postings, top topV by
+    // (df desc, token); the doc totals union in as a single SENTINEL
+    // row under the NULL token (the tokenizer never yields null, and
+    // the union sits BELOW the collect, above the limit, so the
+    // sentinel can never be cut). All sums are integer-valued doubles
+    // — exact and order-free — and the collected vocab rows are
+    // re-sorted on the driver with the same (df desc, token)
+    // comparator, so vocabulary order is independent of union
+    // partition order. The collect stays bounded by topV + 1.
+    val collected = tfAll
       .join(labels, Seq(idCol))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf") * col("y")).as("cfp"),
         sum(col("tf").cast("double")).as("cft"))
       .orderBy(col("df").desc, col("token")).limit(topV)
-      .select("token", "cfp", "cft").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .select(col("token"), col("df"), col("cfp"), col("cft"))
+      .unionByName(labels.agg(
+        lit(null).cast("string").as("token"),
+        count(lit(1)).as("df"),
+        sum(col("y")).as("cfp"),
+        lit(0.0).as("cft")))
+      .collect()
+    val (sentinel, vocabRows) = collected.partition(_.isNullAt(0))
+    val n = sentinel.head.getLong(1).max(1L)
+    val nPos = if (sentinel.head.isNullAt(2)) 0.0 else sentinel.head.getDouble(2)
+    val vocabCf: Array[(String, Double, Double)] = vocabRows
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
     val vocab: Array[String] = vocabCf.map(_._1)
     // Every aggregate below runs on the vocab-restricted rows, so all
     // driver collects are bounded by topV, never the raw vocab.

@@ -119,6 +119,40 @@ object TextDedup {
   private def jaccardSorted(a: Column, b: Column): Column =
     round(call_function("graft_jaccard_sorted", a, b), 6)
 
+  /** Min-id representative per identical-shingle-set group, over a
+    * CACHED `hashed` frame carrying (idCol, sh, _fp = xxhash64(sh)).
+    * Returns (repIds, reps):
+    *
+    *   - `repIds` — one narrow (_fp, idCol) row per group from a plain
+    *     `min` HashAggregate (8-byte buffer, map-side combinable);
+    *   - `reps` — the winners' (idCol, sh) rows, fetched by an
+    *     id-keyed semi join against the cache and action-scope-cached
+    *     (every caller consumes reps several times: the signature
+    *     pass, both verify-side shingle fetches, the survivor set).
+    *
+    * This replaces `groupBy(_fp).agg(min(id), first(sh))`, which
+    * Spark can only plan as a SortAggregate (the array-typed `first`
+    * buffer disqualifies HashAggregate): the shingle payload rode the
+    * aggregate's partial AND final sort and its exchange, once per
+    * consumer — QProf r17 measured 270 MB sort peaks and 3–5 s of
+    * summed shuffle-write per evaluation, ×3–5 evaluations per query
+    * (guide §8: decide with small rows, move the payload once).
+    * Equivalence: ids are unique, so the semi join selects exactly
+    * the min-id row per group, and equal fingerprints mean equal
+    * shingle sets (the xxhash64 premise every caller already builds
+    * on), so that row's `sh` is the group's `sh` — the same (id, sh)
+    * pairs `first(sh)` produced. TextDedupSpec pins the law. */
+  private[text] def repsOfHashed(
+      hashed: DataFrame,
+      idCol: String,
+  ): (DataFrame, DataFrame) = {
+    val repIds = hashed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    val reps = CacheScope.cachedUntilAction(
+      hashed.select(col(idCol), col("sh"))
+        .join(repIds.select(col(idCol)), Seq(idCol), "left_semi"))
+    (repIds, reps)
+  }
+
   /** Shingles straight from text — the [[withShingles]] kernel as a
     * Column (one `graft_shingles` eval per row). */
   def shingles(text: Column, k: Int): Column =
@@ -397,14 +431,13 @@ object TextDedup {
     val hashed = CacheScope.cachedUntilAction(
       withHashedShingles(docs, textCol, k, "sh")
         .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
-    val reps = hashed.groupBy(col("_fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+    val (repIds, reps) = repsOfHashed(hashed, idCol)
     val members = hashed.select(col("_fp"), col(idCol))
 
     val repPairs = nearDupPairsOfHashed(
       reps.select(col(idCol), col("sh")), idCol, threshold, numHashes, bands,
       maxBucketSize)
-    val repFp = reps.select(col(idCol).as("_rid"), col("_fp"))
+    val repFp = repIds.select(col(idCol).as("_rid"), col("_fp"))
 
     val cross = repPairs
       .join(repFp.select(col("_rid").as("id_a"), col("_fp").as("fp_a")), "id_a")
@@ -450,14 +483,12 @@ object TextDedup {
     val hashed = CacheScope.cachedUntilAction(
       withHashedShingles(docs, textCol, k, "sh")
         .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
-    val reps = hashed.groupBy(col("_fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
-      .select(col(idCol), col("sh"))
+    val (repIds, reps) = repsOfHashed(hashed, idCol)
     val repLosers = nearDupPairsOfHashed(reps, idCol, threshold, numHashes, bands,
         maxBucketSize)
       .select(col("id_b").as(idCol))
       .distinct()
-    val survivors = reps.select(col(idCol)).join(repLosers, Seq(idCol), "left_anti")
+    val survivors = repIds.select(col(idCol)).join(repLosers, Seq(idCol), "left_anti")
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
@@ -487,8 +518,7 @@ object TextDedup {
     val hashed = CacheScope.cachedUntilAction(
       withHashedShingles(docs, textCol, k, "sh")
         .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
-    val reps = hashed.groupBy(col("_fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+    val reps = repsOfHashed(hashed, idCol)._2
       .filter(col(idCol).isNotNull)
     val banded = reps
       .withColumn("_sig", minhashSignature(col("sh"), numHashes))
@@ -690,14 +720,21 @@ object TextDedup {
     val hashed = CacheScope.cachedUntilAction(
       withHashedShingles(batch, textCol, k, "sh")
         .select(col(idCol), col("sh"), xxhash64(col("sh")).as("_fp")))
-    val reps = hashed.groupBy(col("_fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("sh")).as("sh"))
+    val reps = repsOfHashed(hashed, idCol)._2
     val repLosers = nearDupPairsOfHashed(reps.select(col(idCol), col("sh")),
         idCol, threshold, numHashes, bands, maxBucketSize)
       .select(col("id_b").as(idCol))
       .distinct()
-    val surviving = reps.select(col(idCol), col("sh"))
-      .join(repLosers, Seq(idCol), "left_anti")
+    // surviving is consumed TWICE (the admission semi-join and the
+    // survivor bucket derivation), and everything upstream of it —
+    // the whole candidate-pair cascade: bucket explode, in-bucket pair
+    // kernel, 1M+ verify-jaccard merges at bench scale — re-evaluated
+    // once per consumer (QProf r17: two identical ~1 s aggregate
+    // subtrees in one call). One narrow (id, sh) cache row per
+    // surviving representative dedups the cascade; action-scoped like
+    // the sibling caches.
+    val surviving = CacheScope.cachedUntilAction(reps.select(col(idCol), col("sh"))
+      .join(repLosers, Seq(idCol), "left_anti"))
     val local = batch.join(surviving.select(col(idCol)), Seq(idCol), "left_semi")
     collisionGate(local, bucketsOfHashed(surviving, idCol, numHashes, bands),
       baseBuckets.select(col("band"), col("bucket")), idCol)

@@ -167,6 +167,25 @@ class TextDedupSpec extends SparkSpec {
     assert(expected2 != expected)
   }
 
+  test("repsOfHashed ≡ groupBy(_fp).agg(min(id), first(sh)) on a dup-heavy corpus") {
+    val corpus = Seq(
+      (7L, "alpha beta gamma"), (3L, "alpha  BETA gamma"), (9L, "alpha beta gamma"),
+      (2L, "delta epsilon"), (5L, "delta epsilon"),
+      (11L, "unique words here"), (12L, ""),
+    ).toDF("doc_id", "text")
+    val hashed = TextDedup.withHashedShingles(corpus, "text", 1, "sh")
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("_fp"))
+    val (repIds, reps) = TextDedup.repsOfHashed(hashed, "doc_id")
+    val refReps = hashed.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sh")).as("sh"))
+    assert(reps.select("doc_id").as[Long].collect().toSet ==
+      refReps.select("doc_id").as[Long].collect().toSet)
+    assert(reps.as[(Long, Seq[Long])].collect().toMap ==
+      refReps.select("doc_id", "sh").as[(Long, Seq[Long])].collect().toMap)
+    assert(repIds.select("doc_id").as[Long].collect().toSet ==
+      refReps.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("shingles: distinct word k-grams of normalized text") {
     val sh = docs.filter(col("doc_id") === 1)
       .select(TextDedup.shingles(col("text"), 3).as("sh"))
